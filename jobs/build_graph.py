@@ -1,0 +1,58 @@
+"""KG build job — the spark-submit entry point (BASELINE.json:14 launch form):
+
+    zip -r kgpipe.zip logset_spark
+    spark-submit --py-files kgpipe.zip jobs/build_graph.py \
+        --input /path/transcripts_parquet --dict /path/dictionary_parquet \
+        --out /path/warehouse --run-id R1
+
+With --synth-convs N the job generates the deterministic synthetic
+transcript+dictionary fixtures instead of reading --input/--dict (used for
+benchmarking; no external data).  Prints ONE JSON summary line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Build the transcript knowledge graph")
+    p.add_argument("--input", help="transcripts parquet/iceberg path")
+    p.add_argument("--dict", dest="dict_path", help="entity dictionary parquet path")
+    p.add_argument("--out", required=True, help="warehouse root for triples/manifest/lineage")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--synth-convs", type=int, default=0,
+                   help="generate N synthetic conversations instead of --input")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--fuzzy-threshold", type=float, default=0.55)
+    args = p.parse_args(argv)
+
+    from logset_spark.pipeline import build_graph
+    from logset_spark.session import get_spark
+    from logset_spark.sources import synth
+    from logset_spark.sources.tableio import TableIO
+
+    spark = get_spark("build_graph", cpus=args.cpus)
+    if args.synth_convs:
+        transcripts = synth.transcripts_df(spark, n_convs=args.synth_convs)
+        dictionary = synth.dictionary_df(spark)
+    else:
+        if not args.input or not args.dict_path:
+            p.error("--input and --dict are required unless --synth-convs is set")
+        transcripts = spark.read.parquet(args.input)
+        dictionary = spark.read.parquet(args.dict_path)
+
+    io = TableIO(args.out, n_buckets=args.buckets)
+    result = build_graph(
+        spark, transcripts, dictionary, io,
+        run_id=args.run_id, fuzzy_threshold=args.fuzzy_threshold,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""Stage 3 — canonicalization via connected components over alias edges.
+
+The reference never needs this (rdflib graphs are tiny and single-process);
+at 10^12 turns duplicate-node merging is a distributed CC problem
+(BASELINE.json north_star: "connected-components union over
+GraphFrames-style iterative DataFrame self-joins").  No graphframes jar in
+this sandbox, so CC is implemented directly as iterative DataFrame
+self-joins.
+
+Algorithm: min-label propagation with path-halving — each round every node
+adopts min(own label, neighbors' labels), then labels chase their own
+parents (label <- label[label]) which doubles convergence speed.  Rounds =
+O(log(diameter)); entity-alias graphs are near-star-shaped so 2-4 rounds
+in practice.  The one genuinely scale-lethal trap is Catalyst lineage
+blowup across iterations — every round ends in localCheckpoint(eager=True)
+to truncate the plan (SURVEY §4).
+
+Convergence is decided by an aggregate ("did any label change?") — one
+scalar collect per round, the only driver<->cluster crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bidirect(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("src"), F.col("dst"))
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges: DataFrame[src:string, dst:string] (undirected; self-loops ok)
+    -> DataFrame[node:string, component:string] where component is the
+    lexicographic min node of the component.  Isolated nodes only appear
+    if present as a self-loop edge."""
+    e = _bidirect(edges).where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(edges.where(F.col("src") == F.col("dst")).select(F.col("src").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # candidate label per node from each neighbor's current label
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # path halving: component <- label(component)
+        parent = new_labels.select(
+            F.col("node").alias("component"), F.col("component").alias("grand")
+        )
+        halved = (
+            new_labels.join(parent, "component", "left")
+            .select("node", F.coalesce("grand", "component").alias("component"))
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            halved.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = halved
+        if changed == 0:
+            break
+    return labels
+
+
+def same_as_triples(components: DataFrame) -> DataFrame:
+    """node != component representative -> (node, sameAs, component)."""
+    return components.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.col("component").alias("obj"),
+    )

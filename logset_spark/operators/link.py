@@ -1,0 +1,250 @@
+"""Stage 2 — entity linking: exact (broadcast/salted hash join) + fuzzy
+(MinHash-LSH blocking, n-gram Jaccard verify).
+
+Reference behavior: a Python dict lookup inside per-file loops
+(PK:src/handcoded.py).  At 10^12 turns that becomes:
+
+* exact: `mentions ⋈ broadcast(dictionary)` on the normalized surface —
+  the dictionary is small (≤ millions of rows), the fact side huge, so
+  broadcast kills the shuffle entirely.  For hot keys a salted variant is
+  provided (explode the dim side R ways, salt the fact side) — with a
+  broadcast dim the salt is unnecessary, but the same mention stream also
+  feeds shuffle joins downstream, and AQE skew-join only fixes *shuffle*
+  skew, so both knobs exist (BASELINE.json: "AQE + key salting").
+* fuzzy: char-3-gram MinHash signatures (numpy matrix math inside a pandas
+  UDF), banded LSH -> candidate pairs via an equi-join on (band, band_hash)
+  -- only intra-bucket pairs are ever compared -- then exact n-gram Jaccard
+  verify with native higher-order array functions, best match per form by
+  window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact linking
+# ---------------------------------------------------------------------------
+
+
+def normalize_form(col):
+    """Surface normalization — lower/trim/strip outer punctuation. Native."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"^[^a-z0-9]+|[^a-z0-9]+$", "")
+
+
+def best_surface_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Collapse the dictionary to one canonical row per surface
+    (max weight, tie-break lexicographically smallest canon_uri) so the
+    link join is 1:1 and never fans out."""
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("weight"), F.asc("canon_uri")
+    )
+    return (
+        dictionary.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("surface", "canon_uri", F.col("weight").alias("score"))
+    )
+
+
+def exact_link(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Left broadcast join mention.form -> dictionary.surface.
+
+    Output keeps every mention; canon_uri/score are null when unlinked
+    (those flow to the fuzzy stage)."""
+    dim = best_surface_dictionary(dictionary)
+    m = mentions.withColumn("norm_form", normalize_form(F.col("form")))
+    return m.join(
+        F.broadcast(dim), m.norm_form == dim.surface, "left"
+    ).drop("surface", "norm_form")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Generic skew-safe equi-join: fact gets a random-ish (but
+    deterministic) salt from its own row identity, dim is exploded xR.
+    Join key becomes (key, salt) so a hot key spreads over R reducers.
+    Use when the dim is too big to broadcast and the fact key is skewed."""
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int"),
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(salted_dim, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy linking: MinHash-LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+NGRAM = 3
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    # a,b < 2^31 and gram hashes < 2^32 keep a*x+b < 2^63: pure int64 math,
+    # no overflow, stable across numpy versions (SURVEY §7 hard-part 3).
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, 1 << 31, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _gram_hashes(txt: str, n: int = NGRAM) -> np.ndarray:
+    """Stable 32-bit hashes of the char-n-gram set (crc32: identical on
+    driver, executors, and across Python runs — unlike builtin hash)."""
+    from zlib import crc32
+
+    s = f"^{txt}$"
+    grams = {s[i: i + n] for i in range(len(s) - n + 1)}
+    return np.fromiter(
+        (crc32(g.encode("utf-8")) for g in grams), dtype=np.int64, count=len(grams)
+    )
+
+
+def make_minhash_udf(num_hashes: int = 32, seed: int = 7):
+    """pandas UDF: Series[str] -> Series[list[long]] — k-permutation MinHash
+    over char-3-gram sets: sig_j = min_x (a_j * x + b_j) mod p."""
+    a, b = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            if not txt:
+                out.append([0] * len(a))
+                continue
+            hv = _gram_hashes(txt)
+            sig = ((a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def band_signatures(
+    df: DataFrame, text_col: str, num_hashes: int = 32, bands: int = 8, seed: int = 7
+) -> DataFrame:
+    """Attach MinHash and explode into (band, band_hash) LSH keys.
+    rows-per-band r = num_hashes // bands; two strings collide in a band
+    iff all r signature slots match, so band_hash = xxhash64 of the slice."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    mh = make_minhash_udf(num_hashes, seed)
+    sig = df.withColumn("_sig", mh(F.col(text_col)))
+    banded = sig.select(
+        *df.columns,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(F.col("_sig"), i * r + 1, r),
+            )
+        ).alias("band", "band_slice"),
+    )
+    return banded.withColumn(
+        "band_hash", F.xxhash64(F.concat_ws(",", F.transform("band_slice", lambda x: x.cast("string"))), F.col("band"))
+    ).drop("band_slice")
+
+
+def char_ngrams(col, n: int = NGRAM):
+    """Native char-n-gram array (distinct) of '^text$' — used for the exact
+    Jaccard verify so no Python runs on the candidate pairs."""
+    padded = F.concat(F.lit("^"), col, F.lit("$"))
+    idx = F.sequence(F.lit(0), F.greatest(F.length(padded) - n, F.lit(0)))
+    return F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: padded.substr(i + 1, F.lit(n))),
+            lambda g: F.length(g) == n,
+        )
+    )
+
+
+def jaccard(col_a, col_b):
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(F.array_union(col_a, col_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def fuzzy_link(
+    unlinked_forms: DataFrame,
+    dictionary: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.55,
+) -> DataFrame:
+    """forms: DataFrame[form] (distinct unlinked surfaces) ->
+    DataFrame[form, canon_uri, score] for best fuzzy match over threshold.
+
+    Plan shape: both sides get banded LSH keys; equi-join on
+    (band, band_hash) yields only intra-bucket candidates; exact n-gram
+    Jaccard (native array ops) verifies; window keeps the best match.
+    Dedup BEFORE hashing: the expensive UDF runs once per distinct form,
+    not once per mention occurrence (SURVEY §4 'dedup before expensive')."""
+    forms = unlinked_forms.select("form").distinct()
+    dim = best_surface_dictionary(dictionary)
+
+    fb = band_signatures(forms, "form", num_hashes, bands).select(
+        "form", "band", "band_hash"
+    )
+    db = band_signatures(dim, "surface", num_hashes, bands).select(
+        "surface", "canon_uri", F.col("score").alias("weight"),
+        "band", "band_hash",
+    )
+
+    cand = (
+        fb.join(db, ["band", "band_hash"])
+        .select("form", "surface", "canon_uri", "weight")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "score", jaccard(char_ngrams(F.col("form")), char_ngrams(F.col("surface")))
+    ).where(F.col("score") >= threshold)
+
+    w = Window.partitionBy("form").orderBy(
+        F.desc("score"), F.desc("weight"), F.asc("canon_uri")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("form", "canon_uri", "score")
+    )
+
+
+def link_mentions(
+    spark,
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    fuzzy_threshold: float = 0.55,
+) -> DataFrame:
+    """Full Stage 2: exact pass, then fuzzy pass over the exact misses,
+    merged back.  Output schema = mentions + (canon_uri, score)."""
+    exact = exact_link(mentions, dictionary).persist()
+    misses = exact.where(
+        (F.col("canon_uri").isNull()) & (F.col("kind") != "ts")
+    ).select(normalize_form(F.col("form")).alias("form")).distinct()
+    fuzzy = fuzzy_link(misses, dictionary, threshold=fuzzy_threshold)
+
+    m = exact.withColumn("norm_form", normalize_form(F.col("form")))
+    f = fuzzy.select(
+        F.col("form").alias("norm_form"),
+        F.col("canon_uri").alias("f_canon"),
+        F.col("score").alias("f_score"),
+    )
+    out = (
+        m.join(F.broadcast(f), "norm_form", "left")
+        .withColumn("canon_uri", F.coalesce("canon_uri", "f_canon"))
+        .withColumn("score", F.coalesce("score", "f_score"))
+        .drop("f_canon", "f_score", "norm_form")
+    )
+    return out

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local mode is the sandbox; the same confs are what we would submit with
+``spark-submit --py-files`` on a real cluster (jobs/build_graph.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB / 10^12 turns these become cluster-submit confs; the *ratios*
+# (shuffle partitions ~ total cores x 2-3, Arrow batch ~ 10k rows) are what
+# carry over, not the absolute numbers.
+_BASE_CONFS = {
+    # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # All pandas-UDF stages cross JVM->Python via Arrow record batches.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic oracle comparison (DuckDB timestamps are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Idempotent per-partition re-runs (SURVEY §2 S4).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "logset_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32 (the sandbox allotment).
+    ``shuffle_partitions`` defaults to 2x cores — enough slots for AQE to
+    coalesce down, few enough that sf0.1-scale tasks are not confetti.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    for k, v in _BASE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

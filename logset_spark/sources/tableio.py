@@ -1,0 +1,74 @@
+"""TableIO — the Iceberg/parquet seam (SURVEY.md §1.3).
+
+The north rule materializes triples as Iceberg tables bucketed by conv_id
+and partitioned by days(ts).  This sandbox has no Iceberg runtime jar, so
+the parquet path emulates the identical *logical* layout with derived
+columns:
+
+    ts_day      = date_trunc('day', ts)          -- days(ts) partition
+    conv_bucket = pmod(xxhash64(conv_id), N)     -- bucket(N, conv_id)
+
+Everything downstream (partition pruning, resume manifests, lineage keys,
+dynamic partition overwrite) keys on (ts_day, conv_bucket), so swapping in
+`writeTo(tbl).partitionedBy(bucket(N, conv_id), days(ts))` on a real
+cluster changes only this module.  The reference's equivalent surface is
+Turtle file load/serialize (PK:src/graph.py Graph.parse/serialize).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 16
+
+
+def with_layout(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Attach the partition/bucket columns. Cheap native exprs; codegen'd."""
+    return df.withColumn("ts_day", F.to_date(F.date_trunc("day", F.col("ts")))) \
+             .withColumn(
+                 "conv_bucket",
+                 F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"),
+             )
+
+
+@dataclass
+class TableIO:
+    """Read/write triple-shaped tables with the bucketed+day layout."""
+
+    root: str
+    n_buckets: int = DEFAULT_BUCKETS
+    catalog: str = "parquet"  # "iceberg" on a real cluster (needs runtime jar)
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        """Partitioned write. `mode=overwrite` + dynamic partitionOverwriteMode
+        (set in session.py) means only the partitions present in `df` are
+        replaced — the idempotent-resume primitive (SURVEY §2 S4)."""
+        if self.catalog == "iceberg":  # pragma: no cover - needs runtime jar
+            (with_layout(df, self.n_buckets)
+             .writeTo(self.path(name)).using("iceberg")
+             .partitionedBy(F.bucket(self.n_buckets, "conv_id"), F.days("ts"))
+             .createOrReplace())
+            return
+        (
+            with_layout(df, self.n_buckets)
+            .repartition("ts_day", "conv_bucket")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode(mode)
+            .partitionBy("ts_day", "conv_bucket")
+            .parquet(self.path(name))
+        )
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.catalog == "iceberg":  # pragma: no cover
+            return spark.table(self.path(name))
+        return spark.read.parquet(self.path(name))
+
+    def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        """Unpartitioned sink for tiny control tables (manifest, lineage)."""
+        df.coalesce(1).write.mode(mode).parquet(self.path(name))
