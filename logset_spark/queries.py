@@ -1,0 +1,1061 @@
+"""Driver-harness query registry: SURVEY.md §2 operator coverage.
+
+Each entry is (spark_builder, oracle_sql).  The builder takes
+(spark, sf_dir) and returns a DataFrame; the SQL is ANSI SQL DuckDB runs
+over the same parquet (views: region nation customer supplier part orders
+lineitem events documents embeddings).  Column names are aliased
+identically on both sides — the driver sorts columns by name and
+value-hashes, so names AND values must agree.
+
+Determinism rules used throughout:
+* money/double sums go through DECIMAL(18,2|4) so the sum is exact and
+  order-independent, then cast back to double;
+* any rounding happens on both sides with the same digits;
+* every top-k/window ordering carries a unique tie-break key.
+
+Entries whose semantics cannot be reproduced by DuckDB (approx HLL
+sketches, MinHash/SimHash signatures) have oracle_sql=None -> the driver
+records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    """Exact-sum staging: double -> decimal so aggregation order can't
+    change the result (doubles in these tables carry <= `scale` decimals)."""
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col, scale: int = 2):
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# relational core (SURVEY §2.1-2.8)
+# --------------------------------------------------------------------------
+
+
+def q_scan(spark, sf):
+    return _t(spark, sf, "region").select("r_regionkey", "r_name")
+
+
+SQL_SCAN = "SELECT r_regionkey, r_name FROM region"
+
+
+def q_project(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+"""
+
+
+def q_filter(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 100000)
+        & (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice")
+
+
+SQL_FILTER = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+  AND o_orderdate >= TIMESTAMP '1995-06-01'
+"""
+
+
+def q_regex(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.where(F.col("c_name").rlike("[13579]$")).select(
+        "c_custkey", F.regexp_extract("c_name", "([0-9]+)", 1).alias("cnum")
+    )
+
+
+SQL_REGEX = """
+SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS cnum
+FROM customer WHERE regexp_matches(c_name, '[13579]$')
+"""
+
+
+def q_null(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+    )
+
+
+SQL_NULL = """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
+FROM orders
+"""
+
+
+def q_timerange(spark, sf):
+    e = _t(spark, sf, "events")
+    lo, hi = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    return (
+        e.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+SQL_TIMERANGE = """
+SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+GROUP BY event_type
+"""
+
+
+def q_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON = """
+SELECT event_type, count(k) AS n_k, round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) t
+GROUP BY event_type
+"""
+
+
+def q_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(_dec(F.col("l_quantity"))), 4).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select("o_custkey", "o_orderstatus").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+
+def q_approx(spark, sf):
+    # HLL sketch: values are Spark-specific -> rows-only driver check.
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+def q_collect(spark, sf):
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+SQL_COLLECT = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+# ---- windows ---------------------------------------------------------------
+
+
+def q_rownum(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_ROWNUM = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+"""
+
+
+def q_rank(spark, sf):
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.dense_rank().over(w).cast("long").alias("bal_rank"),
+    )
+
+
+SQL_RANK = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank
+FROM supplier
+"""
+
+
+def q_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "event_id", "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+SQL_LAG = """
+SELECT event_id, user_id, event_type,
+       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+FROM events
+"""
+
+
+def q_runsum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.sum(_dec(F.col("value"))).over(w).cast("double").alias("run_value"),
+        F.count("*").over(w).alias("run_n"),
+    )
+
+
+SQL_RUNSUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_value,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
+FROM events
+"""
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def q_session(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_SESSION = f"""
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events) t) s
+GROUP BY user_id
+"""
+
+WINDOW_US = 6 * 3600 * 1_000_000
+
+
+def q_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+SQL_WINDOW = f"""
+SELECT make_timestamp((epoch_us(ts) // {WINDOW_US}) * {WINDOW_US}) AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_topk(spark, sf):
+    li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    agg = li.groupBy("l_partkey").agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+    return (
+        agg.join(F.broadcast(p), agg.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT p_partkey, p_name, total_qty FROM (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_partkey) a
+JOIN part ON l_partkey = p_partkey
+ORDER BY total_qty DESC, p_partkey LIMIT 10
+"""
+
+# ---- set ops ----------------------------------------------------------------
+
+
+def q_union(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+SQL_UNION = """
+SELECT c_name AS name, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name AS name, 'supplier' AS kind FROM supplier
+"""
+
+
+def q_except(spark, sf):
+    o = _t(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return o.subtract(li)
+
+
+SQL_EXCEPT = """
+SELECT o_orderkey AS k FROM orders
+EXCEPT
+SELECT l_orderkey AS k FROM lineitem
+"""
+
+
+def q_semi(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+SQL_SEMI = """
+SELECT c_mktsegment, count(*) AS n_active FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti(spark, sf):
+    o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+SQL_ANTI = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+# ---- joins -------------------------------------------------------------------
+
+
+def q_join_broadcast(spark, sf):
+    li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    disc = _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(disc).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_join_smj(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+SQL_JOIN_SMJ = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_left(spark, sf):
+    n, c = _t(spark, sf, "nation"), _t(spark, sf, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT n_name, count(c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q_join_range(spark, sf):
+    e = _t(spark, sf, "events")
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("u"),
+        F.col("ts").alias("err_ts"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    joined = err.join(
+        pur,
+        (err.u == pur.u)
+        & (pur.p_ts >= err.err_ts)
+        & (pur.p_ts < err.err_ts + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("err_id").agg(F.count("p_ts").alias("n_purchases_1h"))
+
+
+SQL_JOIN_RANGE = """
+SELECT err_id, count(p_ts) AS n_purchases_1h FROM (
+  SELECT e.event_id AS err_id, p.ts AS p_ts
+  FROM events e LEFT JOIN events p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+   AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+  WHERE e.event_type = 'error') t
+GROUP BY err_id
+"""
+
+
+def q_asof(spark, sf):
+    """As-of join: for each purchase, the latest signup at-or-before it by
+    the same user.  Spark has no native as-of join -> union + last(ignore
+    nulls) window idiom (signups sort before purchases at equal ts)."""
+    e = _t(spark, sf, "events")
+    sig = e.where(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("k"), F.col("ts").alias("sig_ts"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("k"),
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        sig.unionByName(pur)
+        .withColumn("last_signup_ts", F.last("sig_ts", ignorenulls=True).over(w))
+        .where("k = 1")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+SQL_ASOF = """
+SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def q_cross(spark, sf):
+    r = _t(spark, sf, "region").select("r_name")
+    st = _t(spark, sf, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st)
+
+
+SQL_CROSS = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+"""
+
+
+def q_pivot(spark, sf):
+    o = _t(spark, sf, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return out
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# KG construction over driver testdata (flagship family)
+#
+# A transcript table is derived *deterministically* from `events`:
+#   conv_id  = 'u' || user_id          (a user's event stream = a conversation)
+#   turn_idx = row_number per user ordered by ts (dense from 0; ts unique/user)
+#   role     = user/assistant/tool mapping of event_type
+#   tool     = event_type when the turn is a tool turn
+#   text     = props JSON payload
+# so the KG pipeline's structural extraction is exercised on driver data AND
+# stays SQL-expressible for the DuckDB oracle.
+# --------------------------------------------------------------------------
+
+_ROLE_CASE = """
+CASE WHEN event_type IN ('error','purchase') THEN 'tool'
+     WHEN event_type = 'signup' THEN 'system'
+     WHEN event_type = 'click' THEN 'user'
+     ELSE 'assistant' END
+"""
+
+
+def derived_transcripts(spark, sf) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    role = (
+        F.when(F.col("event_type").isin("error", "purchase"), "tool")
+        .when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "click", "user")
+        .otherwise("assistant")
+    )
+    return e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.when(role == "tool", F.col("event_type")).alias("tool"),
+        "ts",
+    )
+
+
+_SQL_TRANSCRIPTS = f"""
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS INT) AS turn_idx,
+         {_ROLE_CASE} AS role,
+         props AS text,
+         CASE WHEN {_ROLE_CASE} IN ('tool') THEN event_type END AS tool,
+         ts
+  FROM events
+"""
+
+
+def q_kg_structural(spark, sf):
+    from .operators.extract import structural_triples
+
+    tr = derived_transcripts(spark, sf)
+    return structural_triples(tr).select("subj", "pred", "obj")
+
+
+SQL_KG_STRUCTURAL = f"""
+WITH t AS ({_SQL_TRANSCRIPTS}),
+u AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         'conv:' || conv_id AS conv_u,
+         'turn:' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS turn_u,
+         lead('turn:' || conv_id || '/' || CAST(turn_idx AS VARCHAR))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_u
+  FROM t)
+SELECT conv_u AS subj, 'hasTurn' AS pred, turn_u AS obj FROM u
+UNION ALL SELECT turn_u, 'partOf', conv_u FROM u
+UNION ALL SELECT turn_u, 'hasRole', 'role:' || lower(trim(role)) FROM u
+UNION ALL SELECT turn_u, 'atTime', strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM u
+UNION ALL SELECT turn_u, 'usedTool', 'tool:' || lower(trim(tool)) FROM u WHERE tool IS NOT NULL
+UNION ALL SELECT turn_u, 'followedBy', next_u FROM u WHERE next_u IS NOT NULL
+"""
+
+
+def q_kg_stats(spark, sf):
+    return (
+        q_kg_structural(spark, sf)
+        .groupBy("pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("subj").alias("n_subj"),
+            F.count_distinct("obj").alias("n_obj"),
+        )
+    )
+
+
+SQL_KG_STATS = f"""
+SELECT pred, count(*) AS n, count(DISTINCT subj) AS n_subj,
+       count(DISTINCT obj) AS n_obj
+FROM ({SQL_KG_STRUCTURAL}) g
+GROUP BY pred
+"""
+
+
+def q_kg_dedup(spark, sf):
+    """Triple-set semantics (rdflib Graph is a set): distinct + global count."""
+    from .operators.extract import structural_triples
+
+    tr = derived_transcripts(spark, sf)
+    tri = structural_triples(tr)
+    return tri.select("subj", "pred", "obj").distinct().groupBy().agg(
+        F.count("*").alias("n_distinct_triples")
+    )
+
+
+SQL_KG_DEDUP = f"""
+SELECT count(*) AS n_distinct_triples
+FROM (SELECT DISTINCT subj, pred, obj FROM ({SQL_KG_STRUCTURAL}) g) d
+"""
+
+# --------------------------------------------------------------------------
+# training-data pipeline suite over documents / embeddings
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+def q_doc_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT doc_id, md5(text) AS fingerprint,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf):
+    """Quality scoring: type-token ratio, stopword ratio, mean token length
+    -> a composite keep/drop flag (all native column math)."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    ttr = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.round(stop_n / n, 4)
+    mean_len = F.round((F.length("text") - n + 1) / n, 4)
+    return d.select(
+        "doc_id",
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        ((n >= 20) & (ttr > 0.05)).alias("keep"),
+    )
+
+
+SQL_DOC_QUALITY = f"""
+SELECT doc_id,
+       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS type_token_ratio,
+       round(len(list_filter(toks, t -> t IN {_STOP_SQL})) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 4) AS mean_token_len,
+       (len(toks) >= 20 AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) > 0.05) AS keep
+FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents) d
+"""
+
+_EN_MARKERS = ("the", "a", "value", "data", "order")
+_EN_SQL = "('" + "','".join(_EN_MARKERS) + "')"
+
+
+def q_lang_id(spark, sf):
+    """n-gram/stopword language-ID heuristic: share of English marker
+    tokens; predicts 'en' above threshold, 'und' otherwise."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(*_EN_MARKERS))) / F.size(toks), 4
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_marker_ratio"),
+        F.when(ratio >= 0.02, "en").otherwise("und").alias("pred_lang"),
+    )
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, lang,
+       round(len(list_filter(toks, t -> t IN {_EN_SQL})) / CAST(len(toks) AS DOUBLE), 4) AS en_marker_ratio,
+       CASE WHEN round(len(list_filter(toks, t -> t IN {_EN_SQL})) / CAST(len(toks) AS DOUBLE), 4) >= 0.02
+            THEN 'en' ELSE 'und' END AS pred_lang
+FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents) d
+"""
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup by content hash: per-hash group stats + kept doc."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram(spark, sf):
+    """Exact token-3-gram (shingle) Jaccard over blocked candidate pairs.
+    Blocking key = (lang, n_chars): only same-block pairs are compared —
+    the same block-join-verify shape the MinHash path uses at scale."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    docs = d.select("doc_id", "lang", "n_chars", sh.alias("shingles"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.floor(F.col("a.n_chars") / 50) == F.floor(F.col("b.n_chars") / 50))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+        4,
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.05)
+
+
+SQL_DEDUP_NGRAM = """
+WITH docs AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(
+           range(len(string_split(lower(text),' ')) - 2),
+           i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' ')
+         )) AS shingles
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles)) /
+             CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4) AS jaccard
+FROM docs a JOIN docs b
+  ON a.lang = b.lang AND (a.n_chars // 50) = (b.n_chars // 50) AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles)) /
+            CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4) >= 0.05
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash-LSH near-dup candidate pairs on documents (rows-only check:
+    signature values are engine-specific).  Same operator family as the
+    entity-linking fuzzy stage."""
+    from .operators.link import band_signatures
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    banded = band_signatures(d, "text", num_hashes=32, bands=8).select(
+        "doc_id", "band", "band_hash"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def q_dedup_simhash(spark, sf):
+    """64-bit SimHash per document (rows-only check)."""
+    from .operators.dedup import simhash_udf
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def q_embed_norm(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return em.select(
+        "vec_id", "label", F.round(F.sqrt(dot), 4).alias("l2_norm")
+    )
+
+
+SQL_EMBED_NORM = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_embed_agg(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    return em.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(F.element_at("embedding", 1).cast("double")), 4
+        ).alias("avg_dim0"),
+    )
+
+
+SQL_EMBED_AGG = """
+SELECT label, count(*) AS n,
+       round(avg(embedding[1]::DOUBLE), 4) AS avg_dim0
+FROM embeddings GROUP BY label
+"""
+
+
+def q_ann_cosine(spark, sf):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3) —
+    the exact baseline the LSH/IVF path approximates."""
+    from .operators.similarity import cosine_topk
+
+    em = _t(spark, sf, "embeddings")
+    queries = em.where(F.col("vec_id") < 3)
+    return cosine_topk(queries, em, k=5)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[])) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 4) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) t
+WHERE rk <= 5
+"""
+
+
+def q_ann_lsh(spark, sf):
+    """LSH-bucketed ANN (random-hyperplane signs): rows-only check —
+    the scale path whose recall is measured against q_ann_cosine."""
+    from .operators.similarity import lsh_topk
+
+    em = _t(spark, sf, "embeddings")
+    queries = em.where(F.col("vec_id") < 3)
+    return lsh_topk(queries, em, k=5, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # scans / filters / functions
+    "q_scan": (q_scan, SQL_SCAN),
+    "q_project": (q_project, SQL_PROJECT),
+    "q_filter": (q_filter, SQL_FILTER),
+    "q_regex": (q_regex, SQL_REGEX),
+    "q_null": (q_null, SQL_NULL),
+    "q_timerange": (q_timerange, SQL_TIMERANGE),
+    "q_json": (q_json, SQL_JSON),
+    # aggregation
+    "q_agg": (q_agg, SQL_AGG),
+    "q_distinct": (q_distinct, SQL_DISTINCT),
+    "q_approx": (q_approx, None),
+    "q_collect": (q_collect, SQL_COLLECT),
+    "q_rollup": (q_rollup, SQL_ROLLUP),
+    # windows
+    "q_rownum": (q_rownum, SQL_ROWNUM),
+    "q_rank": (q_rank, SQL_RANK),
+    "q_lag": (q_lag, SQL_LAG),
+    "q_runsum": (q_runsum, SQL_RUNSUM),
+    "q_session": (q_session, SQL_SESSION),
+    "q_window": (q_window, SQL_WINDOW),
+    "q_topk": (q_topk, SQL_TOPK),
+    # set ops
+    "q_union": (q_union, SQL_UNION),
+    "q_except": (q_except, SQL_EXCEPT),
+    "q_semi": (q_semi, SQL_SEMI),
+    "q_anti": (q_anti, SQL_ANTI),
+    # joins
+    "q_join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
+    "q_join_smj": (q_join_smj, SQL_JOIN_SMJ),
+    "q_join_left": (q_join_left, SQL_JOIN_LEFT),
+    "q_join_range": (q_join_range, SQL_JOIN_RANGE),
+    "q_asof": (q_asof, SQL_ASOF),
+    "q_cross": (q_cross, SQL_CROSS),
+    "q_pivot": (q_pivot, SQL_PIVOT),
+    # KG flagship family
+    "q_kg_structural": (q_kg_structural, SQL_KG_STRUCTURAL),
+    "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
+    "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
+    # training-data suite
+    "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "q_dedup_minhash": (q_dedup_minhash, None),
+    "q_dedup_simhash": (q_dedup_simhash, None),
+    "q_embed_norm": (q_embed_norm, SQL_EMBED_NORM),
+    "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
+    "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "q_ann_lsh": (q_ann_lsh, None),
+}
