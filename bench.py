@@ -1,0 +1,99 @@
+"""Benchmark runner — prints ONE JSON line.
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; the KG pipeline (extract+link+canonicalize+
+materialize) runs over a deterministic synthetic transcript table whose
+parquet is generated OUTSIDE the timed section (input size via
+$SPARK_GRAFT_BENCH_CONVS, default 30000 convs ~ 0.5M turns).
+
+Output: {"metric": "e2e_bench_seconds", "value": <total sec>,
+         "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
+         "kg_turns": N, "kg_triples": N, "kg_triples_per_sec": X}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q_agg",
+    "q_join_broadcast",
+    "q_join_smj",
+    "q_window",
+    "q_rownum",
+    "q_session",
+    "q_kg_structural",
+    "q_kg_dedup",
+    "q_ann_cosine",
+    "q_dedup_minhash",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "30000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from logset_spark.pipeline import build_graph
+    from logset_spark.queries import REGISTRY
+    from logset_spark.session import get_spark
+    from logset_spark.sources import synth
+    from logset_spark.sources.tableio import TableIO
+
+    spark = get_spark("bench", cpus=cpus)
+
+    # -- untimed setup: synth transcript parquet ------------------------------
+    workdir = tempfile.mkdtemp(prefix="logset_bench_")
+    tr_path = f"{workdir}/transcripts"
+    dict_path = f"{workdir}/dictionary"
+    synth.transcripts_df(spark, n_convs=n_convs).write.mode("overwrite").parquet(tr_path)
+    synth.dictionary_df(spark).write.mode("overwrite").parquet(dict_path)
+
+    timings: dict[str, float] = {}
+    t_total = time.monotonic()
+
+    # -- headline queries ------------------------------------------------------
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # -- KG pipeline ------------------------------------------------------------
+    transcripts = spark.read.parquet(tr_path)
+    dictionary = spark.read.parquet(dict_path)
+    n_turns = transcripts.count()
+    io = TableIO(f"{workdir}/wh", n_buckets=16)
+    t0 = time.monotonic()
+    res = build_graph(spark, transcripts, dictionary, io, run_id="bench")
+    kg_wall = time.monotonic() - t0
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    total = round(time.monotonic() - t_total, 3)
+    out = {
+        "metric": "e2e_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_turns": n_turns,
+        "kg_triples": int(res["triples"]),
+        "kg_triples_per_sec": round(res["triples"] / kg_wall, 1),
+        "kg_turns_per_sec": round(n_turns / kg_wall, 1),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(workdir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

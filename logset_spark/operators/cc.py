@@ -37,6 +37,10 @@ def connected_components(
     -> DataFrame[node:string, component:string] where component is the
     lexicographic min node of the component.  Isolated nodes only appear
     if present as a self-loop edge."""
+    # checkpoint the INPUT first: union/bidirect below scans it multiple
+    # times within one action, which would re-run the whole upstream plan
+    # (extraction UDFs, fuzzy linking) once per branch.
+    edges = edges.localCheckpoint(eager=True)
     e = _bidirect(edges).where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
 

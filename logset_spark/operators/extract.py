@@ -47,7 +47,13 @@ MENTION_TYPE = T.ArrayType(
 def structural_triples(transcripts: DataFrame) -> DataFrame:
     """conv->hasTurn->turn, turn->partOf->conv, hasRole, atTime, usedTool,
     followedBy.  Mirrors ConcreteLog/LogSeries/partOf emission
-    (PK:src/handcoded.py) as one narrow select + a window for followedBy."""
+    (PK:src/handcoded.py).
+
+    Plan shape: ONE input scan + one conv_id window (for followedBy) ->
+    array-of-(subj,pred,obj)-structs -> explode.  A naive per-predicate
+    union would scan the transcript table once per predicate (6x I/O at
+    10^12 turns); the explode form is a single narrow pass."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = transcripts.select(
         "conv_id",
         "turn_idx",
@@ -57,55 +63,36 @@ def structural_triples(transcripts: DataFrame) -> DataFrame:
         V.role_uri("role").alias("role_u"),
         V.iso_ts("ts").alias("iso"),
         V.tool_uri("tool").alias("tool_u"),
-        F.col("tool").isNotNull().alias("has_tool"),
+        F.lead(V.turn_uri("conv_id", "turn_idx")).over(w).alias("next_u"),
     )
 
-    def tri(subj, pred, obj):
-        return t.select(
-            F.col(subj).alias("subj"),
-            F.lit(pred).alias("pred"),
-            F.col(obj).alias("obj"),
-            "conv_id",
-            "turn_idx",
-            "ts",
-            F.lit(1.0).alias("conf"),
+    def e(subj, pred, obj):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
         )
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    followed = (
-        t.withColumn("next_u", F.lead("turn_u").over(w))
-        .where(F.col("next_u").isNotNull())
-        .select(
-            F.col("turn_u").alias("subj"),
-            F.lit(V.FOLLOWED_BY).alias("pred"),
-            F.col("next_u").alias("obj"),
-            "conv_id",
-            "turn_idx",
-            "ts",
-            F.lit(1.0).alias("conf"),
-        )
+    entries = F.array(
+        e(F.col("conv_u"), V.HAS_TURN, F.col("turn_u")),
+        e(F.col("turn_u"), V.PART_OF, F.col("conv_u")),
+        e(F.col("turn_u"), V.HAS_ROLE, F.col("role_u")),
+        e(F.col("turn_u"), V.AT_TIME, F.col("iso")),
+        e(F.col("turn_u"), V.USED_TOOL, F.col("tool_u")),  # null obj if no tool
+        e(F.col("turn_u"), V.FOLLOWED_BY, F.col("next_u")),  # null obj if last
     )
-
-    parts = [
-        tri("conv_u", V.HAS_TURN, "turn_u"),
-        tri("turn_u", V.PART_OF, "conv_u"),
-        tri("turn_u", V.HAS_ROLE, "role_u"),
-        tri("turn_u", V.AT_TIME, "iso"),
-        t.where("has_tool").select(
-            F.col("turn_u").alias("subj"),
-            F.lit(V.USED_TOOL).alias("pred"),
-            F.col("tool_u").alias("obj"),
-            "conv_id",
-            "turn_idx",
-            "ts",
-            F.lit(1.0).alias("conf"),
-        ),
-        followed,
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.explode(F.filter(entries, lambda x: x["obj"].isNotNull())).alias("tr"),
+    ).select(
+        F.col("tr.subj").alias("subj"),
+        F.col("tr.pred").alias("pred"),
+        F.col("tr.obj").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lit(1.0).alias("conf"),
+    )
 
 
 _NAMELIKE_RE = re.compile(r"^[a-z]+[_-][a-z0-9_-]+$")

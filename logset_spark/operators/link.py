@@ -228,12 +228,18 @@ def link_mentions(
     fuzzy_threshold: float = 0.55,
 ) -> DataFrame:
     """Full Stage 2: exact pass, then fuzzy pass over the exact misses,
-    merged back.  Output schema = mentions + (canon_uri, score)."""
+    merged back.  Output schema = mentions + (canon_uri, score).
+
+    `exact` is materialized (persist+count) BEFORE the fuzzy branch: the
+    fuzzy result is broadcast back onto `exact`, and a broadcast subtree
+    is evaluated separately from the probe side — without the explicit
+    materialization the whole extraction would run once per side."""
     exact = exact_link(mentions, dictionary).persist()
+    exact.count()
     misses = exact.where(
         (F.col("canon_uri").isNull()) & (F.col("kind") != "ts")
     ).select(normalize_form(F.col("form")).alias("form")).distinct()
-    fuzzy = fuzzy_link(misses, dictionary, threshold=fuzzy_threshold)
+    fuzzy = fuzzy_link(misses, dictionary, threshold=fuzzy_threshold).persist()
 
     m = exact.withColumn("norm_form", normalize_form(F.col("form")))
     f = fuzzy.select(

@@ -106,6 +106,7 @@ def transcripts_pdf(
     alias_noise_rate: float = 0.15,
     hot_rate: float = 0.10,
     n_entities: int = 100,
+    span_days: int = 14,
 ) -> pd.DataFrame:
     """The pipeline input table. Vectorized; ~1M turns in a few seconds.
 
@@ -141,9 +142,9 @@ def transcripts_pdf(
     tool_choice = rng.choice(TOOLS, size=total)
     tools = np.where(roles == "tool", tool_choice, None)
 
-    # timestamps: conv start spread over 90 days; steps 10s-5min, with
+    # timestamps: conv start spread over span_days; steps 10s-5min, with
     # >30-min gaps injected at gap_rate (never on turn 0)
-    conv_start = rng.integers(0, 90 * 86400, size=n_convs)
+    conv_start = rng.integers(0, span_days * 86400, size=n_convs)
     step = rng.integers(10, 300, size=total)
     gap = (rng.random(total) < gap_rate) & (turn_idx > 0)
     step = step + gap * rng.integers(1860, 7200, size=total)
