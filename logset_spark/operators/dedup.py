@@ -124,7 +124,7 @@ def minhash_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidates + exact token-shingle Jaccard verify."""
-    banded = band_signatures(df, text_col, num_hashes, bands).select(
+    banded = band_signatures(df, text_col, num_hashes, bands, unit="word").select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
         "band", "band_hash",
     )

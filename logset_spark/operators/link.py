@@ -88,17 +88,35 @@ def salted_join(
 # fuzzy linking: MinHash-LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
 NGRAM = 3
 
+_SPLITMIX_C = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_M2 = np.uint64(0x94D049BB133111EB)
 
-def _minhash_params(num_hashes: int, seed: int = 7):
-    # a,b < 2^31 and gram hashes < 2^32 keep a*x+b < 2^63: pure int64 math,
-    # no overflow, stable across numpy versions (SURVEY §7 hard-part 3).
+
+def _minhash_seeds(num_hashes: int, seed: int = 7) -> np.ndarray:
+    """One independent 64-bit seed per 'permutation'.  A shared linear
+    permutation family (a*x+b mod p) is only 2-universal, NOT min-wise
+    independent — on the small gram sets of short surface forms it biases
+    the Jaccard estimate badly (observed 0.15 vs true 0.43), so each slot
+    gets its own strongly-mixed hash instead (see _splitmix below);
+    collision probability is then ~J per slot, the unbiased estimator."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, 1 << 31, size=num_hashes, dtype=np.int64)
-    return a, b
+    return rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mixer, pure uint64
+    wraparound math: deterministic across numpy versions and platforms
+    (SURVEY §7 hard-part 3)."""
+    x = x + _SPLITMIX_C
+    x ^= x >> np.uint64(30)
+    x *= _SPLITMIX_M1
+    x ^= x >> np.uint64(27)
+    x *= _SPLITMIX_M2
+    x ^= x >> np.uint64(31)
+    return x
 
 
 def _gram_hashes(txt: str, n: int = NGRAM) -> np.ndarray:
@@ -113,35 +131,64 @@ def _gram_hashes(txt: str, n: int = NGRAM) -> np.ndarray:
     )
 
 
-def make_minhash_udf(num_hashes: int = 32, seed: int = 7):
-    """pandas UDF: Series[str] -> Series[list[long]] — k-permutation MinHash
-    over char-3-gram sets: sig_j = min_x (a_j * x + b_j) mod p."""
-    a, b = _minhash_params(num_hashes, seed)
+def _shingle_hashes(txt: str, n: int = 3) -> np.ndarray:
+    """Word-n-shingle hashes: the dedup unit for *documents* (char grams
+    are for short surface forms — on full docs over a small vocabulary
+    they saturate and every pair looks similar)."""
+    from zlib import crc32
+
+    toks = txt.lower().split()
+    if len(toks) < n:
+        sh = {" ".join(toks)} if toks else set()
+    else:
+        sh = {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter(
+        (crc32(s.encode("utf-8")) for s in sh), dtype=np.int64, count=len(sh)
+    )
+
+
+def _signature(gram_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """sig_j = min_x splitmix64(x ^ seed_j); returned as int64 view for
+    Spark LongType."""
+    with np.errstate(over="ignore"):
+        mixed = _splitmix(gram_hashes.astype(np.uint64)[None, :] ^ seeds[:, None])
+    return mixed.min(axis=1).view(np.int64)
+
+
+def make_minhash_udf(num_hashes: int = 32, seed: int = 7, unit: str = "char"):
+    """pandas UDF: Series[str] -> Series[list[long]] — k independent-hash
+    MinHash.  unit='char' (3-grams; short surface forms) or 'word'
+    (3-shingles; documents)."""
+    seeds = _minhash_seeds(num_hashes, seed)
+    grams = _gram_hashes if unit == "char" else _shingle_hashes
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
         for txt in texts:
             if not txt:
-                out.append([0] * len(a))
+                out.append([0] * len(seeds))
                 continue
-            hv = _gram_hashes(txt)
-            sig = ((a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
-            out.append(sig.tolist())
+            hv = grams(txt)
+            if hv.size == 0:
+                out.append([0] * len(seeds))
+                continue
+            out.append(_signature(hv, seeds).tolist())
         return pd.Series(out)
 
     return minhash
 
 
 def band_signatures(
-    df: DataFrame, text_col: str, num_hashes: int = 32, bands: int = 8, seed: int = 7
+    df: DataFrame, text_col: str, num_hashes: int = 32, bands: int = 8,
+    seed: int = 7, unit: str = "char",
 ) -> DataFrame:
     """Attach MinHash and explode into (band, band_hash) LSH keys.
     rows-per-band r = num_hashes // bands; two strings collide in a band
     iff all r signature slots match, so band_hash = xxhash64 of the slice."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    mh = make_minhash_udf(num_hashes, seed)
+    mh = make_minhash_udf(num_hashes, seed, unit)
     sig = df.withColumn("_sig", mh(F.col(text_col)))
     banded = sig.select(
         *df.columns,

@@ -902,7 +902,7 @@ def q_dedup_minhash(spark, sf):
     from .operators.link import band_signatures
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    banded = band_signatures(d, "text", num_hashes=32, bands=8).select(
+    banded = band_signatures(d, "text", num_hashes=32, bands=8, unit="word").select(
         "doc_id", "band", "band_hash"
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -1002,6 +1002,128 @@ def q_ann_lsh(spark, sf):
     return lsh_topk(queries, em, k=5, n_planes=8)
 
 
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_bpe(spark, sf):
+    """BPE-style pre-tokenization (letter runs | digit runs | single
+    punctuation — the GPT-2 pre-tokenizer shape) and per-doc counts."""
+    d = _t(spark, sf, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_numeric"),
+    )
+
+
+SQL_TOKEN_BPE = r"""
+SELECT doc_id,
+       len(toks) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_distinct_bpe,
+       len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS n_numeric
+FROM (SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+      FROM documents) d
+"""
+
+_ROLL_P = 1_000_000_007
+
+
+def q_doc_fingerprint(spark, sf):
+    """Rolling polynomial content fingerprint (acc*31 + codepoint mod p),
+    computed natively with a higher-order aggregate — no Python, no UDF."""
+    d = _t(spark, sf, "documents")
+    roll = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("bigint")),
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % _ROLL_P,
+    )
+    return d.select("doc_id", roll.alias("rolling_hash"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(list_prepend(7::BIGINT,
+                                [unicode(x) for x in string_split_regex(text, '')]),
+                   (acc, c) -> (acc * 31 + c) % {_ROLL_P}) AS rolling_hash
+FROM documents
+"""
+
+
+def q_dedup_embed(spark, sf):
+    """Embedding-cosine near-dup pairs, label-blocked: only same-label
+    pairs are scored (the blocking that keeps this linear-ish at scale;
+    at 100 TB the block key is an LSH bucket instead of the label)."""
+    from .operators.similarity import cosine
+
+    em = _t(spark, sf, "embeddings")
+    v = em.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
+SQL_DEDUP_EMBED = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.3
+"""
+
+
+def q_multimodal_meta(spark, sf):
+    """Typed metadata over an opaque binary payload column (media-table
+    shape; payload = deterministic utf-8 fixture, see operators/multimodal)."""
+    from .operators.multimodal import attach_binary
+
+    d = _t(spark, sf, "documents")
+    return attach_binary(d).select("doc_id", "mime", "n_bytes", "sha256")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, 'image/fake' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Stubbed media decode -> feature vectors via mapInPandas (Arrow
+    batches).  Feature values are stub-decoder-specific -> rows-only."""
+    from .operators.multimodal import attach_binary, extract_features
+
+    d = _t(spark, sf, "documents")
+    return extract_features(attach_binary(d))
+
+
+def q_multimodal_frames(spark, sf):
+    """Stubbed video frame-sampling: 1 payload -> N frame hashes via
+    mapInPandas (rows-only; hashes are stub-specific)."""
+    from .operators.multimodal import attach_binary, frame_sample
+
+    d = _t(spark, sf, "documents")
+    return frame_sample(attach_binary(d))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1058,4 +1180,11 @@ REGISTRY: dict[str, tuple] = {
     "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
     "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "q_ann_lsh": (q_ann_lsh, None),
+    "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
+    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
+    # multimodal (binary payload + typed metadata; decode stubbed)
+    "q_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "q_multimodal_features": (q_multimodal_features, None),
+    "q_multimodal_frames": (q_multimodal_frames, None),
 }

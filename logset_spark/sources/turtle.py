@@ -15,11 +15,17 @@ import re
 import pandas as pd
 
 
+_CTRL = re.compile("[\x00-\x1f\x7f\x85\u2028\u2029]")
+
+
 def _term(value: str) -> str:
-    """URIs (contain a ':' prefix we mint) -> <uri>; else a quoted literal."""
+    """URIs (contain a ':' prefix we mint) -> <uri>; else a quoted literal.
+    Control/line-separator chars are \\uXXXX-escaped (N-Triples canon) so
+    one statement is always exactly one physical line."""
     if re.match(r"^[A-Za-z][\w-]*:\S+$", value):
         return f"<{value}>"
     escaped = value.replace("\\", "\\\\").replace('"', '\\"')
+    escaped = _CTRL.sub(lambda m: f"\\u{ord(m.group()):04X}", escaped)
     return f'"{escaped}"'
 
 
@@ -32,6 +38,18 @@ def to_turtle(triples: pd.DataFrame) -> str:
         for s, p, o in rows.itertuples(index=False)
     ]
     return "\n".join(lines) + "\n"
+
+
+_ESCAPE = re.compile(r'\\(u[0-9A-Fa-f]{4}|["\\])')
+
+
+def _unescape(lit: str) -> str:
+    return _ESCAPE.sub(
+        lambda m: chr(int(m.group(1)[1:], 16))
+        if m.group(1).startswith("u")
+        else m.group(1),
+        lit,
+    )
 
 
 _LINE = re.compile(
@@ -52,6 +70,6 @@ def from_turtle(text: str) -> pd.DataFrame:
             raise ValueError(f"unparseable turtle line: {line!r}")
         obj = m.group("o_uri")
         if obj is None:
-            obj = m.group("o_lit").replace('\\"', '"').replace("\\\\", "\\")
+            obj = _unescape(m.group("o_lit"))
         rows.append((m.group("s"), m.group("p"), obj))
     return pd.DataFrame(rows, columns=["subj", "pred", "obj"])

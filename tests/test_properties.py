@@ -1,0 +1,176 @@
+"""Property-based tests (SURVEY.md §5.2.4): distributed operators vs
+trusted single-process oracles.
+
+Spark actions inside hypothesis bodies are slow, so the strategy space is
+kept small and deadline=None; the *driver-side* numerics (minhash params,
+gram hashing) get wider hypothesis coverage since they run in-process.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+import networkx as nx
+from pyspark.sql import functions as F
+
+from logset_spark.operators import cc, link
+from logset_spark.sources import turtle
+
+
+# ---------------------------------------------------------------------------
+# connected components vs networkx
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=edge_lists)
+def test_cc_matches_networkx(spark, edges):
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["component"] for r in cc.connected_components(df).collect()
+    }
+    g = nx.Graph()
+    g.add_edges_from((f"n{a}", f"n{b}") for a, b in edges)
+    for comp in nx.connected_components(g):
+        rep = min(comp)
+        for node in comp:
+            assert got[node] == rep, (node, got[node], rep)
+    assert set(got) == set(g.nodes)
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard estimation vs exact
+# ---------------------------------------------------------------------------
+
+
+def _exact_jaccard(a: str, b: str, n: int = 3) -> float:
+    def grams(s):
+        s = f"^{s}$"
+        return {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
+
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    base=st.text(alphabet="abcdefgh_-", min_size=4, max_size=20),
+    suffix=st.text(alphabet="abcdefgh_-", min_size=0, max_size=6),
+)
+def test_minhash_estimates_jaccard(base, suffix):
+    """Signature agreement rate is an unbiased Jaccard estimator; with 128
+    hashes the std error is ~sqrt(J(1-J)/128) <= 0.045 — assert within 5
+    sigma so the test is deterministic-in-practice."""
+    other = base + suffix
+    seeds = link._minhash_seeds(128)
+    ha, hb = link._gram_hashes(base), link._gram_hashes(other)
+    est = float(np.mean(link._signature(ha, seeds) == link._signature(hb, seeds)))
+    exact = _exact_jaccard(base, other)
+    assert abs(est - exact) <= 5 * np.sqrt(max(exact * (1 - exact), 0.002) / 128)
+
+
+def test_minhash_udf_matches_driver_math(spark):
+    """The pandas-UDF path must produce bit-identical signatures to the
+    same numpy math run driver-side (determinism across executors is what
+    makes LSH blocking correct)."""
+    texts = ["alpha_bravo", "alpha_bravo", "granite-mesa_0042", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r["sig"]
+        for r in df.select(link.make_minhash_udf(16)(F.col("t")).alias("sig"))
+        .collect()
+    ]
+    assert got[0] == got[1]
+    seeds = link._minhash_seeds(16)
+    hv = link._gram_hashes("granite-mesa_0042")
+    assert got[2] == link._signature(hv, seeds).tolist()
+    assert got[3] == [0] * 16
+
+
+# ---------------------------------------------------------------------------
+# salting invariance: R in {1, 4, 16} -> identical join result
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_invariance(spark):
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(["hot"] * 50 + ["cold", "warm"] * 5)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("missing", "M")], "k string, tag string"
+    )
+    results = []
+    for r in (1, 4, 16):
+        out = link.salted_join(fact, dim, "k", how="left", n_salts=r)
+        results.append(sorted((row["k"], row["v"], row["tag"]) for row in out.collect()))
+    assert results[0] == results[1] == results[2]
+    # hot rows all matched, no dup/loss under any salt factor
+    assert sum(1 for k, _, t in results[0] if k == "hot" and t == "H") == 50
+
+
+# ---------------------------------------------------------------------------
+# n-gram helpers: native char_ngrams == python oracle
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(s=st.text(alphabet="abcxyz-_", min_size=0, max_size=12))
+def test_char_ngrams_native_matches_python(spark, s):
+    df = spark.createDataFrame([(s,)], "t string")
+    got = df.select(link.char_ngrams(F.col("t")).alias("g")).first()["g"]
+    padded = f"^{s}$"
+    expect = list(
+        dict.fromkeys(
+            padded[i : i + 3]
+            for i in range(len(padded) - 2)
+            if len(padded[i : i + 3]) == 3
+        )
+    )
+    assert sorted(got) == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# turtle round-trip
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.sampled_from(["conv:a", "turn:a/1", "ent:x/y"]),
+            st.sampled_from(["hasTurn", "mentions", "atTime"]),
+            st.one_of(
+                st.sampled_from(["conv:b", "ent:q"]),
+                st.text(
+                    alphabet=st.characters(
+                        codec="ascii", exclude_characters="\n\r"
+                    ),
+                    min_size=0,
+                    max_size=10,
+                ),
+            ),
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+def test_turtle_roundtrip(triples):
+    pdf = pd.DataFrame(triples, columns=["subj", "pred", "obj"])
+    text = turtle.to_turtle(pdf)
+    back = turtle.from_turtle(text)
+    expect = (
+        pdf.drop_duplicates()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, expect)
