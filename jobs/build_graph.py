@@ -46,10 +46,13 @@ def main(argv=None) -> int:
         dictionary = spark.read.parquet(args.dict_path)
 
     io = TableIO(args.out, n_buckets=args.buckets)
+    timings: dict = {}
     result = build_graph(
         spark, transcripts, dictionary, io,
         run_id=args.run_id, fuzzy_threshold=args.fuzzy_threshold,
+        timings=timings,
     )
+    result["stage_s"] = timings
     print(json.dumps(result))
     return 0
 

@@ -30,17 +30,59 @@ def _bidirect(edges: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+SMALL_GRAPH_EDGES = 2_000_000
+
+
+def _driver_side_cc(edges: DataFrame) -> DataFrame:
+    """Union-find on the driver for small alias graphs.  The iterative
+    DataFrame loop below costs ~0.5s of scheduling latency per round no
+    matter how small the data is; below SMALL_GRAPH_EDGES the whole edge
+    list fits in driver memory trivially and a collect + union-find is
+    both faster and exactly equivalent (same min-label semantics)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min label wins
+    out = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        out, "node string, component string"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, small_graph_edges: int | None = None
 ) -> DataFrame:
     """edges: DataFrame[src:string, dst:string] (undirected; self-loops ok)
     -> DataFrame[node:string, component:string] where component is the
     lexicographic min node of the component.  Isolated nodes only appear
-    if present as a self-loop edge."""
+    if present as a self-loop edge.
+
+    Below `small_graph_edges` (default SMALL_GRAPH_EDGES) the computation
+    runs driver-side (see _driver_side_cc); above it, the distributed
+    min-label-propagation loop engages — the alias graph over *distinct
+    surface forms* is many orders of magnitude smaller than the transcript
+    table, so the driver path covers everything up to dictionary scales
+    where the iterative loop's per-round cost is actually amortized."""
     # checkpoint the INPUT first: union/bidirect below scans it multiple
     # times within one action, which would re-run the whole upstream plan
     # (extraction UDFs, fuzzy linking) once per branch.
     edges = edges.localCheckpoint(eager=True)
+    limit = SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
+    if edges.limit(limit + 1).count() <= limit:
+        return _driver_side_cc(edges)
     e = _bidirect(edges).where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
 

@@ -273,6 +273,7 @@ def link_mentions(
     mentions: DataFrame,
     dictionary: DataFrame,
     fuzzy_threshold: float = 0.55,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Full Stage 2: exact pass, then fuzzy pass over the exact misses,
     merged back.  Output schema = mentions + (canon_uri, score).
@@ -281,12 +282,21 @@ def link_mentions(
     fuzzy result is broadcast back onto `exact`, and a broadcast subtree
     is evaluated separately from the probe side — without the explicit
     materialization the whole extraction would run once per side."""
+    import time as _time
+
+    t0 = _time.monotonic()
     exact = exact_link(mentions, dictionary).persist()
     exact.count()
+    if timings is not None:
+        timings["link_exact"] = round(_time.monotonic() - t0, 2)
+        t0 = _time.monotonic()
     misses = exact.where(
         (F.col("canon_uri").isNull()) & (F.col("kind") != "ts")
     ).select(normalize_form(F.col("form")).alias("form")).distinct()
     fuzzy = fuzzy_link(misses, dictionary, threshold=fuzzy_threshold).persist()
+    fuzzy.count()
+    if timings is not None:
+        timings["link_fuzzy"] = round(_time.monotonic() - t0, 2)
 
     m = exact.withColumn("norm_form", normalize_form(F.col("form")))
     f = fuzzy.select(

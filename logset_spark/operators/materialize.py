@@ -18,7 +18,10 @@ tables written *per partition, idempotently*:
 
 from __future__ import annotations
 
+import glob
+import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +31,45 @@ from ..sources.tableio import TableIO, with_layout
 MANIFEST = "manifest"
 LINEAGE = "lineage"
 TRIPLES = "triples"
+
+
+def manifest_exists(io: TableIO) -> bool:
+    """Cheap FS probe — lets a fresh run skip the whole pending-partition
+    machinery (one full input scan + distinct) that only resume needs."""
+    return bool(glob.glob(f"{io.path(MANIFEST)}/*.parquet"))
+
+
+def _append_control_rows(io: TableIO, name: str, table) -> None:
+    """Control tables (manifest, lineage) are a handful of rows per run;
+    writing them through a Spark job costs 1-2s of scheduling for zero
+    parallelism benefit.  Write a parquet part file directly from the
+    driver (pyarrow) — append = new uniquely-named file, atomic via
+    rename, same directory layout Spark reads back.  On object stores the
+    TableIO seam swaps this for the catalog's own commit."""
+    import pyarrow.parquet as pq
+
+    path = io.path(name)
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/.part-{uuid.uuid4().hex}.parquet.tmp"
+    final = f"{path}/part-{uuid.uuid4().hex}.parquet"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
+def sink_partitions(io: TableIO, name: str = TRIPLES) -> list[tuple[str, int]]:
+    """(ts_day, conv_bucket) pairs actually present in the written sink,
+    from the partition directory names — an FS listing, not a Spark job
+    (Iceberg path: the `.partitions` metadata table)."""
+    out = []
+    for d in glob.glob(f"{io.path(name)}/ts_day=*/conv_bucket=*"):
+        bucket_dir, day_dir = d, os.path.dirname(d)
+        out.append(
+            (
+                os.path.basename(day_dir).split("=", 1)[1],
+                int(os.path.basename(bucket_dir).split("=", 1)[1]),
+            )
+        )
+    return sorted(out)
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:
@@ -88,16 +130,30 @@ def write_triples(io: TableIO, triples: DataFrame) -> None:
 
 
 def mark_done(
-    spark: SparkSession, io: TableIO, run_id: str, stage: str, parts: DataFrame
+    spark: SparkSession,
+    io: TableIO,
+    run_id: str,
+    stage: str,
+    parts: DataFrame | None,
 ) -> None:
-    rows = parts.select(
-        F.lit(run_id).alias("run_id"),
-        F.lit(stage).alias("stage"),
-        "ts_day",
-        "conv_bucket",
-        F.lit("done").alias("status"),
+    """parts=None (fresh full run): the done set is whatever landed in the
+    sink, read from its partition directories — no Spark job."""
+    import pyarrow as pa
+
+    if parts is None:
+        pairs = sink_partitions(io)
+    else:
+        pairs = [(str(r["ts_day"]), r["conv_bucket"]) for r in parts.collect()]
+    table = pa.table(
+        {
+            "run_id": [run_id] * len(pairs),
+            "stage": [stage] * len(pairs),
+            "ts_day": pa.array([p[0] for p in pairs], pa.string()).cast(pa.date32()),
+            "conv_bucket": pa.array([p[1] for p in pairs], pa.int32()),
+            "status": ["done"] * len(pairs),
+        }
     )
-    rows.coalesce(1).write.mode("append").parquet(io.path(MANIFEST))
+    _append_control_rows(io, MANIFEST, table)
 
 
 def append_lineage(
@@ -110,13 +166,20 @@ def append_lineage(
     wall_ms: int,
     input_fp: str = "",
 ) -> None:
-    pdf = [(run_id, stage, rows_in, rows_out, wall_ms, input_fp, int(time.time() * 1000))]
-    df = spark.createDataFrame(
-        pdf,
-        "run_id string, stage string, rows_in long, rows_out long, "
-        "wall_ms long, input_fp string, wall_clock_ms long",
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "run_id": [run_id],
+            "stage": [stage],
+            "rows_in": pa.array([rows_in], pa.int64()),
+            "rows_out": pa.array([rows_out], pa.int64()),
+            "wall_ms": pa.array([wall_ms], pa.int64()),
+            "input_fp": [input_fp],
+            "wall_clock_ms": pa.array([int(time.time() * 1000)], pa.int64()),
+        }
     )
-    df.coalesce(1).write.mode("append").parquet(io.path(LINEAGE))
+    _append_control_rows(io, LINEAGE, table)
 
 
 def input_fingerprint(df: DataFrame, cols: list[str]) -> str:

@@ -97,13 +97,21 @@ def build_graph(
             prev = marks[-2][1] if len(marks) > 1 else t0
             timings[stage] = round(marks[-1][1] - prev, 2)
 
-    pending = materialize.pending_partitions(spark, io, run_id, transcripts)
-    pending.persist()
-    n_pending = pending.count()
-    if n_pending == 0:
-        return {"run_id": run_id, "rows_in": 0, "triples": 0, "wall_ms": 0,
-                "skipped": True}
-    todo = materialize.filter_to_pending(transcripts, pending, io.n_buckets)
+    # Fresh run (no manifest yet): every partition is pending, so skip the
+    # planned-vs-done reconciliation entirely — it costs a full input scan
+    # + distinct before any real work.  Resume runs (manifest present) pay
+    # for it because they need the anti-join.
+    if materialize.manifest_exists(io):
+        pending = materialize.pending_partitions(spark, io, run_id, transcripts)
+        pending.persist()
+        n_pending = pending.count()
+        if n_pending == 0:
+            return {"run_id": run_id, "rows_in": 0, "triples": 0, "wall_ms": 0,
+                    "skipped": True}
+        todo = materialize.filter_to_pending(transcripts, pending, io.n_buckets)
+    else:
+        pending = None
+        todo = transcripts
     _mark("plan_pending")
 
     obs_in = Observation("rows_in")
@@ -121,7 +129,9 @@ def build_graph(
     # canonicalization alias graph — materialize it exactly once (persist +
     # count) so neither branch re-runs the detector UDF / fuzzy stage.
     if fuzzy:
-        linked = link.link_mentions(spark, cand_m, dictionary, fuzzy_threshold)
+        linked = link.link_mentions(
+            spark, cand_m, dictionary, fuzzy_threshold, timings=timings
+        )
     else:
         linked = link.exact_link(cand_m, dictionary).withColumnRenamed(
             "weight", "score"
@@ -152,6 +162,7 @@ def build_graph(
     materialize.write_triples(io, final)
     _mark("materialize")
     materialize.mark_done(spark, io, run_id, "materialize", pending)
+    _mark("mark_done")
 
     wall_ms = int((time.monotonic() - t0) * 1000)
     rows_in = obs_in.get["n"]
@@ -162,7 +173,8 @@ def build_graph(
         )
     _mark("finalize")
     linked.unpersist()
-    pending.unpersist()
+    if pending is not None:
+        pending.unpersist()
     return {
         "run_id": run_id,
         "rows_in": rows_in,

@@ -23,6 +23,13 @@ _BASE_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic oracle comparison (DuckDB timestamps are UTC-naive).
     "spark.sql.session.timeZone": "UTC",
+    # Scan-side parallelism: the default 128m/4m packs a many-small-file
+    # table into a handful of splits, capping every scan-fed stage (incl.
+    # the detector UDF) at ~6 tasks no matter how many cores exist.  16m/1m
+    # yields enough splits to feed 32 cores on MB-scale files while staying
+    # a sane map-task size at cluster scale.
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.sql.files.openCostInBytes": "1m",
     # Idempotent per-partition re-runs (SURVEY §2 S4).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.ui.enabled": "false",

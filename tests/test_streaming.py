@@ -1,0 +1,108 @@
+"""Structured Streaming slice (SURVEY §2.10): file source + availableNow
+drives each streaming operator and asserts parity with its batch twin."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from logset_spark.operators import extract
+from logset_spark.sources import synth
+from logset_spark.streaming import incremental as st
+
+
+def _write_input(spark, tmp_path, n_convs=6):
+    pdf = synth.transcripts_pdf(n_convs=n_convs)
+    df = spark.createDataFrame(pdf, schema=synth.TRANSCRIPT_SCHEMA)
+    path = str(tmp_path / "in")
+    df.repartition(4).write.parquet(path)
+    return path, df
+
+
+def test_stream_structural_matches_batch(spark, tmp_path):
+    path, batch_df = _write_input(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = st.structural_triples_stream(st.stream_transcripts(spark, path))
+    st.run_available_now(stream, ckpt, out)
+
+    got = spark.read.parquet(out).select("subj", "pred", "obj")
+    expect = (
+        extract.structural_triples(batch_df)
+        .where(F.col("pred") != "followedBy")
+        .select("subj", "pred", "obj")
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_stream_incremental_no_reprocess(spark, tmp_path):
+    """Second availableNow run with the same checkpoint sees no new files
+    -> no new rows (the streaming twin of manifest resume)."""
+    path, _ = _write_input(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = st.structural_triples_stream(st.stream_transcripts(spark, path))
+    st.run_available_now(stream, ckpt, out)
+    n1 = spark.read.parquet(out).count()
+
+    stream2 = st.structural_triples_stream(st.stream_transcripts(spark, path))
+    st.run_available_now(stream2, ckpt, out)
+    assert spark.read.parquet(out).count() == n1
+
+    # new file arrives -> exactly its rows are appended
+    extra = synth.transcripts_pdf(n_convs=2, seed=99)
+    spark.createDataFrame(extra, schema=synth.TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    stream3 = st.structural_triples_stream(st.stream_transcripts(spark, path))
+    st.run_available_now(stream3, ckpt, out)
+    assert spark.read.parquet(out).count() > n1
+
+
+def test_windowed_and_session_aggs(spark, tmp_path):
+    path, batch_df = _write_input(spark, tmp_path)
+    out, ckpt = str(tmp_path / "w_out"), str(tmp_path / "w_ckpt")
+    stream = st.windowed_tool_counts(st.stream_transcripts(spark, path))
+    st.run_available_now(stream, ckpt, out)
+    got = spark.read.parquet(out)
+    expect = (
+        batch_df.where(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tool")
+        .agg(F.count("*").alias("n_calls"))
+        .select(F.col("w.start").alias("win_start"), "tool", "n_calls")
+    )
+    # Append mode emits a window only once the watermark passes its end;
+    # when the stream drains, trailing windows still open at the final
+    # watermark stay in state (correct streaming semantics, not data
+    # loss).  So: no spurious rows, and anything missing must be a window
+    # newer than (max_ts - watermark).
+    assert got.exceptAll(expect).count() == 0
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    missing = expect.exceptAll(got)
+    assert missing.where(F.col("win_start") < horizon).count() == 0
+    # and the held-back tail is small: everything older was emitted
+    assert got.count() >= expect.count() - 3
+
+    s_out, s_ckpt = str(tmp_path / "s_out"), str(tmp_path / "s_ckpt")
+    st.run_available_now(
+        st.session_counts(st.stream_transcripts(spark, path)), s_ckpt, s_out
+    )
+    sess = spark.read.parquet(s_out)
+    assert sess.count() > 0
+    # every conv's total turns across sessions == its turn count
+    totals = sess.groupBy("conv_id").agg(F.sum("n_turns").alias("n"))
+    batch_totals = batch_df.groupBy("conv_id").agg(F.count("*").alias("n"))
+    assert totals.exceptAll(batch_totals).count() == 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate deliveries within the watermark are dropped."""
+    path, batch_df = _write_input(spark, tmp_path, n_convs=3)
+    # write the same input twice -> duplicate triples from the source
+    spark.read.parquet(path).write.mode("append").parquet(path)
+    out, ckpt = str(tmp_path / "d_out"), str(tmp_path / "d_ckpt")
+    stream = st.streaming_dedup(
+        st.structural_triples_stream(st.stream_transcripts(spark, path))
+    )
+    st.run_available_now(stream, ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("subj", "pred", "obj").distinct().count()
