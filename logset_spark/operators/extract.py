@@ -172,6 +172,103 @@ def mentions(transcripts: DataFrame, detector) -> DataFrame:
     )
 
 
+def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> DataFrame:
+    """Single-pass stage 1: structural + exact-linked mention triples from
+    ONE scan of the transcript table.
+
+    Plan shape (the production path — SURVEY §3.2 stage 1):
+      scan (text + keys only)
+        -> detector pandas UDF map-side (text never crosses a shuffle)
+        -> ONE narrow shuffle: conv_id window for followedBy (rows carry
+           keys + the small hits array, not text)
+        -> array-of-(subj,pred,obj,kind,form) structs -> explode
+        -> broadcast dictionary join (the exact-link scoring stage)
+    The two-leg union variant (structural_triples ∪ mentions) scans the
+    input twice and runs both legs concurrently — measured 2x slower at
+    32 cores from JVM/python-worker core contention.
+
+    Output: subj,pred,obj,conv_id,turn_idx,ts,conf,form_key — form_key
+    non-null marks mentions the fuzzy stage may still rewrite."""
+    from . import link as L
+    from .. import vocab as V
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        V.conv_uri("conv_id").alias("conv_u"),
+        V.turn_uri("conv_id", "turn_idx").alias("turn_u"),
+        V.role_uri("role").alias("role_u"),
+        V.iso_ts("ts").alias("iso"),
+        V.tool_uri("tool").alias("tool_u"),
+        detector(F.col("text")).alias("hits"),
+    ).withColumn("next_u", F.lead("turn_u").over(w))
+
+    def e(subj, pred, obj):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("string").alias("form"),
+        )
+
+    structural = F.array(
+        e(F.col("conv_u"), V.HAS_TURN, F.col("turn_u")),
+        e(F.col("turn_u"), V.PART_OF, F.col("conv_u")),
+        e(F.col("turn_u"), V.HAS_ROLE, F.col("role_u")),
+        e(F.col("turn_u"), V.AT_TIME, F.col("iso")),
+        e(F.col("turn_u"), V.USED_TOOL, F.col("tool_u")),  # null obj if no tool
+        e(F.col("turn_u"), V.FOLLOWED_BY, F.col("next_u")),  # null obj if last
+    )
+    mention = F.transform(
+        "hits",
+        lambda h: F.struct(
+            F.col("turn_u").alias("subj"),
+            F.lit(V.MENTIONS).alias("pred"),
+            F.when(h["kind"] == "ts", F.concat(F.lit("ts:"), h["form"]))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("obj"),
+            h["kind"].alias("kind"),
+            F.when(h["kind"] != "ts", h["form"]).alias("form"),
+        ),
+    )
+    entries = F.concat(
+        F.filter(structural, lambda x: x["obj"].isNotNull()), mention
+    )
+    exploded = base.select(
+        "conv_id", "turn_idx", "ts", F.explode(entries).alias("tr")
+    ).select(
+        "conv_id", "turn_idx", "ts",
+        F.col("tr.subj").alias("subj"),
+        F.col("tr.pred").alias("pred"),
+        F.col("tr.obj").alias("obj"),
+        F.col("tr.kind").alias("kind"),
+        F.col("tr.form").alias("form"),
+        F.when(F.col("tr.form").isNotNull(), L.normalize_form(F.col("tr.form")))
+        .alias("norm_form"),
+    )
+    dim = L.best_surface_dictionary(dictionary)
+    joined = exploded.join(
+        F.broadcast(dim), exploded.norm_form == dim.surface, "left"
+    )
+    hit = F.col("canon_uri").isNotNull()
+    return joined.select(
+        "subj",
+        "pred",
+        F.coalesce("obj", "canon_uri", V.mention_uri(F.col("form"))).alias("obj"),
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.when(F.col("kind").isNull() | (F.col("kind") == "ts"), F.lit(1.0))
+        .when(hit, F.col("score"))
+        .otherwise(F.lit(0.0))
+        .alias("conf"),
+        F.when(F.col("form").isNotNull() & ~hit, F.col("norm_form")).alias("form_key"),
+    )
+
+
 def mention_triples(linked: DataFrame) -> DataFrame:
     """linked: (conv_id, turn_idx, ts, kind, form, canon_uri?, score?) ->
     turn->mentions->obj triples.  Linked mentions point at the canonical

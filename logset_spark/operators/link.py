@@ -50,16 +50,19 @@ def best_surface_dictionary(dictionary: DataFrame) -> DataFrame:
     )
 
 
-def exact_link(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
+def exact_link(
+    mentions: DataFrame, dictionary: DataFrame, keep_norm: bool = False
+) -> DataFrame:
     """Left broadcast join mention.form -> dictionary.surface.
 
     Output keeps every mention; canon_uri/score are null when unlinked
-    (those flow to the fuzzy stage)."""
+    (those flow to the fuzzy stage).  keep_norm=True retains the
+    normalized surface as `norm_form` so a later stage can re-join fuzzy
+    links without recomputing the normalization."""
     dim = best_surface_dictionary(dictionary)
     m = mentions.withColumn("norm_form", normalize_form(F.col("form")))
-    return m.join(
-        F.broadcast(dim), m.norm_form == dim.surface, "left"
-    ).drop("surface", "norm_form")
+    out = m.join(F.broadcast(dim), m.norm_form == dim.surface, "left").drop("surface")
+    return out if keep_norm else out.drop("norm_form")
 
 
 def salted_join(

@@ -63,11 +63,11 @@ def sink_partitions(io: TableIO, name: str = TRIPLES) -> list[tuple[str, int]]:
     out = []
     for d in glob.glob(f"{io.path(name)}/ts_day=*/conv_bucket=*"):
         bucket_dir, day_dir = d, os.path.dirname(d)
-        out.append(
-            (
-                os.path.basename(day_dir).split("=", 1)[1],
-                int(os.path.basename(bucket_dir).split("=", 1)[1]),
-            )
+        day = os.path.basename(day_dir).split("=", 1)[1]
+        if day.startswith("__"):  # null-ts pseudo-partition (global sameAs
+            continue              # rows) — regenerated idempotently, not
+        out.append(               # a resume unit
+            (day, int(os.path.basename(bucket_dir).split("=", 1)[1]))
         )
     return sorted(out)
 
@@ -92,24 +92,100 @@ def planned_partitions(transcripts: DataFrame, n_buckets: int) -> DataFrame:
     return with_layout(transcripts, n_buckets).select("ts_day", "conv_bucket").distinct()
 
 
-def completed_partitions(spark: SparkSession, io: TableIO, run_id: str) -> DataFrame:
+def completed_partitions(
+    spark: SparkSession, io: TableIO, run_id: str, stage: str = "materialize"
+) -> DataFrame:
     try:
         m = io.read(spark, MANIFEST)
     except Exception:
         return spark.createDataFrame([], "ts_day date, conv_bucket int")
     return (
-        m.where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        m.where(
+            (F.col("run_id") == run_id)
+            & (F.col("status") == "done")
+            & (F.col("stage") == stage)
+        )
         .select("ts_day", "conv_bucket")
         .distinct()
     )
 
 
 def pending_partitions(
-    spark: SparkSession, io: TableIO, run_id: str, transcripts: DataFrame
+    spark: SparkSession,
+    io: TableIO,
+    run_id: str,
+    transcripts: DataFrame,
+    stage: str = "materialize",
 ) -> DataFrame:
     planned = planned_partitions(transcripts, io.n_buckets)
-    done = completed_partitions(spark, io, run_id)
+    done = completed_partitions(spark, io, run_id, stage)
     return planned.join(done, ["ts_day", "conv_bucket"], "left_anti")
+
+
+def completed_buckets(
+    spark: SparkSession, io: TableIO, run_id: str, stage: str
+) -> set[int]:
+    """Buckets marked done for a bucket-granular stage (stage1 extraction
+    checkpoints partition on conv_bucket only — ts_day is null there)."""
+    try:
+        m = io.read(spark, MANIFEST)
+    except Exception:
+        return set()
+    rows = (
+        m.where(
+            (F.col("run_id") == run_id)
+            & (F.col("status") == "done")
+            & (F.col("stage") == stage)
+        )
+        .select("conv_bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["conv_bucket"] for r in rows}
+
+
+def mark_buckets_done(
+    io: TableIO, run_id: str, stage: str, buckets: list[int]
+) -> None:
+    """Bucket-granular manifest rows (ts_day null): stage1's checkpoint."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "run_id": [run_id] * len(buckets),
+            "stage": [stage] * len(buckets),
+            "ts_day": pa.array([None] * len(buckets), pa.date32()),
+            "conv_bucket": pa.array(buckets, pa.int32()),
+            "status": ["done"] * len(buckets),
+        }
+    )
+    _append_control_rows(io, MANIFEST, table)
+
+
+def sink_buckets(io: TableIO, name: str) -> list[int]:
+    """conv_bucket values present in a bucket-partitioned sink (FS listing)."""
+    out = set()
+    for d in glob.glob(f"{io.path(name)}/conv_bucket=*"):
+        out.add(int(os.path.basename(d).split("=", 1)[1]))
+    return sorted(out)
+
+
+def partition_row_counts(io: TableIO, name: str = TRIPLES) -> list[tuple[str, int, int]]:
+    """(ts_day, conv_bucket, rows) per sink partition from parquet footer
+    metadata only — no Spark job, no data read.  This is the per-partition
+    lineage source; on Iceberg the same numbers come from the
+    `.partitions` metadata table."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in glob.glob(f"{io.path(name)}/ts_day=*/conv_bucket=*"):
+        day = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
+        bucket = int(os.path.basename(d).split("=", 1)[1])
+        n = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            n += pq.ParquetFile(f).metadata.num_rows
+        out.append((day, bucket, n))
+    return sorted(out)
 
 
 def filter_to_pending(
@@ -180,6 +256,30 @@ def append_lineage(
         }
     )
     _append_control_rows(io, LINEAGE, table)
+
+
+def append_partition_lineage(
+    io: TableIO, run_id: str, stage: str, counts: list[tuple[str, int, int]]
+) -> None:
+    """Per-partition lineage rows (north rule: 'per-partition lineage +
+    metrics'): one row per (ts_day, conv_bucket) with its landed row count.
+    Input comes from partition_row_counts — parquet footer metadata, so
+    appending lineage costs zero data reads."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "run_id": [run_id] * len(counts),
+            "stage": [stage] * len(counts),
+            "ts_day": pa.array([c[0] for c in counts], pa.string()),
+            "conv_bucket": pa.array([c[1] for c in counts], pa.int32()),
+            "rows": pa.array([c[2] for c in counts], pa.int64()),
+            "wall_clock_ms": pa.array(
+                [int(time.time() * 1000)] * len(counts), pa.int64()
+            ),
+        }
+    )
+    _append_control_rows(io, "lineage_parts", table)
 
 
 def input_fingerprint(df: DataFrame, cols: list[str]) -> str:

@@ -1,19 +1,31 @@
 """End-to-end KG build: transcripts -> triples table, resumable.
 
-Orchestrates SURVEY §3.2 lifecycle 1/2.  Each stage is a DataFrame plan;
-row counts for lineage ride the same actions via Observation (no second
-pass).  The whole build does exactly these wide operations:
+Orchestrates SURVEY §3.2 lifecycle 1/2 as FOUR checkpointed stages, each
+landing its output in the warehouse (no executor-memory persist anywhere —
+at 10^12 turns the intermediate does not fit in cluster memory, and in the
+sandbox the block-manager cache was the measured scaling bottleneck:
+32 threads contending on cache writes + GC made local[32] *slower* than
+local[8]).  Stage outputs double as the north rule's "checkpointed stage
+manifests": a killed run resumes from the last completed stage, and within
+stage 1 / stage 4 from the last completed partition.
 
-  1 shuffle  mentions explode is narrow; followedBy window shuffles by conv_id
-  0 shuffle  exact link (broadcast)
-  k small    fuzzy link on *distinct unlinked forms* only (tiny by design)
-  r rounds   CC self-joins on the alias graph (distinct forms, not turns)
-  1 shuffle  final dedup groupBy(s,p,o)
-  write      repartition(ts_day, conv_bucket) -> dynamic-overwrite parquet
+  stage 1  extract+exact-link: ONE pass over transcripts
+           (structural triples natively; detector pandas-UDF + explode +
+           broadcast dictionary join for mentions) -> stage_triples,
+           partitioned by conv_bucket, written mapper-direct (NO shuffle
+           except the narrow followedBy window).
+  stage 2  fuzzy: distinct unlinked forms (column-pruned read of
+           stage_triples) -> MinHash-LSH vs dictionary -> links (tiny).
+  stage 3  canonicalize: CC over dictionary ∪ fuzzy alias edges (the
+           distinct-surface-form domain, orders of magnitude smaller than
+           the transcript table) -> sameAs triples.
+  stage 4  finalize: read stage_triples, rewrite unlinked mentions via a
+           broadcast of links, union sameAs, dedup groupBy(s,p,o),
+           repartition to (ts_day, conv_bucket) layout -> triples.
 
-At 10^12 turns the expensive paths (detector UDF, dedup, write) are linear
-scans + one hash shuffle each; everything quadratic-ish (fuzzy, CC) runs
-on the distinct-surface-form domain, which is orders of magnitude smaller.
+Wide ops on full-size data: the followedBy window (narrow cols), the
+dedup groupBy, and the layout repartition — everything quadratic-ish
+(fuzzy, CC) runs on the distinct-surface-form domain.
 """
 
 from __future__ import annotations
@@ -28,23 +40,67 @@ from . import vocab as V
 from .operators import cc, extract, link, materialize
 from .sources.tableio import TableIO
 
+STAGE_TRIPLES = "stage_triples"
+STAGE1 = "extract_link"
 
-def _same_as_from_links(spark, linked: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """Stage 3: alias graph over linked forms — every (form -> canon) pair
-    is an edge; CC merges transitive aliases into ent->ent sameAs triples.
-    The canonical representative must be an ent: URI, never a surface form:
-    a sort-marker prefix makes ent: URIs win the min-label election."""
+_TRIPLE_SCHEMA = (
+    "subj string, pred string, obj string, conv_id string, "
+    "turn_idx int, ts timestamp, conf double"
+)
+
+
+def _stage1_triples(todo: DataFrame, dictionary: DataFrame, detector) -> DataFrame:
+    """Structural + exact-linked mention triples from one scan (see
+    extract.unified_stage1 for the plan shape).  Mention rows that missed
+    the dictionary carry `form_key` (normalized surface) so stage 4 can
+    rewrite them from the fuzzy links broadcast; every other row has
+    form_key null."""
+    return extract.unified_stage1(todo, detector, dictionary)
+
+
+def _write_stage1(io: TableIO, df: DataFrame) -> None:
+    """Mapper-direct bucket-partitioned write: each scan task writes its
+    rows straight into conv_bucket=N dirs — zero shuffle, full scan-side
+    parallelism.  Dynamic partition overwrite keeps re-runs idempotent
+    per bucket."""
+    (
+        df.withColumn(
+            "conv_bucket",
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(io.n_buckets)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("conv_bucket")
+        .parquet(io.path(STAGE_TRIPLES))
+    )
+
+
+def _fuzzy_links(
+    spark: SparkSession, io: TableIO, dictionary: DataFrame, threshold: float
+) -> DataFrame:
+    """Stage 2 over the checkpoint: the stage_triples read is column-pruned
+    to (form_key) + the null filter, so this scan ships two columns."""
+    forms = (
+        io.read(spark, STAGE_TRIPLES)
+        .where(F.col("form_key").isNotNull())
+        .select(F.col("form_key").alias("form"))
+        .distinct()
+    )
+    return link.fuzzy_link(forms, dictionary, threshold=threshold)
+
+
+def _same_as_triples(
+    spark: SparkSession, links: DataFrame, dictionary: DataFrame
+) -> DataFrame:
+    """Stage 3: alias graph = dictionary (surface -> canon) ∪ fuzzy links
+    (form -> canon); CC merges transitive aliases into ent->ent sameAs
+    edges.  Exact-linked mentions contribute no extra edges (their
+    (surface, canon) pairs are already dictionary rows), so the graph is
+    bounded by |dictionary| + |distinct fuzzy forms| — never scans the
+    transcript-scale tables.  A sort-marker prefix makes ent: URIs win the
+    min-label election so the representative is never a surface form."""
     pairs = (
-        linked.where(F.col("canon_uri").isNotNull())
-        .select(
-            link.normalize_form(F.col("form")).alias("src"),
-            F.col("canon_uri").alias("dst"),
-        )
-        .union(
-            dictionary.select(
-                F.col("surface").alias("src"), F.col("canon_uri").alias("dst")
-            )
-        )
+        dictionary.select(F.col("surface").alias("src"), F.col("canon_uri").alias("dst"))
+        .union(links.select(F.col("form").alias("src"), F.col("canon_uri").alias("dst")))
         .distinct()
     )
     marked = pairs.select(
@@ -67,6 +123,40 @@ def _same_as_from_links(spark, linked: DataFrame, dictionary: DataFrame) -> Data
     )
 
 
+def _finalize(
+    spark: SparkSession,
+    io: TableIO,
+    links: DataFrame,
+    same_as: DataFrame,
+    pending_final: DataFrame | None,
+) -> DataFrame:
+    """Stage 4 plan: checkpointed triples + fuzzy rewrite + sameAs, dedup'd.
+
+    The links side is tiny (distinct fuzzy forms) -> broadcast left join;
+    rows with null form_key pass through untouched."""
+    staged = io.read(spark, STAGE_TRIPLES).drop("conv_bucket")
+    if pending_final is not None:
+        staged = materialize.filter_to_pending(staged, pending_final, io.n_buckets)
+    lk = links.select(
+        F.col("form").alias("form_key"),
+        F.col("canon_uri").alias("f_canon"),
+        F.col("score").alias("f_score"),
+    )
+    rewritten = (
+        staged.join(F.broadcast(lk), "form_key", "left")
+        .select(
+            "subj",
+            "pred",
+            F.coalesce("f_canon", "obj").alias("obj"),
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.coalesce("f_score", "conf").alias("conf"),
+        )
+    )
+    return materialize.dedup_triples(rewritten.unionByName(same_as))
+
+
 def build_graph(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -81,10 +171,11 @@ def build_graph(
 ) -> dict:
     """Run the full pipeline; returns {run_id, rows_in, triples, wall_ms}.
 
-    Idempotent per (run_id, partition): partitions already marked done in
-    the manifest are skipped; the triple write is a dynamic partition
-    overwrite so re-runs replace rather than duplicate.  `fuzzy` /
-    `canonicalize` toggle stages 2b/3 (profiling + degraded modes);
+    Idempotent per (run_id, partition): stage 1 skips conv_buckets its
+    manifest marks done, the final write skips (ts_day, conv_bucket)
+    partitions marked done, and both writes are dynamic partition
+    overwrites so re-runs replace rather than duplicate.  `fuzzy` /
+    `canonicalize` toggle stages 2/3 (profiling + degraded modes);
     `timings` (optional dict) collects per-stage wall seconds.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -100,81 +191,84 @@ def build_graph(
     # Fresh run (no manifest yet): every partition is pending, so skip the
     # planned-vs-done reconciliation entirely — it costs a full input scan
     # + distinct before any real work.  Resume runs (manifest present) pay
-    # for it because they need the anti-join.
+    # for it because they need the anti-joins.
+    pending_final = None
+    s1_todo: DataFrame | None = transcripts
     if materialize.manifest_exists(io):
-        pending = materialize.pending_partitions(spark, io, run_id, transcripts)
-        pending.persist()
-        n_pending = pending.count()
-        if n_pending == 0:
+        pending_final = materialize.pending_partitions(
+            spark, io, run_id, transcripts, stage="materialize"
+        )
+        pending_final.persist()
+        if pending_final.count() == 0:
+            pending_final.unpersist()
             return {"run_id": run_id, "rows_in": 0, "triples": 0, "wall_ms": 0,
                     "skipped": True}
-        todo = materialize.filter_to_pending(transcripts, pending, io.n_buckets)
-    else:
-        pending = None
-        todo = transcripts
+        s1_done = materialize.completed_buckets(spark, io, run_id, STAGE1)
+        s1_pending = sorted(set(range(io.n_buckets)) - s1_done)
+        if not s1_pending:
+            s1_todo = None
+        elif s1_done:
+            s1_todo = transcripts.where(
+                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(io.n_buckets))
+                .cast("int")
+                .isin(s1_pending)
+            )
     _mark("plan_pending")
 
-    obs_in = Observation("rows_in")
-    todo = todo.observe(obs_in, F.count(F.lit(1)).alias("n"))
-
-    # Stage 1: structural + mentions (single Arrow pass over text; kinds:
-    # entity=dictionary hit, unknown=fuzzy candidate, ts=timestamp literal)
-    structural = extract.structural_triples(todo)
+    # Stage 1: extract + exact link -> checkpointed stage_triples
+    rows_in = 0
     surfaces = {r["surface"] for r in dictionary.select("surface").distinct().collect()}
-    detector = extract.make_mention_detector(spark, surfaces, include_unknown=True)
-    cand_m = extract.mentions(todo, detector)
-    _mark("extract_plan")
+    if s1_todo is not None:
+        obs_in = Observation("rows_in")
+        s1_todo = s1_todo.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        detector = extract.make_mention_detector(spark, surfaces, include_unknown=True)
+        _write_stage1(io, _stage1_triples(s1_todo, dictionary, detector))
+        rows_in = obs_in.get["n"]
+        materialize.mark_buckets_done(
+            io, run_id, STAGE1, materialize.sink_buckets(io, STAGE_TRIPLES)
+        )
+    _mark("extract_link")
 
-    # Stage 2: link.  `linked` fans out to BOTH the mention triples and the
-    # canonicalization alias graph — materialize it exactly once (persist +
-    # count) so neither branch re-runs the detector UDF / fuzzy stage.
+    # Stage 2: fuzzy linking over distinct unlinked forms (tiny domain)
     if fuzzy:
-        linked = link.link_mentions(
-            spark, cand_m, dictionary, fuzzy_threshold, timings=timings
-        )
+        links = _fuzzy_links(spark, io, dictionary, fuzzy_threshold)
     else:
-        linked = link.exact_link(cand_m, dictionary).withColumnRenamed(
-            "weight", "score"
-        )
-    linked = linked.persist()
-    linked.count()
-    mention_tri = extract.mention_triples(linked)
-    _mark("link")
+        links = spark.createDataFrame([], "form string, canon_uri string, score double")
+    links = links.persist()  # tiny: distinct fuzzy forms only
+    links.count()
+    _mark("fuzzy")
 
-    # Stage 3: canonicalize (the only eager stage before the write: CC
-    # iterates with per-round checkpoints)
+    # Stage 3: canonicalize over the alias graph (tiny domain)
     if canonicalize:
-        same_as = _same_as_from_links(spark, linked, dictionary)
+        same_as = _same_as_triples(spark, links, dictionary)
     else:
-        same_as = spark.createDataFrame(
-            [],
-            "subj string, pred string, obj string, conv_id string, "
-            "turn_idx int, ts timestamp, conf double",
-        )
+        same_as = spark.createDataFrame([], _TRIPLE_SCHEMA)
     _mark("canonicalize")
 
-    # Stage 4: dedup + write + manifest
+    # Stage 4: rewrite + dedup + layout write + manifest
     obs_out = Observation("rows_out")
-    all_triples = structural.unionByName(mention_tri).unionByName(same_as)
-    final = materialize.dedup_triples(all_triples).observe(
+    final = _finalize(spark, io, links, same_as, pending_final).observe(
         obs_out, F.count(F.lit(1)).alias("n")
     )
     materialize.write_triples(io, final)
+    rows_out = obs_out.get["n"]
     _mark("materialize")
-    materialize.mark_done(spark, io, run_id, "materialize", pending)
+    materialize.mark_done(spark, io, run_id, "materialize", pending_final)
     _mark("mark_done")
 
     wall_ms = int((time.monotonic() - t0) * 1000)
-    rows_in = obs_in.get["n"]
-    rows_out = obs_out.get["n"]
     if with_lineage:
         materialize.append_lineage(
             spark, io, run_id, "build_graph", rows_in, rows_out, wall_ms
         )
+        materialize.append_partition_lineage(
+            io, run_id, "materialize",
+            materialize.partition_row_counts(io, materialize.TRIPLES),
+        )
     _mark("finalize")
-    linked.unpersist()
-    if pending is not None:
-        pending.unpersist()
+    links.unpersist()
+    if pending_final is not None:
+        pending_final.unpersist()
     return {
         "run_id": run_id,
         "rows_in": rows_in,
