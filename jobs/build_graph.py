@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--synth-convs", type=int, default=0,
                    help="generate N synthetic conversations instead of --input")
     p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--write-salts", type=int, default=1,
+                   help=">1 spreads each output partition over N writer tasks "
+                        "(skew valve for hot days/buckets)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--fuzzy-threshold", type=float, default=0.55)
     args = p.parse_args(argv)
@@ -45,7 +48,7 @@ def main(argv=None) -> int:
         transcripts = spark.read.parquet(args.input)
         dictionary = spark.read.parquet(args.dict_path)
 
-    io = TableIO(args.out, n_buckets=args.buckets)
+    io = TableIO(args.out, n_buckets=args.buckets, n_write_salts=args.write_salts)
     timings: dict = {}
     result = build_graph(
         spark, transcripts, dictionary, io,

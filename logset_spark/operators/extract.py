@@ -172,6 +172,52 @@ def mentions(transcripts: DataFrame, detector) -> DataFrame:
     )
 
 
+# followedBy skew bound: a window partitioned by conv_id alone sends a
+# whole conversation to ONE sort task — a 10^7-turn agent transcript (the
+# hot conv_ids the north rule calls out) becomes a straggler.  Chunking
+# turn_idx bounds any conversation's contribution to a single task at
+# TURN_CHUNK rows; the cross-chunk boundary edges come from a per-chunk
+# summary table that is |turns|/TURN_CHUNK small.
+TURN_CHUNK = 4096
+
+
+def with_next_turn(base: DataFrame, chunk: int = TURN_CHUNK) -> DataFrame:
+    """Attach next_u (URI of the next turn in the conversation) without
+    unbounded per-conv_id skew.
+
+    Plan shape: ONE shuffle on (conv_id, chunk) — the window, the per-chunk
+    boundary aggregate, and the boundary join all reuse that partitioning
+    (Catalyst emits a single Exchange for the big side); the chunk-summary
+    side is tiny.  Handles gaps in turn_idx (empty chunks) because the
+    boundary lead() runs over chunks that actually exist."""
+    w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
+    chunked = base.withColumn(
+        "_chunk", F.floor(F.col("turn_idx") / chunk).cast("int")
+    ).withColumn("next_u", F.lead("turn_u").over(w))
+
+    wb = Window.partitionBy("conv_id").orderBy("_chunk")
+    bounds = (
+        chunked.groupBy("conv_id", "_chunk")
+        .agg(
+            F.min_by("turn_u", "turn_idx").alias("_first_u"),
+            F.max("turn_idx").alias("_last_idx"),
+        )
+        .withColumn("_next_first_u", F.lead("_first_u").over(wb))
+        .select("conv_id", "_chunk", "_next_first_u", "_last_idx")
+    )
+    return (
+        chunked.join(bounds, ["conv_id", "_chunk"], "left")
+        .withColumn(
+            "next_u",
+            F.coalesce(
+                "next_u",
+                F.when(F.col("turn_idx") == F.col("_last_idx"), F.col("_next_first_u")),
+            ),
+        )
+        .drop("_chunk", "_next_first_u", "_last_idx")
+    )
+
+
 def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> DataFrame:
     """Single-pass stage 1: structural + exact-linked mention triples from
     ONE scan of the transcript table.
@@ -192,7 +238,6 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
     from . import link as L
     from .. import vocab as V
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     base = transcripts.select(
         "conv_id",
         "turn_idx",
@@ -203,7 +248,8 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
         V.iso_ts("ts").alias("iso"),
         V.tool_uri("tool").alias("tool_u"),
         detector(F.col("text")).alias("hits"),
-    ).withColumn("next_u", F.lead("turn_u").over(w))
+    )
+    base = with_next_turn(base)
 
     def e(subj, pred, obj):
         return F.struct(

@@ -154,7 +154,28 @@ def _finalize(
             F.coalesce("f_score", "conf").alias("conf"),
         )
     )
-    return materialize.dedup_triples(rewritten.unionByName(same_as))
+    # Structural triples are distinct by construction (one row per turn
+    # per predicate, under the input contract that (conv_id, turn_idx) is
+    # unique), so only mention rows — where two surface forms in one turn
+    # can resolve to the same canonical URI — plus the sameAs rows go
+    # through the dedup shuffle.  Cuts the groupBy(s,p,o) exchange to the
+    # mention fraction (~1/3) of the triple stream.
+    is_mention = F.col("pred") == V.MENTIONS
+    deduped = materialize.dedup_triples(
+        rewritten.where(is_mention).unionByName(same_as)
+    )
+    return rewritten.where(~is_mention).unionByName(deduped)
+
+
+def _obs_count(obs: Observation) -> int:
+    """Observation metric, robust to the empty-write quirk: a dynamic-
+    partition-overwrite of ZERO rows completes without materializing the
+    CollectMetrics row (schema-less row -> JVM assertion in toPyRow), so
+    an empty pass legitimately reads as 0."""
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        return 0
 
 
 def build_graph(
@@ -194,6 +215,7 @@ def build_graph(
     # for it because they need the anti-joins.
     pending_final = None
     s1_todo: DataFrame | None = transcripts
+    s1_pending = list(range(io.n_buckets))
     if materialize.manifest_exists(io):
         pending_final = materialize.pending_partitions(
             spark, io, run_id, transcripts, stage="materialize"
@@ -223,10 +245,12 @@ def build_graph(
         s1_todo = s1_todo.observe(obs_in, F.count(F.lit(1)).alias("n"))
         detector = extract.make_mention_detector(spark, surfaces, include_unknown=True)
         _write_stage1(io, _stage1_triples(s1_todo, dictionary, detector))
-        rows_in = obs_in.get["n"]
-        materialize.mark_buckets_done(
-            io, run_id, STAGE1, materialize.sink_buckets(io, STAGE_TRIPLES)
-        )
+        rows_in = _obs_count(obs_in)
+        # Mark every PLANNED bucket done, not just the sink dirs that
+        # materialized: a bucket with no conversations produces no dir,
+        # and leaving it "pending" forever would re-scan the full input
+        # on every resume (an empty-result full pass at 10^12 rows).
+        materialize.mark_buckets_done(io, run_id, STAGE1, s1_pending)
     _mark("extract_link")
 
     # Stage 2: fuzzy linking over distinct unlinked forms (tiny domain)
@@ -251,7 +275,7 @@ def build_graph(
         obs_out, F.count(F.lit(1)).alias("n")
     )
     materialize.write_triples(io, final)
-    rows_out = obs_out.get["n"]
+    rows_out = _obs_count(obs_out)
     _mark("materialize")
     materialize.mark_done(spark, io, run_id, "materialize", pending_final)
     _mark("mark_done")

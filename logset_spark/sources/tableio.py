@@ -41,6 +41,11 @@ class TableIO:
     root: str
     n_buckets: int = DEFAULT_BUCKETS
     catalog: str = "parquet"  # "iceberg" on a real cluster (needs runtime jar)
+    # >1 spreads each (ts_day, conv_bucket) output partition over this many
+    # writer tasks (extra repartition salt on subj) — the skew valve for a
+    # hot day/bucket at cluster scale.  Costs n_write_salts files per
+    # partition dir, so keep 1 unless a partition outgrows one task.
+    n_write_salts: int = 1
 
     def path(self, name: str) -> str:
         return f"{self.root}/{name}"
@@ -55,10 +60,16 @@ class TableIO:
              .partitionedBy(F.bucket(self.n_buckets, "conv_id"), F.days("ts"))
              .createOrReplace())
             return
+        keys = [F.col("ts_day"), F.col("conv_bucket")]
+        if self.n_write_salts > 1:
+            keys.append(F.pmod(F.xxhash64("subj"), F.lit(self.n_write_salts)))
         (
             with_layout(df, self.n_buckets)
-            .repartition("ts_day", "conv_bucket")
-            .sortWithinPartitions("conv_id", "turn_idx")
+            .repartition(*keys)
+            # prefix the partition cols so FileFormatWriter's required
+            # ordering is already satisfied — ONE local sort instead of
+            # ours + the writer's hidden partition-col sort
+            .sortWithinPartitions("ts_day", "conv_bucket", "conv_id", "turn_idx")
             .write.mode(mode)
             .partitionBy("ts_day", "conv_bucket")
             .parquet(self.path(name))

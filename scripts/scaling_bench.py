@@ -1,10 +1,22 @@
 """Scaling-efficiency evidence: run the SAME KG-pipeline job at two
-parallelism levels (local[8] vs local[32]) on the SAME pre-generated
-input, report throughput at both and eff = thr_32 / (4 * thr_8).
+parallelism levels on the SAME pre-generated input, report throughput at
+both and eff = thr_4N / (4 * thr_N).
 
-This is the sandbox stand-in for the north rule's N vs 4N executor
-clusters (no real cluster available).  Each level runs in a fresh
-subprocess (fresh JVM) via spark-submit so nothing is cached across runs.
+Sandbox stand-in for the north rule's N vs 4N executor clusters (no real
+cluster available):
+
+* the N run is `taskset -c 0-7 spark-submit --master local[8]` — pinning
+  makes it an honest 8-core machine (unpinned, the 8 task slots free-ride
+  GC threads, parquet IO threads, and the 8 python UDF workers onto all
+  32 cores, inflating thr_N and corrupting the ratio);
+* the 4N run is `taskset -c 0-31 ... local[32]`.
+
+Each run is a fresh JVM via spark-submit --py-files (nothing cached across
+runs; the input parquet is page-cache-hot for all runs equally).  The host
+is a shared VM with bursty CPU steal (observed 8-11% under load), so each
+level runs REPS times interleaved (4N,N,4N,N,...) and the minimum wall per
+level is reported — min is the right statistic under strictly-additive
+noise.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -21,21 +33,23 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+N_CORES, N4_CORES = 8, 32
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
 
 def generate_input(n_convs: int, workdir: str) -> tuple[str, str, int]:
     from logset_spark.session import get_spark
     from logset_spark.sources import synth
 
-    spark = get_spark("gen", cpus=8)
+    spark = get_spark("gen", cpus=32)
     tr, dc = f"{workdir}/transcripts", f"{workdir}/dictionary"
-    # Write MANY files: each synth file is a single parquet row group, and
-    # a row group is the atomic scan split — 8 fat files would cap every
-    # scan-rooted stage at 8 tasks no matter the core count (exactly the
-    # small-file/full-table layout question a 100 TB table answers with
-    # thousands of files).  128 files keeps both local[8] and local[32]
-    # fully fed.
+    # MANY files: a row group is the atomic scan split — a handful of fat
+    # files would cap every scan-rooted stage at that many tasks no matter
+    # the core count (the small-file/full-table layout question a 100 TB
+    # table answers with thousands of files).  256 files keeps both
+    # local[8] and local[32] fully fed with even-sized splits.
     (synth.transcripts_df(spark, n_convs=n_convs)
-     .repartition(128, "conv_id")
+     .repartition(256, "conv_id")
      .write.mode("overwrite").parquet(tr))
     synth.dictionary_df(spark).write.mode("overwrite").parquet(dc)
     n = spark.read.parquet(tr).count()
@@ -43,25 +57,29 @@ def generate_input(n_convs: int, workdir: str) -> tuple[str, str, int]:
     return tr, dc, n
 
 
-def run_level(cpus: int, tr: str, dc: str, out: str) -> dict:
+def run_level(cpus: int, pin: str, tr: str, dc: str, out: str, tag: str) -> dict:
     env = dict(os.environ)
     zip_path = f"{out}_pkg.zip"
-    subprocess.run(
-        ["zip", "-qr", zip_path, "logset_spark"], cwd=REPO, check=True
-    )
+    if not os.path.exists(zip_path):
+        subprocess.run(
+            ["zip", "-qr", zip_path, "logset_spark", "-x", "*__pycache__*"],
+            cwd=REPO, check=True,
+        )
     t0 = time.monotonic()
     # --driver-memory must be on the submit command line: by the time
     # session.py's conf runs, the (single, local-mode) JVM already exists
     # and spark.driver.memory is ignored -> 1g default -> OOM at local[32].
     mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    subprocess.run(["rm", "-rf", out], check=True)
     proc = subprocess.run(
         [
+            "taskset", "-c", pin,
             "spark-submit", "--master", f"local[{cpus}]",
             "--driver-memory", mem,
             "--py-files", zip_path,
             f"{REPO}/jobs/build_graph.py",
             "--input", tr, "--dict", dc, "--out", out,
-            "--run-id", f"scale{cpus}", "--cpus", str(cpus),
+            "--run-id", tag, "--cpus", str(cpus),
         ],
         capture_output=True, text=True, env=env,
     )
@@ -77,44 +95,78 @@ def run_level(cpus: int, tr: str, dc: str, out: str) -> dict:
 
 
 def main() -> int:
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "480000"))
     workdir = tempfile.mkdtemp(prefix="logset_scaling_")
     tr, dc, n_turns = generate_input(n_convs, workdir)
 
-    r8 = run_level(8, tr, dc, f"{workdir}/wh8")
-    r32 = run_level(32, tr, dc, f"{workdir}/wh32")
+    runs: dict[int, list[dict]] = {N_CORES: [], N4_CORES: []}
+    for rep in range(REPS):
+        runs[N4_CORES].append(
+            run_level(N4_CORES, "0-31", tr, dc, f"{workdir}/wh32", f"s32r{rep}")
+        )
+        runs[N_CORES].append(
+            run_level(N_CORES, "0-7", tr, dc, f"{workdir}/wh8", f"s8r{rep}")
+        )
 
-    thr8 = n_turns / (r8["wall_ms"] / 1000)
-    thr32 = n_turns / (r32["wall_ms"] / 1000)
-    tps8 = r8["triples"] / (r8["wall_ms"] / 1000)
-    tps32 = r32["triples"] / (r32["wall_ms"] / 1000)
+    best8 = min(runs[N_CORES], key=lambda r: r["wall_ms"])
+    best32 = min(runs[N4_CORES], key=lambda r: r["wall_ms"])
+    thr8 = n_turns / (best8["wall_ms"] / 1000)
+    thr32 = n_turns / (best32["wall_ms"] / 1000)
+    tps8 = best8["triples"] / (best8["wall_ms"] / 1000)
+    tps32 = best32["triples"] / (best32["wall_ms"] / 1000)
     eff = thr32 / (4 * thr8)
 
+    all_walls = {
+        "local8": [r["wall_ms"] / 1000 for r in runs[N_CORES]],
+        "local32": [r["wall_ms"] / 1000 for r in runs[N4_CORES]],
+    }
     md = f"""# BENCH — measured scaling results (sandbox evidence for N vs 4N)
 
 Same job (`jobs/build_graph.py`, full extract+link+canonicalize+materialize),
 same pre-generated input ({n_turns} turns, {n_convs} convs, seed=42), fresh
-JVM per run via `spark-submit --py-files`.  local[8] stands in for the
-N-executor cluster, local[32] for 4N (no real cluster in this sandbox; see
-BASELINE.md).
+JVM per run via `spark-submit --py-files`.  `taskset -c 0-7` + local[8]
+stands in for the N-executor cluster (pinning makes it an honest 8-core
+machine: GC, parquet IO and python UDF workers are confined with the task
+slots), `taskset -c 0-31` + local[32] for 4N.  No real cluster exists in
+this sandbox; see BASELINE.md.  The host shows bursty hypervisor CPU steal
+(8-11% under load), so each level ran {REPS}x interleaved and the minimum
+wall per level is scored; all walls (s): local[8]={all_walls['local8']},
+local[32]={all_walls['local32']}.
 
 | run | parallelism | input turns | wall s | triples | turns/sec | triples/sec |
 | --- | --- | --- | --- | --- | --- | --- |
-| bench-N  | local[8]  | {n_turns} | {r8['wall_ms']/1000:.1f} | {r8['triples']} | {thr8:.0f} | {tps8:.0f} |
-| bench-4N | local[32] | {n_turns} | {r32['wall_ms']/1000:.1f} | {r32['triples']} | {thr32:.0f} | {tps32:.0f} |
+| bench-N  | taskset 0-7, local[8]  | {n_turns} | {best8['wall_ms']/1000:.1f} | {best8['triples']} | {thr8:.0f} | {tps8:.0f} |
+| bench-4N | taskset 0-31, local[32] | {n_turns} | {best32['wall_ms']/1000:.1f} | {best32['triples']} | {thr32:.0f} | {tps32:.0f} |
 
 **Scaling efficiency thr_4N / (4 x thr_N) = {eff:.3f}** (target >= 0.8 per
-BASELINE.json; values near 0.25 would mean no parallel speedup at all, 1.0
-is perfect linear scaling).
+BASELINE.json; 0.25 would mean no parallel speedup at all, 1.0 is perfect
+linear scaling).
+
+Stage walls of the scored runs (s):
+
+| stage | bench-N | bench-4N |
+| --- | --- | --- |
+"""
+    for k in best8.get("stage_s", {}):
+        md += f"| {k} | {best8['stage_s'].get(k,0)} | {best32['stage_s'].get(k,0)} |\n"
+    md += """
+Single-JVM local mode still understates multi-executor scaling — shuffle,
+page cache, and the parquet commit protocol all contend inside one
+process; the partition/bucket layout and AQE/salting knobs are the
+cluster-relevant design.
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({
-        "turns": n_turns, "wall8_s": r8["wall_ms"] / 1000,
-        "wall32_s": r32["wall_ms"] / 1000, "thr8": round(thr8, 1),
-        "thr32": round(thr32, 1), "triples_per_sec_32": round(tps32, 1),
+        "turns": n_turns,
+        "wall8_s": best8["wall_ms"] / 1000,
+        "wall32_s": best32["wall_ms"] / 1000,
+        "thr8": round(thr8, 1),
+        "thr32": round(thr32, 1),
+        "triples_per_sec_32": round(tps32, 1),
         "scaling_eff": round(eff, 3),
+        "all_walls": all_walls,
     }))
     return 0
 

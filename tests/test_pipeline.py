@@ -63,6 +63,103 @@ def test_per_turn_invariant(spark, tmp_path):
     )
 
 
+def test_resume_after_stage1_kill(spark, tmp_path):
+    """North-rule resume semantics: kill the job after stage k, re-run the
+    same run_id, and the final output is identical to an uninterrupted
+    run.  Simulated kill: run stage 1 only (checkpoint + its manifest
+    land), 'crash' before fuzzy/canonicalize/materialize, then re-invoke
+    build_graph — it must skip the done conv_buckets (rows_in == 0) and
+    still produce the full graph."""
+    from logset_spark import pipeline as P
+    from logset_spark.operators import extract, materialize
+
+    tpdf = synth.transcripts_pdf(n_convs=8)
+    dpdf = synth.entity_dictionary_pdf()
+    tdf = spark.createDataFrame(tpdf, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(dpdf, schema=synth.DICT_SCHEMA)
+
+    # uninterrupted reference run
+    io_full = TableIO(str(tmp_path / "wh_full"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io_full, run_id="full")
+    want = (
+        io_full.read(spark, "triples")
+        .select("subj", "pred", "obj")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+
+    # killed-after-stage-1 run: stage 1 + its manifest only
+    io_kill = TableIO(str(tmp_path / "wh_kill"), n_buckets=4)
+    surfaces = set(dpdf.surface)
+    det = extract.make_mention_detector(spark, surfaces, include_unknown=True)
+    P._write_stage1(io_kill, P._stage1_triples(tdf, ddf, det))
+    materialize.mark_buckets_done(
+        io_kill, "crashy", P.STAGE1, materialize.sink_buckets(io_kill, P.STAGE_TRIPLES)
+    )
+    # resume with the same run_id
+    res = build_graph(spark, tdf, ddf, io_kill, run_id="crashy")
+    assert res["skipped"] is False
+    assert res["rows_in"] == 0  # stage 1 was NOT re-run
+    got = (
+        io_kill.read(spark, "triples")
+        .select("subj", "pred", "obj")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_resume_partial_bucket_crash(spark, tmp_path):
+    """Partition-granular resume: only SOME conv_buckets finished stage 1
+    before the crash.  The resumed run must re-extract exactly the missing
+    buckets and converge to the uninterrupted result."""
+    from logset_spark import pipeline as P
+    from logset_spark.operators import extract, materialize
+
+    tpdf = synth.transcripts_pdf(n_convs=8)
+    dpdf = synth.entity_dictionary_pdf()
+    tdf = spark.createDataFrame(tpdf, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(dpdf, schema=synth.DICT_SCHEMA)
+
+    io_full = TableIO(str(tmp_path / "whf"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io_full, run_id="full")
+    want = (
+        io_full.read(spark, "triples")
+        .select("subj", "pred", "obj")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+
+    io_kill = TableIO(str(tmp_path / "whk"), n_buckets=4)
+    surfaces = set(dpdf.surface)
+    det = extract.make_mention_detector(spark, surfaces, include_unknown=True)
+    from pyspark.sql import functions as FF
+
+    only = tdf.where(
+        FF.pmod(FF.xxhash64("conv_id"), FF.lit(4)).cast("int").isin([0, 1])
+    )
+    P._write_stage1(io_kill, P._stage1_triples(only, ddf, det))
+    done = [
+        b for b in materialize.sink_buckets(io_kill, P.STAGE_TRIPLES) if b in (0, 1)
+    ]
+    materialize.mark_buckets_done(io_kill, "crashy2", P.STAGE1, done)
+
+    res = build_graph(spark, tdf, ddf, io_kill, run_id="crashy2")
+    assert res["skipped"] is False
+    assert 0 < res["rows_in"] < len(tpdf)  # only missing buckets re-ran
+    got = (
+        io_kill.read(spark, "triples")
+        .select("subj", "pred", "obj")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_resume_idempotent(spark, tmp_path):
     """Re-running the same run_id over the same input is a no-op (manifest
     marks all partitions done) and leaves the triple table unchanged."""

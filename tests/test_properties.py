@@ -179,3 +179,66 @@ def test_turtle_roundtrip(triples):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(back, expect)
+
+
+def test_with_next_turn_matches_plain_window(spark):
+    """Chunked (skew-bounded) followedBy must equal the plain per-conv
+    window, including turn_idx gaps that straddle chunk boundaries and
+    conversations longer than one chunk."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logset_spark.operators.extract import with_next_turn
+
+    rows = []
+    # conv a: dense 0..9; conv b: gaps (0,2,7,8,15); conv c: single turn
+    for c, idxs in (("a", range(10)), ("b", [0, 2, 7, 8, 15]), ("c", [0])):
+        for i in idxs:
+            rows.append((c, i, f"turn:{c}/{i}"))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, turn_u string")
+
+    got = (
+        with_next_turn(df, chunk=3)
+        .select("conv_id", "turn_idx", "next_u")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    want = (
+        df.withColumn("next_u", F.lead("turn_u").over(w))
+        .select("conv_id", "turn_idx", "next_u")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_write_salt_invariance(spark, tmp_path):
+    """n_write_salts only changes the file layout, never the triple set
+    (salt must not leak into output — SURVEY §7 hard-part 2)."""
+    from pyspark.sql import functions as F
+
+    from logset_spark.pipeline import build_graph
+    from logset_spark.sources import synth
+    from logset_spark.sources.tableio import TableIO
+
+    tpdf = synth.transcripts_pdf(n_convs=6)
+    dpdf = synth.entity_dictionary_pdf()
+    tdf = spark.createDataFrame(tpdf, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(dpdf, schema=synth.DICT_SCHEMA)
+
+    def fp(io):
+        return (
+            io.read(spark, "triples")
+            .select(F.xxhash64("subj", "pred", "obj").cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h"), F.count("*"))
+            .first()
+        )
+
+    io1 = TableIO(str(tmp_path / "w1"), n_buckets=4, n_write_salts=1)
+    io4 = TableIO(str(tmp_path / "w4"), n_buckets=4, n_write_salts=4)
+    build_graph(spark, tdf, ddf, io1, run_id="s1")
+    build_graph(spark, tdf, ddf, io4, run_id="s4")
+    assert fp(io1) == fp(io4)
