@@ -32,6 +32,17 @@ _BASE_CONFS = {
     "spark.sql.files.openCostInBytes": "1m",
     # Idempotent per-partition re-runs (SURVEY §2 S4).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Straggler defense: a python UDF worker that dies without closing its
+    # socket leaves the task blocked in ReaderInputStream.read forever
+    # (observed once under load in this sandbox); a speculative attempt on
+    # a fresh worker unsticks it.  Also the cluster-scale answer to slow
+    # nodes at 10^12 rows.  Duplicate attempts are safe: the output
+    # committer lets exactly one attempt commit.
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "4",
+    "spark.speculation.quantile": "0.9",
+    # Crash tracebacks from python workers instead of silent socket EOFs.
+    "spark.python.worker.faulthandler.enabled": "true",
     "spark.ui.enabled": "false",
 }
 

@@ -65,24 +65,39 @@ def run_level(cpus: int, pin: str, tr: str, dc: str, out: str, tag: str) -> dict
             ["zip", "-qr", zip_path, "logset_spark", "-x", "*__pycache__*"],
             cwd=REPO, check=True,
         )
-    t0 = time.monotonic()
     # --driver-memory must be on the submit command line: by the time
     # session.py's conf runs, the (single, local-mode) JVM already exists
     # and spark.driver.memory is ignored -> 1g default -> OOM at local[32].
     mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
-    subprocess.run(["rm", "-rf", out], check=True)
-    proc = subprocess.run(
-        [
-            "taskset", "-c", pin,
-            "spark-submit", "--master", f"local[{cpus}]",
-            "--driver-memory", mem,
-            "--py-files", zip_path,
-            f"{REPO}/jobs/build_graph.py",
-            "--input", tr, "--dict", dc, "--out", out,
-            "--run-id", tag, "--cpus", str(cpus),
-        ],
-        capture_output=True, text=True, env=env,
-    )
+    cmd = [
+        "taskset", "-c", pin,
+        "spark-submit", "--master", f"local[{cpus}]",
+        "--driver-memory", mem,
+        "--py-files", zip_path,
+        f"{REPO}/jobs/build_graph.py",
+        "--input", tr, "--dict", dc, "--out", out,
+        "--run-id", tag, "--cpus", str(cpus),
+    ]
+    # One retry on timeout/failure: a lost python worker can hang a run
+    # (seen once); speculation usually unsticks it, the retry is the
+    # harness-level backstop.
+    for attempt in (1, 2):
+        subprocess.run(["rm", "-rf", out], check=True)
+        t0 = time.monotonic()
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, timeout=2400
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"timeout local[{cpus}] attempt {attempt}\n")
+            subprocess.run(["pkill", "-f", "build_graph.py"], check=False)
+            time.sleep(5)
+            continue
+        if proc.returncode == 0:
+            break
+        sys.stderr.write(proc.stderr[-4000:])
+    else:
+        raise SystemExit(f"spark-submit local[{cpus}] failed twice")
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise SystemExit(f"spark-submit local[{cpus}] failed rc={proc.returncode}")
