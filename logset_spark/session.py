@@ -65,12 +65,18 @@ def get_spark(
         shuffle_partitions = max(2 * cpus, 8)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
+    # A programmatic .master() silently overrides the --master given to
+    # spark-submit (builder config wins over submit-time properties), which
+    # would turn a multi-executor local-cluster/yarn submission back into
+    # single-JVM local mode.  SPARK_GRAFT_MASTER=submit defers to the
+    # launcher; the default keeps tests/bench self-contained.
+    if os.environ.get("SPARK_GRAFT_MASTER", "") != "submit":
+        builder = builder.master(f"local[{cpus}]")
     for k, v in _BASE_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():

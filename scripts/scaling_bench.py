@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_CORES, N4_CORES = 8, 32
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def generate_input(n_convs: int, workdir: str) -> tuple[str, str, int]:
@@ -67,8 +67,11 @@ def run_level(cpus: int, pin: str, tr: str, dc: str, out: str, tag: str) -> dict
         )
     # --driver-memory must be on the submit command line: by the time
     # session.py's conf runs, the (single, local-mode) JVM already exists
-    # and spark.driver.memory is ignored -> 1g default -> OOM at local[32].
-    mem = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    # and spark.driver.memory is ignored -> 1g default OOMs at local[32].
+    # 12g, not bigger: measured local[32] walls DROP ~25% going 48g -> 8g
+    # heap (G1 over a huge heap with 32 mutator threads spends more time
+    # in GC than tighter heaps that spill instead).
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
     cmd = [
         "taskset", "-c", pin,
         "spark-submit", "--master", f"local[{cpus}]",
@@ -111,8 +114,15 @@ def run_level(cpus: int, pin: str, tr: str, dc: str, out: str, tag: str) -> dict
 
 def main() -> int:
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "480000"))
-    workdir = tempfile.mkdtemp(prefix="logset_scaling_")
-    tr, dc, n_turns = generate_input(n_convs, workdir)
+    reuse = os.environ.get("SPARK_GRAFT_INPUT_DIR")
+    if reuse:  # pre-generated input (iterating on the bench itself)
+        workdir = tempfile.mkdtemp(prefix="logset_scaling_")
+        tr, dc = f"{reuse}/transcripts", f"{reuse}/dictionary"
+        import duckdb
+        n_turns = duckdb.sql(f"select count(*) from '{tr}/*.parquet'").fetchone()[0]
+    else:
+        workdir = tempfile.mkdtemp(prefix="logset_scaling_")
+        tr, dc, n_turns = generate_input(n_convs, workdir)
 
     runs: dict[int, list[dict]] = {N_CORES: [], N4_CORES: []}
     for rep in range(REPS):
