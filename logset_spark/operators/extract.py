@@ -233,7 +233,12 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
     input twice and runs both legs concurrently — measured 2x slower at
     32 cores from JVM/python-worker core contention.
 
-    Output: subj,pred,obj,conv_id,turn_idx,ts,conf,form_key — form_key
+    Output is the SLIM checkpoint row — conv_id, turn_idx, ts,
+    pc (tinyint predicate code), obj, conf, form_key — not full triples:
+    subj and pred are functionally determined (vocab.subj_from_code /
+    pred_from_code) and a repeated 20-byte URI + 8-byte predicate string
+    per row is pure dead weight through the 10^12-row shuffles; the full
+    strings are reconstructed after the final layout shuffle.  form_key
     non-null marks mentions the fuzzy stage may still rewrite."""
     from . import link as L
     from .. import vocab as V
@@ -251,32 +256,30 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
     )
     base = with_next_turn(base)
 
-    def e(subj, pred, obj):
+    C = V.PRED_CODES
+
+    def e(pred, obj):
         return F.struct(
-            subj.alias("subj"),
-            F.lit(pred).alias("pred"),
+            F.lit(C[pred]).cast("tinyint").alias("pc"),
             obj.alias("obj"),
-            F.lit(None).cast("string").alias("kind"),
             F.lit(None).cast("string").alias("form"),
         )
 
     structural = F.array(
-        e(F.col("conv_u"), V.HAS_TURN, F.col("turn_u")),
-        e(F.col("turn_u"), V.PART_OF, F.col("conv_u")),
-        e(F.col("turn_u"), V.HAS_ROLE, F.col("role_u")),
-        e(F.col("turn_u"), V.AT_TIME, F.col("iso")),
-        e(F.col("turn_u"), V.USED_TOOL, F.col("tool_u")),  # null obj if no tool
-        e(F.col("turn_u"), V.FOLLOWED_BY, F.col("next_u")),  # null obj if last
+        e(V.HAS_TURN, F.col("turn_u")),   # subj reconstructs to conv_u
+        e(V.PART_OF, F.col("conv_u")),
+        e(V.HAS_ROLE, F.col("role_u")),
+        e(V.AT_TIME, F.col("iso")),
+        e(V.USED_TOOL, F.col("tool_u")),  # null obj if no tool
+        e(V.FOLLOWED_BY, F.col("next_u")),  # null obj if last
     )
     mention = F.transform(
         "hits",
         lambda h: F.struct(
-            F.col("turn_u").alias("subj"),
-            F.lit(V.MENTIONS).alias("pred"),
+            F.lit(C[V.MENTIONS]).cast("tinyint").alias("pc"),
             F.when(h["kind"] == "ts", F.concat(F.lit("ts:"), h["form"]))
             .otherwise(F.lit(None).cast("string"))
             .alias("obj"),
-            h["kind"].alias("kind"),
             F.when(h["kind"] != "ts", h["form"]).alias("form"),
         ),
     )
@@ -287,10 +290,8 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
         "conv_id", "turn_idx", "ts", F.explode(entries).alias("tr")
     ).select(
         "conv_id", "turn_idx", "ts",
-        F.col("tr.subj").alias("subj"),
-        F.col("tr.pred").alias("pred"),
+        F.col("tr.pc").alias("pc"),
         F.col("tr.obj").alias("obj"),
-        F.col("tr.kind").alias("kind"),
         F.col("tr.form").alias("form"),
         F.when(F.col("tr.form").isNotNull(), L.normalize_form(F.col("tr.form")))
         .alias("norm_form"),
@@ -301,15 +302,15 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
     )
     hit = F.col("canon_uri").isNotNull()
     return joined.select(
-        "subj",
-        "pred",
-        F.coalesce("obj", "canon_uri", V.mention_uri(F.col("form"))).alias("obj"),
         "conv_id",
         "turn_idx",
         "ts",
-        F.when(F.col("kind").isNull() | (F.col("kind") == "ts"), F.lit(1.0))
+        "pc",
+        F.coalesce("obj", "canon_uri", V.mention_uri(F.col("form"))).alias("obj"),
+        F.when(F.col("form").isNull(), F.lit(1.0))
         .when(hit, F.col("score"))
         .otherwise(F.lit(0.0))
+        .cast("float")
         .alias("conf"),
         F.when(F.col("form").isNotNull() & ~hit, F.col("norm_form")).alias("form_key"),
     )

@@ -127,10 +127,13 @@ def _finalize(
     spark: SparkSession,
     io: TableIO,
     links: DataFrame,
-    same_as: DataFrame,
     pending_final: DataFrame | None,
 ) -> DataFrame:
-    """Stage 4 plan: checkpointed triples + fuzzy rewrite + sameAs, dedup'd.
+    """Stage 4 plan over SLIM rows: checkpointed stage_triples + fuzzy
+    rewrite, mention dedup.  Returns slim rows (conv_id, turn_idx, ts, pc,
+    obj, conf) — subject/predicate strings are reconstructed after the
+    layout shuffle by `_finisher` so the dedup + layout exchanges move
+    ~25 fewer bytes per row.
 
     The links side is tiny (distinct fuzzy forms) -> broadcast left join;
     rows with null form_key pass through untouched."""
@@ -140,31 +143,49 @@ def _finalize(
     lk = links.select(
         F.col("form").alias("form_key"),
         F.col("canon_uri").alias("f_canon"),
-        F.col("score").alias("f_score"),
+        F.col("score").cast("float").alias("f_score"),
     )
     rewritten = (
         staged.join(F.broadcast(lk), "form_key", "left")
         .select(
-            "subj",
-            "pred",
-            F.coalesce("f_canon", "obj").alias("obj"),
             "conv_id",
             "turn_idx",
             "ts",
+            "pc",
+            F.coalesce("f_canon", "obj").alias("obj"),
             F.coalesce("f_score", "conf").alias("conf"),
         )
     )
     # Structural triples are distinct by construction (one row per turn
     # per predicate, under the input contract that (conv_id, turn_idx) is
     # unique), so only mention rows — where two surface forms in one turn
-    # can resolve to the same canonical URI — plus the sameAs rows go
-    # through the dedup shuffle.  Cuts the groupBy(s,p,o) exchange to the
-    # mention fraction (~1/3) of the triple stream.
-    is_mention = F.col("pred") == V.MENTIONS
-    deduped = materialize.dedup_triples(
-        rewritten.where(is_mention).unionByName(same_as)
+    # can resolve to the same canonical URI — go through the dedup
+    # shuffle.  The slim dedup key (conv_id, turn_idx, pc, obj) is
+    # equivalent to (subj, pred, obj): subj is a function of
+    # (pc, conv_id, turn_idx) and ts is constant within a turn.
+    is_mention = F.col("pc") == V.PRED_CODES[V.MENTIONS]
+    deduped = (
+        rewritten.where(is_mention)
+        .groupBy("conv_id", "turn_idx", "pc", "obj")
+        .agg(F.max("conf").alias("conf"), F.min("ts").alias("ts"))
+        .select("conv_id", "turn_idx", "ts", "pc", "obj", "conf")
     )
     return rewritten.where(~is_mention).unionByName(deduped)
+
+
+def _finisher(df: DataFrame) -> DataFrame:
+    """Post-layout-shuffle projection: slim rows -> full triple schema."""
+    return df.select(
+        V.subj_from_code("pc").alias("subj"),
+        V.pred_from_code("pc").alias("pred"),
+        "obj",
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("conf").cast("double").alias("conf"),
+        "ts_day",
+        "conv_bucket",
+    )
 
 
 def _obs_count(obs: Observation) -> int:
@@ -269,13 +290,19 @@ def build_graph(
         same_as = spark.createDataFrame([], _TRIPLE_SCHEMA)
     _mark("canonicalize")
 
-    # Stage 4: rewrite + dedup + layout write + manifest
+    # Stage 4: rewrite + dedup + layout write + manifest.  The main slim
+    # stream and the tiny sameAs set land as two dynamic-overwrite writes
+    # into DISJOINT partitions (sameAs rows have null ts -> the
+    # __HIVE_DEFAULT_PARTITION__ pseudo-day), so both stay idempotent.
     obs_out = Observation("rows_out")
-    final = _finalize(spark, io, links, same_as, pending_final).observe(
+    final = _finalize(spark, io, links, pending_final).observe(
         obs_out, F.count(F.lit(1)).alias("n")
     )
-    materialize.write_triples(io, final)
-    rows_out = _obs_count(obs_out)
+    io.write(final, materialize.TRIPLES, finisher=_finisher)
+    n_same = same_as.count()
+    if n_same:
+        io.write(same_as, materialize.TRIPLES)
+    rows_out = _obs_count(obs_out) + n_same
     _mark("materialize")
     materialize.mark_done(spark, io, run_id, "materialize", pending_final)
     _mark("mark_done")

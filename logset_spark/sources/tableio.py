@@ -50,22 +50,32 @@ class TableIO:
     def path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              finisher=None) -> None:
         """Partitioned write. `mode=overwrite` + dynamic partitionOverwriteMode
         (set in session.py) means only the partitions present in `df` are
-        replaced — the idempotent-resume primitive (SURVEY §2 S4)."""
+        replaced — the idempotent-resume primitive (SURVEY §2 S4).
+
+        `finisher(df) -> df` runs AFTER the layout repartition and before
+        the local sort: reconstruction of wide derived columns (subject
+        URIs, predicate strings from codes) goes there so only the slim
+        representation crosses the shuffle."""
         if self.catalog == "iceberg":  # pragma: no cover - needs runtime jar
-            (with_layout(df, self.n_buckets)
-             .writeTo(self.path(name)).using("iceberg")
+            out = with_layout(df, self.n_buckets)
+            out = finisher(out) if finisher else out
+            (out.writeTo(self.path(name)).using("iceberg")
              .partitionedBy(F.bucket(self.n_buckets, "conv_id"), F.days("ts"))
              .createOrReplace())
             return
         keys = [F.col("ts_day"), F.col("conv_bucket")]
         if self.n_write_salts > 1:
-            keys.append(F.pmod(F.xxhash64("subj"), F.lit(self.n_write_salts)))
+            keys.append(F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                               F.lit(self.n_write_salts)))
+        out = with_layout(df, self.n_buckets).repartition(*keys)
+        if finisher:
+            out = finisher(out)
         (
-            with_layout(df, self.n_buckets)
-            .repartition(*keys)
+            out
             # prefix the partition cols so FileFormatWriter's required
             # ordering is already satisfied — ONE local sort instead of
             # ours + the writer's hidden partition-col sort

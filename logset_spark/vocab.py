@@ -35,6 +35,31 @@ IN_SESSION = "inSession"      # turn -> session:<conv>/<k>
 
 STRUCTURAL_PREDS = (HAS_TURN, PART_OF, HAS_ROLE, AT_TIME, USED_TOOL, FOLLOWED_BY)
 
+# Compact predicate codes for the stage-1 checkpoint: a tinyint in flight
+# beats a repeated 7-9 byte string across the 10^12-row shuffles; the full
+# string is reconstructed only after the final layout shuffle.  subj is
+# likewise derivable: every stage-1 triple's subject is the turn URI except
+# hasTurn (conv URI); sameAs (ent->ent) never passes through the slim path.
+PRED_CODES = {
+    HAS_TURN: 1, PART_OF: 2, HAS_ROLE: 3, AT_TIME: 4,
+    USED_TOOL: 5, MENTIONS: 6, FOLLOWED_BY: 7, IN_SESSION: 8,
+}
+_CODE_TO_PRED = [p for p, _ in sorted(PRED_CODES.items(), key=lambda kv: kv[1])]
+
+
+def pred_from_code(code) -> Column:
+    """tinyint code -> predicate string, as a native array-literal lookup."""
+    c = F.col(code) if isinstance(code, str) else code
+    return F.element_at(F.array(*[F.lit(p) for p in _CODE_TO_PRED]), c.cast("int"))
+
+
+def subj_from_code(code, conv_id="conv_id", turn_idx="turn_idx") -> Column:
+    """Reconstruct the subject URI of a slim stage-1 row."""
+    c = F.col(code) if isinstance(code, str) else code
+    return F.when(c == PRED_CODES[HAS_TURN], conv_uri(conv_id)).otherwise(
+        turn_uri(conv_id, turn_idx)
+    )
+
 # Triple-table schema (§1.2): provenance columns ride along for partition
 # pruning + lineage; conf carries the linking score.
 TRIPLE_COLS = ("subj", "pred", "obj", "conv_id", "turn_idx", "ts", "conf")
