@@ -181,7 +181,7 @@ def mentions(transcripts: DataFrame, detector) -> DataFrame:
 TURN_CHUNK = 4096
 
 
-def with_next_turn(base: DataFrame, chunk: int = TURN_CHUNK) -> DataFrame:
+def with_next_turn(base: DataFrame, chunk: int | None = None) -> DataFrame:
     """Attach next_u (URI of the next turn in the conversation) without
     unbounded per-conv_id skew.
 
@@ -190,6 +190,8 @@ def with_next_turn(base: DataFrame, chunk: int = TURN_CHUNK) -> DataFrame:
     (Catalyst emits a single Exchange for the big side); the chunk-summary
     side is tiny.  Handles gaps in turn_idx (empty chunks) because the
     boundary lead() runs over chunks that actually exist."""
+    if chunk is None:
+        chunk = TURN_CHUNK  # read at call time so tests can shrink it
     w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
     chunked = base.withColumn(
         "_chunk", F.floor(F.col("turn_idx") / chunk).cast("int")

@@ -68,7 +68,9 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 12g, not bigger: measured ~25% faster at 32 threads than 48g
+        # (G1 over a huge heap collects more than a tight heap that spills)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
     )
     # A programmatic .master() silently overrides the --master given to
     # spark-submit (builder config wins over submit-time properties), which

@@ -160,6 +160,49 @@ def test_resume_partial_bucket_crash(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_hot_conversation_skew(spark, tmp_path):
+    """North-rule skew case: one conversation orders of magnitude longer
+    than the rest (a hot conv_id).  The chunked followedBy window must
+    bound its contribution per task, and the output must still match the
+    golden graph exactly at zero alias noise."""
+    import numpy as np
+
+    tpdf = synth.transcripts_pdf(n_convs=4, alias_noise_rate=0.0, hot_rate=0.0)
+    n_hot = 3000  # >> TURN_CHUNK when chunk is shrunk below
+    hot = pd.DataFrame(
+        {
+            "conv_id": ["conv-hot"] * n_hot,
+            "turn_idx": np.arange(n_hot, dtype="int32"),
+            "role": ["user", "assistant"] * (n_hot // 2),
+            # plain words only: no name-like tokens, so the hot conv adds
+            # exactly its structural triples to the golden set
+            "text": [f"please run the usual query again {i}" for i in range(n_hot)],
+            "tool": [None] * n_hot,
+            "ts": pd.date_range("2025-01-03", periods=n_hot, freq="7s"),
+        }
+    )
+    tpdf = pd.concat([tpdf, hot], ignore_index=True)
+    dpdf = synth.entity_dictionary_pdf()
+    tdf = spark.createDataFrame(tpdf, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(dpdf, schema=synth.DICT_SCHEMA)
+
+    from logset_spark.operators import extract as E
+
+    old_chunk = E.TURN_CHUNK
+    E.TURN_CHUNK = 256  # force the hot conv across many chunks
+    try:
+        io = TableIO(str(tmp_path / "wh"), n_buckets=4)
+        res = build_graph(spark, tdf, ddf, io, run_id="hot")
+    finally:
+        E.TURN_CHUNK = old_chunk
+    assert res["rows_in"] == len(tpdf)
+    emitted = io.read(spark, "triples")
+    golden = spark.createDataFrame(oracle.golden_triples(tpdf, dpdf))
+    pr = metrics.precision_recall(emitted, golden)
+    assert pr["precision"] == 1.0, pr
+    assert pr["recall"] == 1.0, pr
+
+
 def test_resume_idempotent(spark, tmp_path):
     """Re-running the same run_id over the same input is a no-op (manifest
     marks all partitions done) and leaves the triple table unchanged."""
