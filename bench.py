@@ -39,7 +39,10 @@ BENCH_QUERIES = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "30000"))
+    # 120k convs ~ 5.2M turns: big enough that the pipeline's ~10s of
+    # fixed cost (JVM-side planning, python worker spawn, driver stage
+    # coordination) stops dominating the triples/sec figure.
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "120000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from logset_spark.pipeline import build_graph
