@@ -46,6 +46,28 @@ def test_noisy_pr_at_least_095(spark, tmp_path):
     assert pr["recall"] >= 0.95, pr
 
 
+def test_golden_turtle_file(spark, tmp_path):
+    """The reference is verified 'against its emitted Turtle
+    serializations' (BASELINE.json north_star): the pipeline's toy graph,
+    serialized through sources/turtle.py, must byte-match the CHECKED-IN
+    golden .ttl — a frozen artifact, so semantic drift in either the
+    pipeline or the live oracle is caught across rounds."""
+    import os
+
+    from logset_spark.sources import turtle
+
+    _, emitted, _ = _run(
+        spark, tmp_path, n_convs=3, alias_noise_rate=0.0, hot_rate=0.05
+    )
+    got = turtle.to_turtle(
+        emitted.select("subj", "pred", "obj").toPandas()
+    )
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_toy.ttl")
+    with open(golden_path) as f:
+        want = f.read()
+    assert got == want
+
+
 def test_per_turn_invariant(spark, tmp_path):
     """input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering — the pipeline must not perturb the
