@@ -70,6 +70,25 @@ def main() -> int:
         fn(spark, sf_dir).count()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # -- ANN recall: approximate path vs exact baseline ------------------------
+    from pyspark.sql import functions as F
+
+    from logset_spark.operators.similarity import cosine_topk, lsh_topk
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = em.where(F.col("vec_id") < 50)
+    exact_nn = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(qv, em, k=5).select("query_id", "neighbor_id").collect()
+    }
+    approx_nn = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(qv, em, k=5, n_planes=6, n_tables=16)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    ann_recall = round(len(exact_nn & approx_nn) / max(len(exact_nn), 1), 4)
+
     # -- KG pipeline ------------------------------------------------------------
     transcripts = spark.read.parquet(tr_path)
     dictionary = spark.read.parquet(dict_path)
@@ -92,6 +111,7 @@ def main() -> int:
         "kg_triples": int(res["triples"]),
         "kg_triples_per_sec": round(res["triples"] / kg_wall, 1),
         "kg_turns_per_sec": round(n_turns / kg_wall, 1),
+        "ann_lsh_recall_at5": ann_recall,
     }
     print(json.dumps(out))
     shutil.rmtree(workdir, ignore_errors=True)

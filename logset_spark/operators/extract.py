@@ -96,6 +96,70 @@ def structural_triples(transcripts: DataFrame) -> DataFrame:
 
 
 _NAMELIKE_RE = re.compile(r"^[a-z]+[_-][a-z0-9_-]+$")
+NAMELIKE_SQL = r"^[a-z]+[_-][a-z0-9_-]+$"  # keep in sync with _NAMELIKE_RE
+
+# Cap on the auxiliary surface set the candidate detector broadcasts: only
+# dictionary surfaces the name-shape regex can NOT recognize (bare single
+# words like "mainframe") need to ride to the UDF at all — typically a tiny
+# fraction of the dictionary.  Above the cap we stop collecting and fall
+# back to emitting every token, letting the broadcast join classify (same
+# semantics, wider hits arrays through the stage-1 shuffle).
+NON_NAMELIKE_CAP = 1_000_000
+
+
+def non_namelike_surfaces(dictionary: DataFrame, cap: int = NON_NAMELIKE_CAP):
+    """Normalized dictionary surfaces that the name-shape heuristic would
+    miss.  Returns a set (usually small), or None when it exceeds `cap` —
+    the caller must then run the detector in emit-all mode.  This replaces
+    the old full-dictionary collect: the driver never materializes more
+    than `cap` surfaces no matter how large the dictionary is."""
+    from . import link as L
+
+    rows = (
+        dictionary.select(L.normalize_form(F.col("surface")).alias("s"))
+        .where(~F.col("s").rlike(NAMELIKE_SQL))
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return {r["s"] for r in rows if r["s"]}
+
+
+def make_candidate_detector(spark, extra_surfaces: set[str] | None):
+    """Vocabulary-light detector: emits every name-like token, every token
+    in `extra_surfaces` (non-name-like dictionary surfaces), and ISO
+    timestamps.  Entity-vs-unknown classification is decided downstream by
+    the broadcast dictionary join (unified_stage1) — the join hit IS the
+    membership test, so the full dictionary never crosses to the driver.
+
+    `extra_surfaces=None` = emit-ALL-tokens mode (dictionary had more
+    non-name-like surfaces than NON_NAMELIKE_CAP); pair it with
+    unified_stage1(prefiltered=False) so the join-side filter drops
+    tokens that neither hit the dictionary nor look name-like."""
+    bc = spark.sparkContext.broadcast(
+        frozenset(extra_surfaces) if extra_surfaces is not None else None
+    )
+
+    @F.pandas_udf(MENTION_TYPE)
+    def detect(texts: pd.Series) -> pd.Series:
+        extra = bc.value
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append([])
+                continue
+            low = txt.lower()
+            found = []
+            for tok in dict.fromkeys(_TOKEN_RE.findall(low)):
+                if extra is None or _NAMELIKE_RE.match(tok) or tok in extra:
+                    found.append(("cand", tok))
+            found += [("ts", iso) for iso in dict.fromkeys(_ISO_RE.findall(txt))]
+            out.append(found)
+        return pd.Series(out)
+
+    return detect
 
 
 def make_mention_detector(spark, surfaces: set[str], include_unknown: bool = True):
@@ -220,7 +284,10 @@ def with_next_turn(base: DataFrame, chunk: int | None = None) -> DataFrame:
     )
 
 
-def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> DataFrame:
+def unified_stage1(
+    transcripts: DataFrame, detector, dictionary: DataFrame,
+    prefiltered: bool = True,
+) -> DataFrame:
     """Single-pass stage 1: structural + exact-linked mention triples from
     ONE scan of the transcript table.
 
@@ -303,6 +370,13 @@ def unified_stage1(transcripts: DataFrame, detector, dictionary: DataFrame) -> D
         F.broadcast(dim), exploded.norm_form == dim.surface, "left"
     )
     hit = F.col("canon_uri").isNotNull()
+    if not prefiltered:
+        # emit-all detector mode: the join is the membership test — drop
+        # tokens that neither hit the dictionary nor look name-like
+        # (exactly what the prefiltering UDF drops in the normal mode).
+        joined = joined.where(
+            F.col("form").isNull() | hit | F.col("norm_form").rlike(NAMELIKE_SQL)
+        )
     return joined.select(
         "conv_id",
         "turn_idx",

@@ -211,9 +211,11 @@ def mark_done(
     run_id: str,
     stage: str,
     parts: DataFrame | None,
-) -> None:
+) -> list[tuple[str, int]]:
     """parts=None (fresh full run): the done set is whatever landed in the
-    sink, read from its partition directories — no Spark job."""
+    sink, read from its partition directories — no Spark job.  Returns the
+    (ts_day, conv_bucket) pairs marked, so the caller can scope lineage to
+    exactly the partitions THIS run landed."""
     import pyarrow as pa
 
     if parts is None:
@@ -230,6 +232,7 @@ def mark_done(
         }
     )
     _append_control_rows(io, MANIFEST, table)
+    return pairs
 
 
 def append_lineage(

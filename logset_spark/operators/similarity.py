@@ -63,20 +63,32 @@ def cosine_topk(
     )
 
 
-def make_sign_lsh_udf(dim: int, n_planes: int = 8, seed: int = 11):
-    """pandas UDF: embedding -> LSH bucket id (sign bits vs fixed random
-    hyperplanes).  One numpy matmul per Arrow batch."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+def make_sign_lsh_udf(n_planes: int = 8, n_tables: int = 1, seed: int = 11):
+    """pandas UDF: embedding -> array of LSH bucket ids, one per hash
+    table (sign bits vs fixed random hyperplanes; the table index rides in
+    the high bits so tables never collide).  One numpy matmul per Arrow
+    batch covering all tables at once.
+
+    The hyperplanes are derived lazily from (seed, dim-of-first-batch):
+    a seeded generator produces the identical plane tensor in every
+    executor/batch, so NO driver-side action is needed to learn the
+    embedding dimension (the old `corpus.first()` probe is gone)."""
     powers = (1 << np.arange(n_planes)).astype(np.int64)
+    tags = (np.arange(n_tables, dtype=np.int64) << n_planes)
 
-    @F.pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = mat.astype(np.float64) @ planes >= 0  # (batch, n_planes)
-        return pd.Series(signs @ powers)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        planes = np.random.default_rng(seed).standard_normal(
+            (mat.shape[1], n_tables * n_planes)
+        )
+        signs = (mat @ planes >= 0).reshape(len(mat), n_tables, n_planes)
+        ids = signs @ powers + tags  # (batch, n_tables)
+        return pd.Series(list(ids))
 
-    return bucket
+    return buckets
 
 
 def lsh_topk(
@@ -86,20 +98,47 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int | None = None,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
-    (equi-join on bucket id), exact cosine inside the bucket."""
-    dim = len(corpus.select(vec_col).first()[0])
-    bucket = make_sign_lsh_udf(dim, n_planes)
-    q = queries.select(
+    neighborhood (equi-join on bucket id), exact cosine inside.
+
+    Standard L-table OR-construction + multi-probe:
+    * `n_tables` independent sign-LSH tables — a neighbor is a candidate
+      if it shares a bucket in ANY table (recall 1-(1-p^b)^L instead of
+      p^b for one table);
+    * each query additionally probes the buckets at Hamming distance 1
+      from its own in every table (`n_probes` bit flips, default ALL
+      n_planes), catching neighbors that disagree on a single hyperplane.
+    Cost model at scale: the corpus is hashed once into L buckets per
+    vector (map-side; the bucket join key is the only thing that fans
+    out), probing cost scales on the small broadcast query side only, and
+    duplicate candidates across tables are deduped BEFORE ranking.  Recall
+    vs the exact baseline is measured in
+    tests/test_properties.py::test_ann_lsh_recall and reported by
+    bench.py."""
+    bucket = make_sign_lsh_udf(n_planes, n_tables)
+    if n_probes is None:
+        n_probes = n_planes
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qe"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        bucket(F.col(vec_col)).alias("bs"),
     )
+    probes = F.flatten(
+        F.transform(
+            "bs",
+            lambda b: F.array(
+                b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_probes)]
+            ),
+        )
+    )
+    q = q0.select("query_id", "qe", F.explode(probes).alias("bucket"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("ce"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -109,6 +148,7 @@ def lsh_topk(
             "neighbor_id",
             F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
         )
+        .distinct()  # a pair can collide in several tables/probes
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

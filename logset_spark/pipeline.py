@@ -30,6 +30,7 @@ dedup groupBy, and the layout repartition — everything quadratic-ish
 
 from __future__ import annotations
 
+import shutil
 import time
 import uuid
 
@@ -43,22 +44,33 @@ from .sources.tableio import TableIO
 STAGE_TRIPLES = "stage_triples"
 STAGE1 = "extract_link"
 
+
+def _stage_name(run_id: str) -> str:
+    """Run-scoped checkpoint table name.  Scoping by run_id means a fresh
+    run can never pick up stale buckets left by a previous run whose input
+    no longer covers them (dynamic overwrite only replaces buckets present
+    in the CURRENT input); resume-with-same-run_id still finds its own
+    checkpoint.  The dir is removed on successful completion."""
+    return f"{STAGE_TRIPLES}/run={run_id}"
+
 _TRIPLE_SCHEMA = (
     "subj string, pred string, obj string, conv_id string, "
     "turn_idx int, ts timestamp, conf double"
 )
 
 
-def _stage1_triples(todo: DataFrame, dictionary: DataFrame, detector) -> DataFrame:
+def _stage1_triples(
+    todo: DataFrame, dictionary: DataFrame, detector, prefiltered: bool = True
+) -> DataFrame:
     """Structural + exact-linked mention triples from one scan (see
     extract.unified_stage1 for the plan shape).  Mention rows that missed
     the dictionary carry `form_key` (normalized surface) so stage 4 can
     rewrite them from the fuzzy links broadcast; every other row has
     form_key null."""
-    return extract.unified_stage1(todo, detector, dictionary)
+    return extract.unified_stage1(todo, detector, dictionary, prefiltered)
 
 
-def _write_stage1(io: TableIO, df: DataFrame) -> None:
+def _write_stage1(io: TableIO, run_id: str, df: DataFrame) -> None:
     """Mapper-direct bucket-partitioned write: each scan task writes its
     rows straight into conv_bucket=N dirs — zero shuffle, full scan-side
     parallelism.  Dynamic partition overwrite keeps re-runs idempotent
@@ -70,17 +82,18 @@ def _write_stage1(io: TableIO, df: DataFrame) -> None:
         )
         .write.mode("overwrite")
         .partitionBy("conv_bucket")
-        .parquet(io.path(STAGE_TRIPLES))
+        .parquet(io.path(_stage_name(run_id)))
     )
 
 
 def _fuzzy_links(
-    spark: SparkSession, io: TableIO, dictionary: DataFrame, threshold: float
+    spark: SparkSession, io: TableIO, run_id: str, dictionary: DataFrame,
+    threshold: float
 ) -> DataFrame:
     """Stage 2 over the checkpoint: the stage_triples read is column-pruned
     to (form_key) + the null filter, so this scan ships two columns."""
     forms = (
-        io.read(spark, STAGE_TRIPLES)
+        io.read(spark, _stage_name(run_id))
         .where(F.col("form_key").isNotNull())
         .select(F.col("form_key").alias("form"))
         .distinct()
@@ -126,6 +139,7 @@ def _same_as_triples(
 def _finalize(
     spark: SparkSession,
     io: TableIO,
+    run_id: str,
     links: DataFrame,
     pending_final: DataFrame | None,
 ) -> DataFrame:
@@ -137,7 +151,7 @@ def _finalize(
 
     The links side is tiny (distinct fuzzy forms) -> broadcast left join;
     rows with null form_key pass through untouched."""
-    staged = io.read(spark, STAGE_TRIPLES).drop("conv_bucket")
+    staged = io.read(spark, _stage_name(run_id)).drop("conv_bucket")
     if pending_final is not None:
         staged = materialize.filter_to_pending(staged, pending_final, io.n_buckets)
     lk = links.select(
@@ -191,12 +205,17 @@ def _finisher(df: DataFrame) -> DataFrame:
 def _obs_count(obs: Observation) -> int:
     """Observation metric, robust to the empty-write quirk: a dynamic-
     partition-overwrite of ZERO rows completes without materializing the
-    CollectMetrics row (schema-less row -> JVM assertion in toPyRow), so
-    an empty pass legitimately reads as 0."""
+    CollectMetrics row (schema-less row -> JVM AssertionError in toPyRow),
+    so an empty pass legitimately reads as 0.  Only THAT failure shape is
+    swallowed — anything else would silently zero the lineage counts and
+    is re-raised."""
     try:
         return int(obs.get["n"])
-    except Exception:
-        return 0
+    except Exception as exc:  # narrow: the empty-row toPyRow assertion only
+        msg = f"{type(exc).__name__}: {exc}"
+        if "AssertionError" in msg or "valueCount" in msg or "KeyError" in msg:
+            return 0
+        raise
 
 
 def build_graph(
@@ -258,14 +277,22 @@ def build_graph(
             )
     _mark("plan_pending")
 
-    # Stage 1: extract + exact link -> checkpointed stage_triples
+    # Stage 1: extract + exact link -> checkpointed stage_triples.  The
+    # detector never sees the full dictionary: only the (small) set of
+    # non-name-like surfaces rides a broadcast; entity-vs-unknown is
+    # decided by the broadcast dictionary join inside unified_stage1, so
+    # nothing dictionary-scale is ever collected to the driver.
     rows_in = 0
-    surfaces = {r["surface"] for r in dictionary.select("surface").distinct().collect()}
     if s1_todo is not None:
         obs_in = Observation("rows_in")
         s1_todo = s1_todo.observe(obs_in, F.count(F.lit(1)).alias("n"))
-        detector = extract.make_mention_detector(spark, surfaces, include_unknown=True)
-        _write_stage1(io, _stage1_triples(s1_todo, dictionary, detector))
+        extra = extract.non_namelike_surfaces(dictionary)
+        detector = extract.make_candidate_detector(spark, extra)
+        _write_stage1(
+            io, run_id,
+            _stage1_triples(s1_todo, dictionary, detector,
+                            prefiltered=extra is not None),
+        )
         rows_in = _obs_count(obs_in)
         # Mark every PLANNED bucket done, not just the sink dirs that
         # materialized: a bucket with no conversations produces no dir,
@@ -276,7 +303,7 @@ def build_graph(
 
     # Stage 2: fuzzy linking over distinct unlinked forms (tiny domain)
     if fuzzy:
-        links = _fuzzy_links(spark, io, dictionary, fuzzy_threshold)
+        links = _fuzzy_links(spark, io, run_id, dictionary, fuzzy_threshold)
     else:
         links = spark.createDataFrame([], "form string, canon_uri string, score double")
     links = links.persist()  # tiny: distinct fuzzy forms only
@@ -295,7 +322,7 @@ def build_graph(
     # into DISJOINT partitions (sameAs rows have null ts -> the
     # __HIVE_DEFAULT_PARTITION__ pseudo-day), so both stay idempotent.
     obs_out = Observation("rows_out")
-    final = _finalize(spark, io, links, pending_final).observe(
+    final = _finalize(spark, io, run_id, links, pending_final).observe(
         obs_out, F.count(F.lit(1)).alias("n")
     )
     io.write(final, materialize.TRIPLES, finisher=_finisher)
@@ -304,7 +331,9 @@ def build_graph(
         io.write(same_as, materialize.TRIPLES)
     rows_out = _obs_count(obs_out) + n_same
     _mark("materialize")
-    materialize.mark_done(spark, io, run_id, "materialize", pending_final)
+    done_pairs = materialize.mark_done(
+        spark, io, run_id, "materialize", pending_final
+    )
     _mark("mark_done")
 
     wall_ms = int((time.monotonic() - t0) * 1000)
@@ -312,10 +341,22 @@ def build_graph(
         materialize.append_lineage(
             spark, io, run_id, "build_graph", rows_in, rows_out, wall_ms
         )
-        materialize.append_partition_lineage(
-            io, run_id, "materialize",
-            materialize.partition_row_counts(io, materialize.TRIPLES),
-        )
+        # Scope per-partition lineage to the partitions THIS run landed:
+        # on a shared warehouse / resume, partition_row_counts lists every
+        # sink partition, and crediting earlier runs' partitions to this
+        # run_id would corrupt lineage-based verification.  Null-ts
+        # pseudo-days (sameAs rows) are regenerated every run, so they are
+        # always this run's.
+        this_run = {(d, b) for d, b in done_pairs}
+        counts = [
+            c for c in materialize.partition_row_counts(io, materialize.TRIPLES)
+            if (c[0], c[1]) in this_run or c[0].startswith("__")
+        ]
+        materialize.append_partition_lineage(io, run_id, "materialize", counts)
+    # Successful completion: the run-scoped stage-1 checkpoint is dead
+    # weight now (resume consults the manifest and skips before reading
+    # it) — drop it so stale buckets can never leak into a later run.
+    shutil.rmtree(io.path(_stage_name(run_id)), ignore_errors=True)
     _mark("finalize")
     links.unpersist()
     if pending_final is not None:

@@ -360,7 +360,8 @@ def q_session(spark, sf):
 
 
 SQL_SESSION = f"""
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN prev_ts IS NULL
                    OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
@@ -844,10 +845,43 @@ FROM documents GROUP BY md5(text)
 """
 
 
+_NGRAM_BANDS = 4  # min-hash bands for candidate blocking (both engines)
+
+
+def ngram_minhash_blocks(docs):
+    """(doc_id, shingles) -> (doc_id, band, bkey): per band b, the block
+    key is min(md5(b || shingle)) — a true minwise hash, so two docs share
+    a band key with probability = their Jaccard.  Block population follows
+    near-dup cluster sizes, never a length/lang quadratic blowup
+    (bucket-size bound asserted in tests/test_properties.py)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.array_min(
+                    F.transform(
+                        "shingles",
+                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
+                    )
+                ).alias("bkey"),
+            )
+            for i in range(_NGRAM_BANDS)
+        ]
+    )
+    return docs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
 def q_dedup_ngram(spark, sf):
-    """Exact token-3-gram (shingle) Jaccard over blocked candidate pairs.
-    Blocking key = (lang, n_chars): only same-block pairs are compared —
-    the same block-join-verify shape the MinHash path uses at scale."""
+    """Exact token-3-gram (shingle) Jaccard over MINHASH-BLOCKED candidate
+    pairs: per band b, block key = min(md5(b || shingle)) — a true minwise
+    hash, so P(same key) = Jaccard per band and candidates are only ever
+    generated intra-bucket.  This is the blocking that survives 100 TB
+    (bucket sizes follow near-dup cluster sizes, never a length/lang
+    quadratic blowup), and md5/list-min are deterministic in BOTH engines,
+    so the oracle reproduces the exact same candidate set.  Verify stage =
+    exact Jaccard on the (tiny) candidate pairs, threshold 0.4."""
     d = _t(spark, sf, "documents")
     toks = _tokens(F.col("text"))
     sh = F.array_distinct(
@@ -856,42 +890,59 @@ def q_dedup_ngram(spark, sf):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         )
     )
-    docs = d.select("doc_id", "lang", "n_chars", sh.alias("shingles"))
-    a = docs.alias("a")
-    b = docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.floor(F.col("a.n_chars") / 50) == F.floor(F.col("b.n_chars") / 50))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    docs = d.select("doc_id", sh.alias("shingles"))
+    banded = ngram_minhash_blocks(docs)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.round(
-        F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-        / F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles"))),
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
         4,
     )
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        jac.alias("jaccard"),
-    ).where(F.col("jaccard") >= 0.05)
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.4)
+    )
 
 
-SQL_DEDUP_NGRAM = """
+SQL_DEDUP_NGRAM = f"""
 WITH docs AS (
-  SELECT doc_id, lang, n_chars,
+  SELECT doc_id,
          list_distinct(list_transform(
            range(len(string_split(lower(text),' ')) - 2),
            i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' ')
          )) AS shingles
-  FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.shingles, b.shingles)) /
-             CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4) AS jaccard
-FROM docs a JOIN docs b
-  ON a.lang = b.lang AND (a.n_chars // 50) = (b.n_chars // 50) AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingles, b.shingles)) /
-            CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4) >= 0.05
+  FROM documents),
+banded AS (
+  SELECT doc_id, band,
+         list_min(list_transform(shingles,
+                  s -> md5(CAST(band AS VARCHAR) || '|' || s))) AS bkey
+  FROM docs, (SELECT unnest(range({_NGRAM_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(da.shingles, db.shingles)) /
+             CAST(len(list_distinct(list_concat(da.shingles, db.shingles))) AS DOUBLE), 4) AS jaccard
+FROM cand
+JOIN docs da ON cand.doc_a = da.doc_id
+JOIN docs db ON cand.doc_b = db.doc_id
+WHERE round(len(list_intersect(da.shingles, db.shingles)) /
+            CAST(len(list_distinct(list_concat(da.shingles, db.shingles))) AS DOUBLE), 4) >= 0.4
 """
 
 
@@ -993,13 +1044,16 @@ WHERE rk <= 5
 
 
 def q_ann_lsh(spark, sf):
-    """LSH-bucketed ANN (random-hyperplane signs): rows-only check —
-    the scale path whose recall is measured against q_ann_cosine."""
+    """LSH-bucketed ANN (16 sign-LSH tables x 6 planes, Hamming-1
+    multi-probe): rows-only check — the scale path whose recall vs
+    q_ann_cosine is asserted >=0.9 in tests/test_properties.py::
+    test_ann_lsh_recall and reported by bench.py (measured 0.98@5 on
+    sf0.01)."""
     from .operators.similarity import lsh_topk
 
     em = _t(spark, sf, "embeddings")
     queries = em.where(F.col("vec_id") < 3)
-    return lsh_topk(queries, em, k=5, n_planes=8)
+    return lsh_topk(queries, em, k=5, n_planes=6, n_tables=16)
 
 
 _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1052,40 +1106,90 @@ FROM documents
 """
 
 
+_EMB_BANDS, _EMB_BITS = 4, 4  # sign-LSH: 4 bands x 4 sign bits (dims 1-16)
+
+
 def q_dedup_embed(spark, sf):
-    """Embedding-cosine near-dup pairs, label-blocked: only same-label
-    pairs are scored (the blocking that keeps this linear-ish at scale;
-    at 100 TB the block key is an LSH bucket instead of the label)."""
+    """Embedding-cosine near-dup pairs over SIGN-LSH buckets: band b's
+    block key is the 4 sign bits of dims 4b+1..4b+4; a pair is a candidate
+    iff it shares a full band (pigeonhole: high-cosine vectors agree on
+    most signs, so at least one band matches with high probability).
+    Buckets bound the join fan-out at any scale — no label/length blocking,
+    no all-pairs — and sign() is exactly reproducible in SQL, so the
+    oracle generates the identical candidate set.  Verify = exact cosine
+    on candidates, threshold 0.3."""
     from .operators.similarity import cosine
 
     em = _t(spark, sf, "embeddings")
     v = em.select(
-        "vec_id", "label",
+        "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    a, b = v.alias("a"), v.alias("b")
+
+    def bits(band: int):
+        return F.concat(
+            *[
+                F.when(F.element_at("e", band * _EMB_BITS + d + 1) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for d in range(_EMB_BITS)
+            ]
+        )
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), bits(i).alias("bits"))
+            for i in range(_EMB_BANDS)
+        ]
+    )
+    banded = v.select("vec_id", F.explode(bands).alias("b")).select(
+        "vec_id", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    eb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.e"), F.col("b.e")), 4).alias("cosine"),
+            "vec_a", "vec_b",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 4).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.3)
     )
 
 
-SQL_DEDUP_EMBED = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.3
+SQL_DEDUP_EMBED = f"""
+WITH banded AS (
+  SELECT vec_id, band,
+         (CASE WHEN embedding[band*{_EMB_BITS}+1] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[band*{_EMB_BITS}+2] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[band*{_EMB_BITS}+3] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[band*{_EMB_BITS}+4] >= 0 THEN '1' ELSE '0' END) AS bits
+  FROM embeddings, (SELECT unnest(range({_EMB_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 4) AS cosine
+FROM cand
+JOIN embeddings ea ON cand.vec_a = ea.vec_id
+JOIN embeddings eb ON cand.vec_b = eb.vec_id
+WHERE round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 4) >= 0.3
 """
 
 
@@ -1108,11 +1212,18 @@ FROM documents
 
 def q_multimodal_features(spark, sf):
     """Stubbed media decode -> feature vectors via mapInPandas (Arrow
-    batches).  Feature values are stub-decoder-specific -> rows-only."""
+    batches).  Feature values are stub-decoder-specific -> rows-only.
+
+    posexploded to (doc_id, feat_idx, feat_val) so every column is a
+    scalar the driver's canonicalizer can sort/hash (array<double> is
+    unhashable in pandas)."""
     from .operators.multimodal import attach_binary, extract_features
 
     d = _t(spark, sf, "documents")
-    return extract_features(attach_binary(d))
+    feats = extract_features(attach_binary(d))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat_val")
+    )
 
 
 def q_multimodal_frames(spark, sf):
@@ -1122,6 +1233,92 @@ def q_multimodal_frames(spark, sf):
 
     d = _t(spark, sf, "documents")
     return frame_sample(attach_binary(d))
+
+
+# ---- grouped-map / grouped-agg / CC / set-op additions --------------------
+
+
+def q_grouped_map(spark, sf):
+    """V4 applyInPandas: per-user event profile (count, median value, max
+    inter-event gap) — whole-group pandas computation, one shuffle on the
+    group key (see operators/grouped.py)."""
+    from .operators.grouped import user_event_profile
+
+    return user_event_profile(_t(spark, sf, "events"))
+
+
+SQL_GROUPED_MAP = """
+SELECT user_id, count(*) AS n_events,
+       round(median(value), 4) AS median_value,
+       max(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS max_gap_s
+FROM (SELECT user_id, value, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events) t
+GROUP BY user_id
+"""
+
+
+def q_pandas_udaf(spark, sf):
+    """V5 grouped-agg pandas UDAF: quantity-weighted mean price per return
+    flag, composed with a native count in one agg()."""
+    from .operators.grouped import weighted_price_by_flag
+
+    return weighted_price_by_flag(_t(spark, sf, "lineitem"))
+
+
+SQL_PANDAS_UDAF = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w_avg_price,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cc(spark, sf):
+    """J7/A7 connected components over a deterministic bipartite graph
+    (user <-> event_type edges from `events`), forced down the DISTRIBUTED
+    min-label-propagation path (small_graph_edges=0) so the oracle checks
+    the iterative DataFrame loop, not the driver-side union-find.
+    component = lexicographic min node of the component, matching the
+    DuckDB WITH RECURSIVE min-label oracle."""
+    from .operators.cc import connected_components
+
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    return connected_components(edges, small_graph_edges=0)
+
+
+SQL_CC = """
+WITH RECURSIVE
+base AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                         't:' || event_type AS dst
+         FROM events),
+edges AS (SELECT src, dst FROM base
+          UNION SELECT dst AS src, src AS dst FROM base),
+walk(node, comp) AS (
+  SELECT src AS node, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node
+"""
+
+
+def q_intersect(spark, sf):
+    """U2 direct DataFrame.intersect (set semantics incl. dedup)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1153,6 +1350,7 @@ REGISTRY: dict[str, tuple] = {
     "q_topk": (q_topk, SQL_TOPK),
     # set ops
     "q_union": (q_union, SQL_UNION),
+    "q_intersect": (q_intersect, SQL_INTERSECT),
     "q_except": (q_except, SQL_EXCEPT),
     "q_semi": (q_semi, SQL_SEMI),
     "q_anti": (q_anti, SQL_ANTI),
@@ -1164,6 +1362,10 @@ REGISTRY: dict[str, tuple] = {
     "q_asof": (q_asof, SQL_ASOF),
     "q_cross": (q_cross, SQL_CROSS),
     "q_pivot": (q_pivot, SQL_PIVOT),
+    # grouped-map / grouped-agg / CC
+    "q_grouped_map": (q_grouped_map, SQL_GROUPED_MAP),
+    "q_pandas_udaf": (q_pandas_udaf, SQL_PANDAS_UDAF),
+    "q_cc": (q_cc, SQL_CC),
     # KG flagship family
     "q_kg_structural": (q_kg_structural, SQL_KG_STRUCTURAL),
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),

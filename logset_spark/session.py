@@ -32,12 +32,15 @@ _BASE_CONFS = {
     "spark.sql.files.openCostInBytes": "1m",
     # Idempotent per-partition re-runs (SURVEY §2 S4).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
-    # Straggler defense: a python UDF worker that dies without closing its
-    # socket leaves the task blocked in ReaderInputStream.read forever
-    # (observed once under load in this sandbox); a speculative attempt on
-    # a fresh worker unsticks it.  Also the cluster-scale answer to slow
-    # nodes at 10^12 rows.  Duplicate attempts are safe: the output
-    # committer lets exactly one attempt commit.
+    # Straggler defense AT CLUSTER SCALE: a python UDF worker that dies
+    # without closing its socket leaves the task blocked in
+    # ReaderInputStream.read forever (observed once under load in this
+    # sandbox).  NOTE: under the default local[N] master this conf is a
+    # no-op — TaskSchedulerImpl only starts the speculation thread for
+    # cluster / local-cluster masters (SPARK_GRAFT_MASTER=submit) — so in
+    # local mode the actual guard is the harness-level subprocess
+    # timeout/retry (scripts/scaling_bench.py).  Duplicate attempts are
+    # safe: the output committer lets exactly one attempt commit.
     "spark.speculation": "true",
     "spark.speculation.multiplier": "4",
     "spark.speculation.quantile": "0.9",

@@ -45,6 +45,12 @@ PRED_CODES = {
     USED_TOOL: 5, MENTIONS: 6, FOLLOWED_BY: 7, IN_SESSION: 8,
 }
 _CODE_TO_PRED = [p for p, _ in sorted(PRED_CODES.items(), key=lambda kv: kv[1])]
+# element_at below indexes a dense array literal, so codes MUST be exactly
+# 1..N — a gap would silently shift every predicate above it and corrupt
+# reconstructed triples.  Fail at import time instead.
+assert sorted(PRED_CODES.values()) == list(range(1, len(PRED_CODES) + 1)), (
+    "PRED_CODES must be contiguous 1..N for the element_at lookup"
+)
 
 
 def pred_from_code(code) -> Column:

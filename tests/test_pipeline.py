@@ -115,9 +115,10 @@ def test_resume_after_stage1_kill(spark, tmp_path):
     io_kill = TableIO(str(tmp_path / "wh_kill"), n_buckets=4)
     surfaces = set(dpdf.surface)
     det = extract.make_mention_detector(spark, surfaces, include_unknown=True)
-    P._write_stage1(io_kill, P._stage1_triples(tdf, ddf, det))
+    P._write_stage1(io_kill, "crashy", P._stage1_triples(tdf, ddf, det))
     materialize.mark_buckets_done(
-        io_kill, "crashy", P.STAGE1, materialize.sink_buckets(io_kill, P.STAGE_TRIPLES)
+        io_kill, "crashy", P.STAGE1,
+        materialize.sink_buckets(io_kill, P._stage_name("crashy")),
     )
     # resume with the same run_id
     res = build_graph(spark, tdf, ddf, io_kill, run_id="crashy")
@@ -163,9 +164,10 @@ def test_resume_partial_bucket_crash(spark, tmp_path):
     only = tdf.where(
         FF.pmod(FF.xxhash64("conv_id"), FF.lit(4)).cast("int").isin([0, 1])
     )
-    P._write_stage1(io_kill, P._stage1_triples(only, ddf, det))
+    P._write_stage1(io_kill, "crashy2", P._stage1_triples(only, ddf, det))
     done = [
-        b for b in materialize.sink_buckets(io_kill, P.STAGE_TRIPLES) if b in (0, 1)
+        b for b in materialize.sink_buckets(io_kill, P._stage_name("crashy2"))
+        if b in (0, 1)
     ]
     materialize.mark_buckets_done(io_kill, "crashy2", P.STAGE1, done)
 

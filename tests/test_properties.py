@@ -242,3 +242,95 @@ def test_write_salt_invariance(spark, tmp_path):
     build_graph(spark, tdf, ddf, io1, run_id="s1")
     build_graph(spark, tdf, ddf, io4, run_id="s4")
     assert fp(io1) == fp(io4)
+
+
+# ---------------------------------------------------------------------------
+# ANN: LSH recall vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def test_ann_lsh_recall(spark):
+    """The approximate path (16 sign-LSH tables x 6 planes, Hamming-1
+    multi-probe) must recover >=90% of the exact cosine top-5 sets —
+    the recall floor q_ann_lsh advertises (bench.py reports the measured
+    number per run)."""
+    from logset_spark.operators.similarity import cosine_topk, lsh_topk
+
+    em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = em.where(F.col("vec_id") < 50)
+    exact = cosine_topk(q, em, k=5).select("query_id", "neighbor_id").toPandas()
+    approx = (
+        lsh_topk(q, em, k=5, n_planes=6, n_tables=16)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    e = set(map(tuple, exact.values))
+    a = set(map(tuple, approx.values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"LSH recall@5 {recall:.3f} < 0.9"
+
+
+# ---------------------------------------------------------------------------
+# dedup blocking: bucket sizes bounded on adversarially skewed input
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_ngram_blocking_bounded(spark):
+    """The minhash block key must NOT blow up on inputs where every doc
+    shares (lang, length) — the skew that made the old (lang, n_chars//50)
+    key quadratic.  300 same-length same-lang docs with 5 planted 4-doc
+    near-dup clusters: every intra-cluster pair must be a candidate, and
+    total candidates must stay near the planted count (no length-bucket
+    cartesian)."""
+    from logset_spark.queries import ngram_minhash_blocks
+
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i:04d}" for i in range(5000)])
+    texts, clusters = [], []
+    for c in range(5):  # 5 clusters of 4 near-identical docs
+        base = rng.choice(vocab, size=40)
+        for j in range(4):
+            t = base.copy()
+            t[rng.integers(0, 40)] = rng.choice(vocab)  # one-word edit
+            clusters.append(c)
+            texts.append(" ".join(t))
+    for _ in range(280):  # background: same length, distinct content
+        clusters.append(-1)
+        texts.append(" ".join(rng.choice(vocab, size=40)))
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                        "cluster": clusters})
+    d = spark.createDataFrame(pdf[["doc_id", "text"]])
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    banded = ngram_minhash_blocks(d.select("doc_id", sh.alias("shingles")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .toPandas()
+    )
+    pairs = set(map(tuple, cand.values))
+    planted = {
+        (i, j)
+        for i in range(20)
+        for j in range(i + 1, 20)
+        if clusters[i] == clusters[j]
+    }
+    missed = planted - pairs
+    assert not missed, f"near-dup pairs missed by blocking: {missed}"
+    # bucket population must track clusters, not the length/lang skew:
+    # the old key put all 300 docs in ONE block (44850 pairs)
+    assert len(pairs) <= len(planted) + 40, (
+        f"{len(pairs)} candidate pairs — blocking degenerated"
+    )
