@@ -30,7 +30,11 @@ def _bidirect(edges: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
-SMALL_GRAPH_EDGES = 2_000_000
+# Driver-path ceiling: 250k edges x ~(2 python str objects + dict slots)
+# ≈ low hundreds of MB of driver heap worst-case — a safe spike on any
+# sane driver.  (2M edges was flagged as a multi-GB spike right at the
+# threshold: ~100 B/row of payload is dwarfed by CPython object overhead.)
+SMALL_GRAPH_EDGES = 250_000
 
 
 def _driver_side_cc(edges: DataFrame) -> DataFrame:

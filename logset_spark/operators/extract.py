@@ -244,10 +244,22 @@ def mentions(transcripts: DataFrame, detector) -> DataFrame:
 # summary table that is |turns|/TURN_CHUNK small.
 TURN_CHUNK = 4096
 
+# predicate-code value marking the PACKED per-turn checkpoint row (all six
+# structural triples derive from it post-layout-shuffle); real predicate
+# codes start at 1 (vocab.PRED_CODES)
+TURN_PC = 0
 
-def with_next_turn(base: DataFrame, chunk: int | None = None) -> DataFrame:
-    """Attach next_u (URI of the next turn in the conversation) without
-    unbounded per-conv_id skew.
+
+def with_next_turn(
+    base: DataFrame,
+    chunk: int | None = None,
+    col: str = "turn_u",
+    out: str = "next_u",
+) -> DataFrame:
+    """Attach `out` = the next turn's `col` value within the conversation,
+    without unbounded per-conv_id skew.  The pipeline leads the (4-byte)
+    turn_idx itself (col="turn_idx", out="next_idx") so only ints ride the
+    shuffle; the URI form is reconstructed post-layout-shuffle.
 
     Plan shape: ONE shuffle on (conv_id, chunk) — the window, the per-chunk
     boundary aggregate, and the boundary join all reuse that partitioning
@@ -259,28 +271,28 @@ def with_next_turn(base: DataFrame, chunk: int | None = None) -> DataFrame:
     w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
     chunked = base.withColumn(
         "_chunk", F.floor(F.col("turn_idx") / chunk).cast("int")
-    ).withColumn("next_u", F.lead("turn_u").over(w))
+    ).withColumn(out, F.lead(col).over(w))
 
     wb = Window.partitionBy("conv_id").orderBy("_chunk")
     bounds = (
         chunked.groupBy("conv_id", "_chunk")
         .agg(
-            F.min_by("turn_u", "turn_idx").alias("_first_u"),
+            F.min_by(col, "turn_idx").alias("_first_v"),
             F.max("turn_idx").alias("_last_idx"),
         )
-        .withColumn("_next_first_u", F.lead("_first_u").over(wb))
-        .select("conv_id", "_chunk", "_next_first_u", "_last_idx")
+        .withColumn("_next_first_v", F.lead("_first_v").over(wb))
+        .select("conv_id", "_chunk", "_next_first_v", "_last_idx")
     )
     return (
         chunked.join(bounds, ["conv_id", "_chunk"], "left")
         .withColumn(
-            "next_u",
+            out,
             F.coalesce(
-                "next_u",
-                F.when(F.col("turn_idx") == F.col("_last_idx"), F.col("_next_first_u")),
+                out,
+                F.when(F.col("turn_idx") == F.col("_last_idx"), F.col("_next_first_v")),
             ),
         )
-        .drop("_chunk", "_next_first_u", "_last_idx")
+        .drop("_chunk", "_next_first_v", "_last_idx")
     )
 
 
@@ -302,13 +314,21 @@ def unified_stage1(
     input twice and runs both legs concurrently — measured 2x slower at
     32 cores from JVM/python-worker core contention.
 
-    Output is the SLIM checkpoint row — conv_id, turn_idx, ts,
-    pc (tinyint predicate code), obj, conf, form_key — not full triples:
-    subj and pred are functionally determined (vocab.subj_from_code /
-    pred_from_code) and a repeated 20-byte URI + 8-byte predicate string
-    per row is pure dead weight through the 10^12-row shuffles; the full
-    strings are reconstructed after the final layout shuffle.  form_key
-    non-null marks mentions the fuzzy stage may still rewrite."""
+    Output is the PACKED checkpoint row set:
+      * ONE turn row per input turn (pc=TURN_PC): conv_id, turn_idx, ts,
+        role, tool, next_idx — all six structural triples are functionally
+        determined by these and are exploded only AFTER the final layout
+        shuffle (pipeline._finisher), so neither the checkpoint write nor
+        the dedup/layout shuffles ever carry the 6x structural row
+        explosion or any URI strings;
+      * one mention row per linked/unlinked mention (pc=MENTIONS): obj is
+        the canonical URI / m:<form> / ts:<iso> literal, conf the link
+        score, form_key (normalized surface) non-null marks mentions the
+        fuzzy stage may still rewrite.
+    On a memory-bandwidth-bound host this ~3x byte reduction through the
+    hot write/shuffle paths is what moves N->4N scaling efficiency: the
+    explode work it defers is pure codegen'd CPU, which scales with
+    cores (scripts/hw_probe.py: cpu eff 0.93 vs mem eff 0.31)."""
     from . import link as L
     from .. import vocab as V
 
@@ -316,31 +336,20 @@ def unified_stage1(
         "conv_id",
         "turn_idx",
         "ts",
-        V.conv_uri("conv_id").alias("conv_u"),
-        V.turn_uri("conv_id", "turn_idx").alias("turn_u"),
-        V.role_uri("role").alias("role_u"),
-        V.iso_ts("ts").alias("iso"),
-        V.tool_uri("tool").alias("tool_u"),
+        "role",
+        "tool",
         detector(F.col("text")).alias("hits"),
     )
-    base = with_next_turn(base)
+    # lead the 4-byte turn_idx, not a turn URI: ints through the shuffle
+    base = with_next_turn(base, col="turn_idx", out="next_idx")
 
     C = V.PRED_CODES
-
-    def e(pred, obj):
-        return F.struct(
-            F.lit(C[pred]).cast("tinyint").alias("pc"),
-            obj.alias("obj"),
+    turn_marker = F.array(
+        F.struct(
+            F.lit(TURN_PC).cast("tinyint").alias("pc"),
+            F.lit(None).cast("string").alias("obj"),
             F.lit(None).cast("string").alias("form"),
         )
-
-    structural = F.array(
-        e(V.HAS_TURN, F.col("turn_u")),   # subj reconstructs to conv_u
-        e(V.PART_OF, F.col("conv_u")),
-        e(V.HAS_ROLE, F.col("role_u")),
-        e(V.AT_TIME, F.col("iso")),
-        e(V.USED_TOOL, F.col("tool_u")),  # null obj if no tool
-        e(V.FOLLOWED_BY, F.col("next_u")),  # null obj if last
     )
     mention = F.transform(
         "hits",
@@ -352,11 +361,11 @@ def unified_stage1(
             F.when(h["kind"] != "ts", h["form"]).alias("form"),
         ),
     )
-    entries = F.concat(
-        F.filter(structural, lambda x: x["obj"].isNotNull()), mention
-    )
+    entries = F.concat(turn_marker, mention)
+    is_turn = F.col("tr.pc") == TURN_PC
     exploded = base.select(
-        "conv_id", "turn_idx", "ts", F.explode(entries).alias("tr")
+        "conv_id", "turn_idx", "ts", "role", "tool", "next_idx",
+        F.explode(entries).alias("tr"),
     ).select(
         "conv_id", "turn_idx", "ts",
         F.col("tr.pc").alias("pc"),
@@ -364,6 +373,11 @@ def unified_stage1(
         F.col("tr.form").alias("form"),
         F.when(F.col("tr.form").isNotNull(), L.normalize_form(F.col("tr.form")))
         .alias("norm_form"),
+        # per-turn attributes ride ONLY the turn row (columnar nulls are
+        # ~free on the mention rows)
+        F.when(is_turn, F.col("role")).alias("role"),
+        F.when(is_turn, F.col("tool")).alias("tool"),
+        F.when(is_turn, F.col("next_idx")).alias("next_idx"),
     )
     dim = L.best_surface_dictionary(dictionary)
     joined = exploded.join(
@@ -389,6 +403,9 @@ def unified_stage1(
         .cast("float")
         .alias("conf"),
         F.when(F.col("form").isNotNull() & ~hit, F.col("norm_form")).alias("form_key"),
+        "role",
+        "tool",
+        "next_idx",
     )
 
 

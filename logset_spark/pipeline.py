@@ -143,24 +143,40 @@ def _finalize(
     links: DataFrame,
     pending_final: DataFrame | None,
 ) -> DataFrame:
-    """Stage 4 plan over SLIM rows: checkpointed stage_triples + fuzzy
-    rewrite, mention dedup.  Returns slim rows (conv_id, turn_idx, ts, pc,
-    obj, conf) — subject/predicate strings are reconstructed after the
-    layout shuffle by `_finisher` so the dedup + layout exchanges move
-    ~25 fewer bytes per row.
+    """Stage 4 plan over PACKED rows: checkpointed stage_triples + fuzzy
+    rewrite, mention dedup.  Returns packed rows — one row per turn
+    (pc=TURN_PC, carrying role/tool/next_idx) plus one row per deduped
+    mention — so the dedup and layout exchanges move ~3x fewer rows and
+    zero URI strings; the 6x structural explosion and all URI minting
+    happen after the final layout shuffle in `_finisher`.  Valid because
+    every triple of a turn shares the turn's (ts_day, conv_bucket)
+    partition: layout placement is decided by the packed row.
 
     The links side is tiny (distinct fuzzy forms) -> broadcast left join;
     rows with null form_key pass through untouched."""
     staged = io.read(spark, _stage_name(run_id)).drop("conv_bucket")
     if pending_final is not None:
         staged = materialize.filter_to_pending(staged, pending_final, io.n_buckets)
+    is_turn = F.col("pc") == extract.TURN_PC
+    turns = staged.where(is_turn).select(
+        "conv_id", "turn_idx", "ts", "pc", "obj", "conf",
+        "role", "tool", "next_idx",
+    )
     lk = links.select(
         F.col("form").alias("form_key"),
         F.col("canon_uri").alias("f_canon"),
         F.col("score").cast("float").alias("f_score"),
     )
-    rewritten = (
-        staged.join(F.broadcast(lk), "form_key", "left")
+    # Structural triples are distinct by construction (one turn row per
+    # (conv_id, turn_idx) under the input contract), so only mention rows
+    # — where two surface forms in one turn can resolve to the same
+    # canonical URI — go through the dedup shuffle.  The slim dedup key
+    # (conv_id, turn_idx, pc, obj) is equivalent to (subj, pred, obj):
+    # subj is a function of (pc, conv_id, turn_idx) and ts is constant
+    # within a turn.
+    deduped = (
+        staged.where(~is_turn)
+        .join(F.broadcast(lk), "form_key", "left")
         .select(
             "conv_id",
             "turn_idx",
@@ -169,30 +185,60 @@ def _finalize(
             F.coalesce("f_canon", "obj").alias("obj"),
             F.coalesce("f_score", "conf").alias("conf"),
         )
-    )
-    # Structural triples are distinct by construction (one row per turn
-    # per predicate, under the input contract that (conv_id, turn_idx) is
-    # unique), so only mention rows — where two surface forms in one turn
-    # can resolve to the same canonical URI — go through the dedup
-    # shuffle.  The slim dedup key (conv_id, turn_idx, pc, obj) is
-    # equivalent to (subj, pred, obj): subj is a function of
-    # (pc, conv_id, turn_idx) and ts is constant within a turn.
-    is_mention = F.col("pc") == V.PRED_CODES[V.MENTIONS]
-    deduped = (
-        rewritten.where(is_mention)
         .groupBy("conv_id", "turn_idx", "pc", "obj")
         .agg(F.max("conf").alias("conf"), F.min("ts").alias("ts"))
-        .select("conv_id", "turn_idx", "ts", "pc", "obj", "conf")
+        .select(
+            "conv_id", "turn_idx", "ts", "pc", "obj", "conf",
+            F.lit(None).cast("string").alias("role"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("int").alias("next_idx"),
+        )
     )
-    return rewritten.where(~is_mention).unionByName(deduped)
+    return turns.unionByName(deduped)
 
 
 def _finisher(df: DataFrame) -> DataFrame:
-    """Post-layout-shuffle projection: slim rows -> full triple schema."""
+    """Post-layout-shuffle explode + projection: packed rows -> full
+    triple rows.  Runs inside the write stage AFTER the exchange, so the
+    6x structural fan-out and every URI string are produced by codegen'd
+    CPU local to the writer task — they never cross a shuffle."""
+    conv_u = V.conv_uri("conv_id")
+    turn_u = V.turn_uri("conv_id", "turn_idx")
+
+    def e(subj, pred, obj):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+        )
+
+    structural = F.filter(
+        F.array(
+            e(conv_u, V.HAS_TURN, turn_u),
+            e(turn_u, V.PART_OF, conv_u),
+            e(turn_u, V.HAS_ROLE, V.role_uri("role")),
+            e(turn_u, V.AT_TIME, V.iso_ts("ts")),
+            e(turn_u, V.USED_TOOL, V.tool_uri("tool")),  # null obj if no tool
+            e(
+                turn_u,
+                V.FOLLOWED_BY,
+                # concat_ws skips nulls, so guard explicitly: no successor
+                # -> null obj -> filtered
+                F.when(
+                    F.col("next_idx").isNotNull(),
+                    V.turn_uri("conv_id", "next_idx"),
+                ),
+            ),
+        ),
+        lambda x: x["obj"].isNotNull(),
+    )
+    single = F.array(e(turn_u, None, F.col("obj")))  # pred patched below
+    entries = F.when(F.col("pc") == extract.TURN_PC, structural).otherwise(single)
     return df.select(
-        V.subj_from_code("pc").alias("subj"),
-        V.pred_from_code("pc").alias("pred"),
-        "obj",
+        F.explode(entries).alias("tr"),
+        "pc", "conv_id", "turn_idx", "ts", "conf", "ts_day", "conv_bucket",
+    ).select(
+        F.col("tr.subj").alias("subj"),
+        F.coalesce(F.col("tr.pred"), V.pred_from_code("pc")).alias("pred"),
+        F.col("tr.obj").alias("obj"),
         "conv_id",
         "turn_idx",
         "ts",
@@ -321,37 +367,36 @@ def build_graph(
     # stream and the tiny sameAs set land as two dynamic-overwrite writes
     # into DISJOINT partitions (sameAs rows have null ts -> the
     # __HIVE_DEFAULT_PARTITION__ pseudo-day), so both stay idempotent.
-    obs_out = Observation("rows_out")
-    final = _finalize(spark, io, run_id, links, pending_final).observe(
-        obs_out, F.count(F.lit(1)).alias("n")
-    )
+    final = _finalize(spark, io, run_id, links, pending_final)
     io.write(final, materialize.TRIPLES, finisher=_finisher)
     n_same = same_as.count()
     if n_same:
         io.write(same_as, materialize.TRIPLES)
-    rows_out = _obs_count(obs_out) + n_same
     _mark("materialize")
     done_pairs = materialize.mark_done(
         spark, io, run_id, "materialize", pending_final
     )
     _mark("mark_done")
 
+    # rows_out from parquet footer metadata, scoped to the partitions THIS
+    # run landed: exact, free (no data read), and it keeps CollectMetrics
+    # out of the 10^x-row write path.  On a shared warehouse / resume,
+    # partition_row_counts lists every sink partition, and crediting
+    # earlier runs' partitions to this run_id would corrupt lineage-based
+    # verification — null-ts pseudo-days (sameAs rows) are regenerated
+    # every run, so they are always this run's.
+    this_run = {(d, b) for d, b in done_pairs}
+    counts = [
+        c for c in materialize.partition_row_counts(io, materialize.TRIPLES)
+        if (c[0], c[1]) in this_run or c[0].startswith("__")
+    ]
+    rows_out = sum(c[2] for c in counts)
+
     wall_ms = int((time.monotonic() - t0) * 1000)
     if with_lineage:
         materialize.append_lineage(
             spark, io, run_id, "build_graph", rows_in, rows_out, wall_ms
         )
-        # Scope per-partition lineage to the partitions THIS run landed:
-        # on a shared warehouse / resume, partition_row_counts lists every
-        # sink partition, and crediting earlier runs' partitions to this
-        # run_id would corrupt lineage-based verification.  Null-ts
-        # pseudo-days (sameAs rows) are regenerated every run, so they are
-        # always this run's.
-        this_run = {(d, b) for d, b in done_pairs}
-        counts = [
-            c for c in materialize.partition_row_counts(io, materialize.TRIPLES)
-            if (c[0], c[1]) in this_run or c[0].startswith("__")
-        ]
         materialize.append_partition_lineage(io, run_id, "materialize", counts)
     # Successful completion: the run-scoped stage-1 checkpoint is dead
     # weight now (resume consults the manifest and skips before reading

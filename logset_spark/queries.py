@@ -848,27 +848,47 @@ FROM documents GROUP BY md5(text)
 _NGRAM_BANDS = 4  # min-hash bands for candidate blocking (both engines)
 
 
-def ngram_minhash_blocks(docs):
-    """(doc_id, shingles) -> (doc_id, band, bkey): per band b, the block
-    key is min(md5(b || shingle)) — a true minwise hash, so two docs share
-    a band key with probability = their Jaccard.  Block population follows
-    near-dup cluster sizes, never a length/lang quadratic blowup
-    (bucket-size bound asserted in tests/test_properties.py)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.array_min(
-                    F.transform(
-                        "shingles",
-                        lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)),
-                    )
-                ).alias("bkey"),
+def ngram_minhash_blocks(docs, toks_col: str = "toks"):
+    """(doc_id, toks) -> (doc_id, band, bkey): per band b, the block key
+    is min(md5(b || shingle)) over the doc's token-3-gram shingles — a
+    true minwise hash, so two docs share a band key with probability =
+    their Jaccard.  Block population follows near-dup cluster sizes,
+    never a length/lang quadratic blowup (bucket-size bound asserted in
+    tests/test_properties.py).
+
+    Deliberately computed on EXPLODED shingle rows with plain row-wise
+    md5 + a map-side min aggregate, NOT with md5 inside a higher-order
+    transform lambda: the fused HOF+md5 expression was observed returning
+    wrong-but-deterministic digests for correct inputs in a long-lived
+    session (codegen fusion hazard; see tests/test_properties.py::
+    test_dedup_ngram_blocking_bounded which guards this).  The explode is
+    map-side and the min-agg partial-aggregates before its (doc_id-keyed,
+    tiny) shuffle, so the scale story is unchanged.  Min over duplicate
+    shingles equals min over distinct ones, so no array_distinct is
+    needed."""
+    toks = F.col(toks_col)
+    shingle_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
             )
-            for i in range(_NGRAM_BANDS)
+        ).alias("shingle"),
+    )
+    keyed = shingle_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"k{b}")
+            for b in range(_NGRAM_BANDS)
         ]
     )
-    return docs.select("doc_id", F.explode(bands).alias("b")).select(
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("bkey"))
+            for b in range(_NGRAM_BANDS)
+        ]
+    )
+    return keyed.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
 
@@ -891,7 +911,7 @@ def q_dedup_ngram(spark, sf):
         )
     )
     docs = d.select("doc_id", sh.alias("shingles"))
-    banded = ngram_minhash_blocks(docs)
+    banded = ngram_minhash_blocks(d.select("doc_id", toks.alias("toks")))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1307,6 +1327,31 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+def q_salted(spark, sf):
+    """J3 salted equi-join, oracle-checked: salting must be a pure
+    physical rewrite — (key, salt) join == plain key join — so the oracle
+    is the UNSALTED SQL join.  Salt spreads a hot key over n_salts
+    reducers when the dim is too big to broadcast (operators/link.py)."""
+    from .operators.link import salted_join
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    joined = salted_join(o, c, "o_custkey", how="inner", n_salts=8)
+    return joined.select(
+        "o_orderkey", "o_custkey", "c_name", "c_nationkey",
+        _dec(F.col("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+SQL_SALTED = """
+SELECT o_orderkey, o_custkey, c_name, c_nationkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_intersect(spark, sf):
     """U2 direct DataFrame.intersect (set semantics incl. dedup)."""
     c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -1358,6 +1403,7 @@ REGISTRY: dict[str, tuple] = {
     "q_join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
     "q_join_smj": (q_join_smj, SQL_JOIN_SMJ),
     "q_join_left": (q_join_left, SQL_JOIN_LEFT),
+    "q_salted": (q_salted, SQL_SALTED),
     "q_join_range": (q_join_range, SQL_JOIN_RANGE),
     "q_asof": (q_asof, SQL_ASOF),
     "q_cross": (q_cross, SQL_CROSS),

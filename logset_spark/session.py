@@ -32,6 +32,14 @@ _BASE_CONFS = {
     "spark.sql.files.openCostInBytes": "1m",
     # Idempotent per-partition re-runs (SURVEY §2 S4).
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Parquet codec for every write (checkpoint + final tables).  On a
+    # memory-bandwidth-bound host, trading codec CPU for fewer bytes
+    # through the page cache is a scaling lever — override with
+    # SPARK_GRAFT_PARQUET_CODEC=zstd to test; snappy is the measured
+    # default (see BENCH/BASELINE.md).
+    "spark.sql.parquet.compression.codec": os.environ.get(
+        "SPARK_GRAFT_PARQUET_CODEC", "snappy"
+    ),
     # Straggler defense AT CLUSTER SCALE: a python UDF worker that dies
     # without closing its socket leaves the task blocked in
     # ReaderInputStream.read forever (observed once under load in this

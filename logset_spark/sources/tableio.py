@@ -56,10 +56,15 @@ class TableIO:
         (set in session.py) means only the partitions present in `df` are
         replaced — the idempotent-resume primitive (SURVEY §2 S4).
 
-        `finisher(df) -> df` runs AFTER the layout repartition and before
-        the local sort: reconstruction of wide derived columns (subject
-        URIs, predicate strings from codes) goes there so only the slim
-        representation crosses the shuffle."""
+        `finisher(df) -> df` runs AFTER the layout repartition AND the
+        local sort: reconstruction of wide derived columns (subject URIs,
+        predicate strings, the packed-row 6x structural explode) goes
+        there so only the slim/packed representation crosses the shuffle
+        *and* the sort.  Ordering survives the finisher — GenerateExec and
+        Project preserve child output ordering for pass-through columns —
+        so FileFormatWriter sees its required partition-column ordering
+        already satisfied and inserts no second sort (asserted in
+        tests/test_plans.py::test_write_sorts_packed_rows_once)."""
         if self.catalog == "iceberg":  # pragma: no cover - needs runtime jar
             out = with_layout(df, self.n_buckets)
             out = finisher(out) if finisher else out
@@ -71,15 +76,20 @@ class TableIO:
         if self.n_write_salts > 1:
             keys.append(F.pmod(F.xxhash64("conv_id", "turn_idx"),
                                F.lit(self.n_write_salts)))
-        out = with_layout(df, self.n_buckets).repartition(*keys)
+        out = (
+            with_layout(df, self.n_buckets)
+            .repartition(*keys)
+            # prefix the partition cols so FileFormatWriter's required
+            # ordering is already satisfied — ONE local sort instead of
+            # ours + the writer's hidden partition-col sort; sorting the
+            # PACKED rows (pre-finisher) moves ~3x fewer bytes than
+            # sorting the exploded triples would
+            .sortWithinPartitions("ts_day", "conv_bucket", "conv_id", "turn_idx")
+        )
         if finisher:
             out = finisher(out)
         (
             out
-            # prefix the partition cols so FileFormatWriter's required
-            # ordering is already satisfied — ONE local sort instead of
-            # ours + the writer's hidden partition-col sort
-            .sortWithinPartitions("ts_day", "conv_bucket", "conv_id", "turn_idx")
             .write.mode(mode)
             .partitionBy("ts_day", "conv_bucket")
             .parquet(self.path(name))

@@ -11,10 +11,10 @@ deployments that prefer a streaming runtime:
   not-yet-seen files recorded in the stream checkpoint, then stops — the
   streaming twin of the manifest left-anti join (X1).
 * `structural_triples_stream` — the SAME extraction plan as batch Stage 1
-  minus cross-turn edges: followedBy/lag needs unbounded per-conv state,
-  which batch handles with a window (W3) and a true streaming deployment
-  would handle with applyInPandasWithState; kept out of the streaming
-  slice deliberately.
+  minus cross-turn edges (those need per-conv state, below).
+* `followed_by_stream`  — the cross-turn followedBy edges as a CUSTOM
+  STATEFUL operator via applyInPandasWithState: O(1) state per live
+  conversation, micro-batch-boundary bridging, batch-parity-tested.
 * `windowed_tool_counts` — watermarked sliding/tumbling windowed agg (X2/
   X4): late turns beyond the watermark are dropped, state is bounded.
 * `session_counts`       — session_window gap sessionization (X3).
@@ -121,6 +121,97 @@ def streaming_dedup(triples: DataFrame, watermark: str = "2 hours") -> DataFrame
     size is bounded (the streaming twin of batch dedup_triples)."""
     return triples.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["subj", "pred", "obj"]
+    )
+
+
+FOLLOWED_BY_SCHEMA = (
+    "subj string, pred string, obj string, conv_id string, "
+    "turn_idx int, ts timestamp"
+)
+_FB_STATE_SCHEMA = "last_idx int, last_ts timestamp"
+
+
+def followed_by_stream(
+    transcripts: DataFrame,
+    watermark: str = "2 hours",
+    conv_timeout_ms: int = 0,
+) -> DataFrame:
+    """Cross-turn followedBy edges on a STREAM via applyInPandasWithState —
+    the custom stateful operator the batch path expresses with a window
+    (extract.with_next_turn).  State per conv_id is two scalars (the last
+    seen turn_idx + its event time), so state size is O(live
+    conversations), never O(turns).  Within a micro-batch turns are sorted
+    by turn_idx and chained; across micro-batches the state row bridges
+    the boundary (edge last-turn-of-batch-k -> first-turn-of-batch-k+1).
+    Turns that arrive out of order ACROSS batches are a stream-semantics
+    gap batch backfill repairs — same contract as every log-stream
+    sessionizer.
+
+    `conv_timeout_ms > 0` expires idle conversations' state via a
+    processing-time timeout — for LONG-RUNNING deployments only: with a
+    timeout armed, `trigger(availableNow)` stays alive until every timer
+    fires ("no new data but cleaning up state"), so drain-and-stop runs
+    must keep the default 0 (NoTimeout)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .. import vocab as V
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if conv_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def chain(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values("turn_idx", ignore_index=True)
+        idxs = batch["turn_idx"].tolist()
+        tss = batch["ts"].tolist()
+        prev = state.get if state.exists else None
+        src_idx, src_ts = [], []
+        dst_idx = []
+        if prev is not None:
+            src_idx.append(int(prev[0]))
+            src_ts.append(prev[1])
+            dst_idx.append(idxs[0])
+        src_idx += idxs[:-1]
+        src_ts += tss[:-1]
+        dst_idx += idxs[1:]
+        state.update((int(idxs[-1]), tss[-1]))
+        if conv_timeout_ms > 0:
+            state.setTimeoutDuration(conv_timeout_ms)
+        if not src_idx:
+            return
+        yield pd.DataFrame(
+            {
+                "subj": [f"turn:{conv_id}/{i}" for i in src_idx],
+                "pred": V.FOLLOWED_BY,
+                "obj": [f"turn:{conv_id}/{i}" for i in dst_idx],
+                "conv_id": conv_id,
+                "turn_idx": pd.array(src_idx, dtype="int32"),
+                "ts": src_ts,
+            }
+        )
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            chain,
+            FOLLOWED_BY_SCHEMA,
+            _FB_STATE_SCHEMA,
+            "append",
+            timeout,
+        )
     )
 
 

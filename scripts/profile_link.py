@@ -65,7 +65,7 @@ def main() -> int:
         if args.mode == "stage1_write":
             import shutil
             shutil.rmtree("/tmp/prof_stage1", ignore_errors=True)
-            pipeline._write_stage1(TableIO("/tmp/prof_stage1", n_buckets=16), df)
+            pipeline._write_stage1(TableIO("/tmp/prof_stage1", n_buckets=16), "prof", df)
         else:
             df.write.format("noop").mode("overwrite").save()
     t["wall"] = round(time.monotonic() - t0, 2)

@@ -126,3 +126,45 @@ def test_timerange_partition_filter_prunes(spark, tmp_path):
     plan = _plan(one_day)
     assert "PartitionFilters: [" in plan
     assert "isnotnull(ts_day" in plan or "ts_day" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_write_sorts_packed_rows_once(spark, tmp_path):
+    """TableIO.write sorts the PACKED rows and relies on Generate/Project
+    preserving that ordering through the finisher explode: the plan that
+    feeds the writer must contain exactly ONE Sort, below the Generate —
+    a second sort above it would mean the writer re-sorted the exploded
+    triples and the packed-sort optimization regressed."""
+    from pyspark.sql import functions as F
+
+    from logset_spark import pipeline as P
+    from logset_spark.sources.tableio import with_layout
+
+    df = spark.range(64).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0).cast("tinyint").alias("pc"),
+        F.lit(None).cast("string").alias("obj"),
+        F.lit(1.0).cast("float").alias("conf"),
+        F.lit("user").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col("id") + 1).cast("int").alias("next_idx"),
+    )
+    out = (
+        with_layout(df, 4)
+        .repartition(F.col("ts_day"), F.col("conv_bucket"))
+        .sortWithinPartitions("ts_day", "conv_bucket", "conv_id", "turn_idx")
+    )
+    finished = P._finisher(out)
+    plan = finished._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("+- Sort") + plan.count("*- Sort") == 1 or plan.count("Sort ") == 1
+    gen_pos = plan.find("Generate")
+    sort_pos = plan.find("Sort")
+    assert gen_pos != -1 and sort_pos != -1 and gen_pos < sort_pos, (
+        "Generate must sit ABOVE the single Sort (explode after sort)"
+    )
+    # and the explode itself is correct: 64 turn rows -> 64*structural
+    rows = finished.collect()
+    assert all(r["pred"] in ("hasTurn", "partOf", "hasRole", "atTime",
+                             "usedTool", "followedBy") for r in rows)
+    assert len(rows) == 64 * 5  # tool null -> usedTool filtered

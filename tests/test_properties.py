@@ -307,7 +307,7 @@ def test_dedup_ngram_blocking_bounded(spark):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         )
     )
-    banded = ngram_minhash_blocks(d.select("doc_id", sh.alias("shingles")))
+    banded = ngram_minhash_blocks(d.select("doc_id", toks.alias("toks")))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -328,6 +328,13 @@ def test_dedup_ngram_blocking_bounded(spark):
         if clusters[i] == clusters[j]
     }
     missed = planted - pairs
+    if missed:  # dump the block keys of the missed docs before failing
+        dbg = banded.where(F.col("doc_id") < 20).toPandas()
+        dbg.to_csv("/tmp/blocking_debug.csv", index=False)
+        pd.DataFrame({"text": texts[:20]}).to_csv("/tmp/blocking_texts.csv")
+        d.where(F.col("doc_id") < 20).select(
+            "doc_id", "text", toks.alias("sp_toks"), sh.alias("sp_shingles")
+        ).toPandas().to_json("/tmp/blocking_sparkside.json", orient="records")
     assert not missed, f"near-dup pairs missed by blocking: {missed}"
     # bucket population must track clusters, not the length/lang skew:
     # the old key put all 300 docs in ONE block (44850 pairs)

@@ -106,3 +106,45 @@ def test_streaming_dedup(spark, tmp_path):
     st.run_available_now(stream, ckpt, out)
     got = spark.read.parquet(out)
     assert got.count() == got.select("subj", "pred", "obj").distinct().count()
+
+
+def test_followed_by_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState followedBy must equal the batch window
+    version, INCLUDING edges that bridge micro-batch boundaries: the input
+    is split into two files and maxFilesPerTrigger=1 forces the split
+    conversations' cross-file edges to come from the state row."""
+    import pandas as pd
+
+    pdf = synth.transcripts_pdf(n_convs=4).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True
+    )
+    batch_df = spark.createDataFrame(pdf, schema=synth.TRANSCRIPT_SCHEMA)
+    # file 1 = first half of every conversation, file 2 = second half ->
+    # every multi-turn conv has a boundary-bridging followedBy edge
+    half = pdf.groupby("conv_id").cumcount() < pdf.groupby("conv_id")[
+        "turn_idx"
+    ].transform("size") // 2
+    path = str(tmp_path / "in")
+    spark.createDataFrame(pdf[half], schema=synth.TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(pdf[~half], schema=synth.TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(synth.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    st.run_available_now(st.followed_by_stream(src), ckpt, out)
+
+    got = spark.read.parquet(out).select("subj", "pred", "obj")
+    expect = (
+        extract.structural_triples(batch_df)
+        .where(F.col("pred") == "followedBy")
+        .select("subj", "pred", "obj")
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
