@@ -155,3 +155,113 @@ def lsh_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a BOUNDED sample.
+
+    The sample is `limit(sample)` rows (deterministic; a fixed few-MB
+    matrix at any corpus size) pulled to the driver once — training cost
+    is O(sample x n_cells x iters) numpy flops, independent of corpus
+    scale; the full corpus only ever sees the broadcast centroids.
+    Returns L2-normalized centroids (n_cells, dim)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+    return cents
+
+
+def make_cell_udf(centroids: np.ndarray, n_probe: int = 1):
+    """pandas UDF: embedding -> array of the n_probe nearest cell ids
+    (by cosine against the broadcast-by-closure centroid matrix).  One
+    numpy matmul per Arrow batch; n_probe=1 for corpus assignment,
+    n_probe>1 on the query side for multi-cell probing."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centroids.T  # (batch, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell (inverted file); each query scores only the rows of its n_probe
+    nearest cells.  Expected scan fraction ~ n_probe/n_cells of the
+    corpus per query — the classic recall/cost dial (recall measured
+    against cosine_topk in tests/test_properties.py).
+
+    Honest caveat on the measured recall: the sandbox embeddings are
+    near-uniform random vectors — the adversarial case for any
+    cell-partitioned ANN (no cluster structure, so recall tracks the scan
+    fraction almost linearly: 0.63 at 25% scan, 0.82 at 50% on sf0.01).
+    Real embedding corpora cluster, which is the regime IVF exploits;
+    the defaults here (8 of 16 cells) are chosen to clear a 0.75 recall
+    floor even on structureless data.
+
+    Scale shape: centroids train on a bounded driver sample, ride to
+    executors inside the UDF closure (a few KB), cell assignment is
+    map-side, and the probe join is corpus-cell x broadcast(query-probe)
+    — no all-pairs stage anywhere."""
+    cents = train_centroids(corpus, n_cells, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("ce"),
+        F.element_at(make_cell_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qe"),
+        F.explode(make_cell_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -1076,6 +1076,20 @@ def q_ann_lsh(spark, sf):
     return lsh_topk(queries, em, k=5, n_planes=6, n_tables=16)
 
 
+def q_ann_ivf(spark, sf):
+    """IVF (inverted-file) ANN: spherical-k-means coarse quantizer over a
+    bounded driver sample, corpus rows assigned to their nearest-centroid
+    cell map-side, queries probe their n_probe nearest cells — expected
+    scan fraction ~ n_probe/n_cells per query.  Rows-only check (cell
+    assignment is trained, not SQL-reproducible); recall vs q_ann_cosine
+    asserted in tests/test_properties.py::test_ann_ivf_recall."""
+    from .operators.similarity import ivf_topk
+
+    em = _t(spark, sf, "embeddings")
+    queries = em.where(F.col("vec_id") < 3)
+    return ivf_topk(queries, em, k=5, n_cells=16, n_probe=8)
+
+
 _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -1428,6 +1442,7 @@ REGISTRY: dict[str, tuple] = {
     "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
     "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "q_ann_lsh": (q_ann_lsh, None),
+    "q_ann_ivf": (q_ann_ivf, None),
     "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),

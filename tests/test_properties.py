@@ -341,3 +341,28 @@ def test_dedup_ngram_blocking_bounded(spark):
     assert len(pairs) <= len(planted) + 40, (
         f"{len(pairs)} candidate pairs — blocking degenerated"
     )
+
+
+def test_ann_ivf_recall(spark):
+    """IVF with n_probe=8 of 16 cells (~50% scan fraction) must recover
+    >=75% of the exact cosine top-5 sets on the sf0.01 embeddings.
+
+    The sandbox embeddings are near-uniform random vectors — ANN's
+    adversarial case (recall ~ scan fraction when there is no cluster
+    structure).  Measured here: 0.816; floor 0.75 leaves margin for the
+    k-means sample while still proving the probe join recovers most
+    true neighbors from half the scan cost."""
+    from logset_spark.operators.similarity import cosine_topk, ivf_topk
+
+    em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = em.where(F.col("vec_id") < 50)
+    exact = cosine_topk(q, em, k=5).select("query_id", "neighbor_id").toPandas()
+    approx = (
+        ivf_topk(q, em, k=5, n_cells=16, n_probe=8)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    e = set(map(tuple, exact.values))
+    a = set(map(tuple, approx.values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75, f"IVF recall@5 {recall:.3f} < 0.75"
