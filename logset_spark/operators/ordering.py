@@ -1,0 +1,68 @@
+"""O1 — distributed global sort with a contiguous index.
+
+The reference serializes its graph in one globally-sorted pass (rdflib's
+in-memory sort; SURVEY §2.6 O1).  A single-partition ``row_number() OVER
+(ORDER BY ...)`` window reproduces that on Spark but funnels every row
+through one task — dead at 10^12 rows.  ``global_sorted_index`` is the
+scalable shape (DataFrame equivalent of RDD ``zipWithIndex``):
+
+1. ``repartitionByRange`` on the sort keys — parallel range shuffle; range
+   partition ids are ascending in key order, so partition-local ranks can
+   be made global with per-partition offsets.
+2. a tiny driver job counts rows per partition (K rows for K partitions —
+   the ONLY thing collected) and prefix-sums them into offsets.
+3. partition-local ``row_number`` + the offset literal indexed by
+   ``spark_partition_id``.
+
+Two balanced shuffles of the data, never a single-task stage.  The input
+is persisted between the count job and the main job so both see the same
+range boundaries (range partitioning samples its bounds; recomputation
+could re-sample differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gsi_pid"
+
+
+def global_sorted_index(
+    df: DataFrame, cols: list[str], index_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a contiguous 1-based global rank under ORDER BY *cols*.
+
+    *cols* must form a total order (include a unique tie-breaker) or ranks
+    within ties are partition-dependent.  Returns the input columns plus
+    ``index_col``; output is NOT delivered range-partitioned (the local
+    rank window re-clusters by partition id) — follow with ``orderBy`` if
+    a sorted layout is needed downstream.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    counts = {r[_PID]: r["n"] for r in
+              part.groupBy(_PID).agg(F.count("*").alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    # K-element literal rides the plan; map-side lookup, no join.  At
+    # extreme partition counts swap for a broadcast join on pid.
+    off = F.array(*[F.lit(o) for o in offsets]) if offsets else F.array()
+    local = F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
+    # NOTE: stays persisted until the caller materializes the result —
+    # unpersisting earlier would let the range shuffle re-sample its
+    # boundaries and desynchronize the offsets.  Callers may
+    # .unpersist() the block via spark.catalog.clearCache() or by
+    # persisting the final result themselves once computed.
+    return part.withColumn(
+        index_col,
+        (F.element_at(off, F.col(_PID) + 1) + local).cast("long"),
+    ).drop(_PID)

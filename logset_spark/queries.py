@@ -1380,6 +1380,61 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def q_sort(spark, sf):
+    """O1 global sort, oracle-checked via a contiguous global rank: the
+    scalable two-shuffle global index (range partition -> per-partition
+    offsets -> local row_number), never a single-partition window
+    (operators/ordering.py).  (ts, event_id) is a total order."""
+    from .operators.ordering import global_sorted_index
+
+    e = _t(spark, sf, "events").select("event_id", "ts", "value")
+    idx = global_sorted_index(e, ["ts", "event_id"], index_col="pos")
+    return idx.select(
+        "pos", "event_id", "ts", F.round("value", 4).alias("value")
+    )
+
+
+SQL_SORT = """
+SELECT row_number() OVER (ORDER BY ts, event_id) AS pos,
+       event_id, ts, round(value, 4) AS value
+FROM events
+"""
+
+
+def q_mentions(spark, sf):
+    """V1 vectorized mention detector, oracle-checked: the same Arrow-
+    batched pandas UDF the KG pipeline uses for stage-1 extraction
+    (operators/extract.py make_candidate_detector), run in emit-all mode
+    (extra_surfaces=None, the giant-dictionary fallback) over
+    documents.text.  Emits per-doc unique tokens plus ISO-timestamp
+    literals; the DuckDB oracle replays the token grammar with
+    regexp_extract_all."""
+    from .operators.extract import make_candidate_detector
+
+    d = _t(spark, sf, "documents")
+    detect = make_candidate_detector(spark, extra_surfaces=None)
+    hits = d.select("doc_id", detect(F.col("text")).alias("hits"))
+    m = hits.select("doc_id", F.explode("hits").alias("m"))
+    return m.select(
+        "doc_id", F.col("m.kind").alias("kind"), F.col("m.form").alias("form")
+    )
+
+
+SQL_MENTIONS = r"""
+SELECT doc_id, 'cand' AS kind, tok AS form
+FROM (SELECT doc_id,
+             unnest(list_distinct(
+                 regexp_extract_all(lower(text), '[a-z][a-z0-9_-]*'))) AS tok
+      FROM documents)
+UNION ALL
+SELECT doc_id, 'ts' AS kind, iso AS form
+FROM (SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(
+                 text, '\b\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\b'))) AS iso
+      FROM documents)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1407,6 +1462,7 @@ REGISTRY: dict[str, tuple] = {
     "q_session": (q_session, SQL_SESSION),
     "q_window": (q_window, SQL_WINDOW),
     "q_topk": (q_topk, SQL_TOPK),
+    "q_sort": (q_sort, SQL_SORT),
     # set ops
     "q_union": (q_union, SQL_UNION),
     "q_intersect": (q_intersect, SQL_INTERSECT),
@@ -1422,7 +1478,8 @@ REGISTRY: dict[str, tuple] = {
     "q_asof": (q_asof, SQL_ASOF),
     "q_cross": (q_cross, SQL_CROSS),
     "q_pivot": (q_pivot, SQL_PIVOT),
-    # grouped-map / grouped-agg / CC
+    # grouped-map / grouped-agg / CC / detector
+    "q_mentions": (q_mentions, SQL_MENTIONS),
     "q_grouped_map": (q_grouped_map, SQL_GROUPED_MAP),
     "q_pandas_udaf": (q_pandas_udaf, SQL_PANDAS_UDAF),
     "q_cc": (q_cc, SQL_CC),

@@ -366,3 +366,33 @@ def test_ann_ivf_recall(spark):
     a = set(map(tuple, approx.values))
     recall = len(e & a) / len(e)
     assert recall >= 0.75, f"IVF recall@5 {recall:.3f} < 0.75"
+
+
+# ---------------------------------------------------------------------------
+# O1 global sorted index: contiguous, order-correct, multi-partition
+# ---------------------------------------------------------------------------
+
+
+def test_global_sorted_index(spark):
+    """global_sorted_index must equal the single-partition row_number
+    reference on a multi-partition input with duplicate sort-key prefixes
+    (unique tie-breaker column), and the plan must contain a range
+    exchange — never a global single-partition sort window."""
+    from pyspark.sql import Window
+
+    from logset_spark.operators.ordering import global_sorted_index
+
+    df = spark.range(0, 997, 1, 8).select(
+        (F.col("id") % 31).alias("k"), F.col("id").alias("uid")
+    )
+    got = global_sorted_index(df, ["k", "uid"], index_col="pos",
+                              num_partitions=8)
+    ref = df.withColumn(
+        "pos", F.row_number().over(Window.orderBy("k", "uid"))
+    )
+    g = {(r["k"], r["uid"]): r["pos"] for r in got.collect()}
+    r = {(r["k"], r["uid"]): r["pos"] for r in ref.collect()}
+    assert g == r
+    assert sorted(g.values()) == list(range(1, 998))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
