@@ -1420,6 +1420,73 @@ def q_mentions(spark, sf):
     )
 
 
+def q_sink_roundtrip(spark, sf):
+    """S3/S4 oracle-checked: events shaped as transcript-keyed rows go
+    through the production partitioned sink (TableIO: ts_day partition +
+    conv_id bucket, dynamic partition overwrite) TWICE — the second write
+    is the idempotent-resume overwrite — then read back through the
+    partitioned reader.  Oracle = the identity projection: round-trip and
+    re-overwrite must lose/duplicate nothing."""
+    import tempfile
+
+    from .sources.tableio import TableIO
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("etype"),
+    )
+    io = TableIO(root=tempfile.mkdtemp(prefix="logset_sink_"), n_buckets=8)
+    io.write(e, "roundtrip")          # full write
+    io.write(e, "roundtrip")          # idempotent dynamic-overwrite replay
+    back = io.read(spark, "roundtrip")
+    return back.select("conv_id", "turn_idx", "ts", "etype")
+
+
+SQL_SINK_ROUNDTRIP = """
+SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(event_id AS INT) AS turn_idx, ts, event_type AS etype
+FROM events
+"""
+
+
+def q_batch_features(spark, sf):
+    """V3 mapInPandas, oracle-checked: per-document stats computed in
+    Arrow-batched pandas (unlike q_multimodal_features whose stub-decoder
+    values are rows-only, these are SQL-reproducible).  The iterator
+    signature streams one record batch at a time — peak memory is a batch,
+    not a partition."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for pdf in it:
+            t = pdf["text"].fillna("")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": t.str.len().astype("int64"),
+                    "n_ws_tokens": t.str.split().str.len().astype("int64"),
+                    "first_tok": t.str.split().str[0].fillna(""),
+                }
+            )
+
+    return d.mapInPandas(
+        batches,
+        "doc_id long, n_chars long, n_ws_tokens long, first_tok string",
+    )
+
+
+SQL_BATCH_FEATURES = r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       string_split_regex(trim(text), '\s+')[1] AS first_tok
+FROM documents
+"""
+
+
 SQL_MENTIONS = r"""
 SELECT doc_id, 'cand' AS kind, tok AS form
 FROM (SELECT doc_id,
@@ -1478,8 +1545,10 @@ REGISTRY: dict[str, tuple] = {
     "q_asof": (q_asof, SQL_ASOF),
     "q_cross": (q_cross, SQL_CROSS),
     "q_pivot": (q_pivot, SQL_PIVOT),
-    # grouped-map / grouped-agg / CC / detector
+    # grouped-map / grouped-agg / CC / detector / sink / batch-map
     "q_mentions": (q_mentions, SQL_MENTIONS),
+    "q_sink_roundtrip": (q_sink_roundtrip, SQL_SINK_ROUNDTRIP),
+    "q_batch_features": (q_batch_features, SQL_BATCH_FEATURES),
     "q_grouped_map": (q_grouped_map, SQL_GROUPED_MAP),
     "q_pandas_udaf": (q_pandas_udaf, SQL_PANDAS_UDAF),
     "q_cc": (q_cc, SQL_CC),
