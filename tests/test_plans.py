@@ -168,3 +168,14 @@ def test_write_sorts_packed_rows_once(spark, tmp_path):
     assert all(r["pred"] in ("hasTurn", "partOf", "hasRole", "atTime",
                              "usedTool", "followedBy") for r in rows)
     assert len(rows) == 64 * 5  # tool null -> usedTool filtered
+
+
+def test_detector_evaluated_once_under_explode(spark, sf_dir):
+    """InferFiltersFromGenerate would clone explode(udf(text)) into a
+    second ArrowEvalPython (the inferred size()>0 filter re-runs the
+    detector below the Generate) — 2x Arrow transfer + 2x Python CPU on
+    the extraction path.  The rule is excluded in session.py; assert the
+    plan carries exactly ONE Python eval node."""
+    fn, _ = REGISTRY["q_mentions"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1, plan
