@@ -20,6 +20,8 @@ records a weaker rows-only check.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1487,6 +1489,36 @@ FROM documents
 """
 
 
+JSONL_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "transcripts_sample.jsonl",
+)
+
+
+def q_jsonl_source(spark, sf):
+    """S-family JSONL transcript ingestion (sources/jsonl.py): explicit
+    north-rule schema (no inference pass), PERMISSIVE parse, corrupt rows
+    quarantined.  Reads a static committed fixture (3 malformed lines)
+    that the DuckDB oracle reads from the same path with ignore_errors —
+    both engines must agree on the surviving rows AND their typed values.
+    sf is unused: the fixture IS the table under test."""
+    from .sources.jsonl import read_transcripts_jsonl, split_quarantine
+
+    good, _bad = split_quarantine(read_transcripts_jsonl(spark, JSONL_FIXTURE))
+    return good.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+SQL_JSONL_SOURCE = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM read_json('{JSONL_FIXTURE}', format='newline_delimited',
+               ignore_errors=true,
+               columns={{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER',
+                         'role': 'VARCHAR', 'text': 'VARCHAR',
+                         'tool': 'VARCHAR', 'ts': 'TIMESTAMP'}})
+WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+"""
+
+
 SQL_MENTIONS = r"""
 SELECT doc_id, 'cand' AS kind, tok AS form
 FROM (SELECT doc_id,
@@ -1549,6 +1581,7 @@ REGISTRY: dict[str, tuple] = {
     "q_mentions": (q_mentions, SQL_MENTIONS),
     "q_sink_roundtrip": (q_sink_roundtrip, SQL_SINK_ROUNDTRIP),
     "q_batch_features": (q_batch_features, SQL_BATCH_FEATURES),
+    "q_jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
     "q_grouped_map": (q_grouped_map, SQL_GROUPED_MAP),
     "q_pandas_udaf": (q_pandas_udaf, SQL_PANDAS_UDAF),
     "q_cc": (q_cc, SQL_CC),

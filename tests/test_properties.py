@@ -396,3 +396,24 @@ def test_global_sorted_index(spark):
     assert sorted(g.values()) == list(range(1, 998))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# S-family: JSONL ingestion quarantines corrupt rows without losing good ones
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_quarantine_split(spark):
+    """The committed fixture carries exactly 3 malformed lines among 200;
+    PERMISSIVE parse must quarantine those 3 and deliver every valid row
+    typed (no inference pass — schema is declared)."""
+    from logset_spark.queries import JSONL_FIXTURE
+    from logset_spark.sources.jsonl import (
+        read_transcripts_jsonl, split_quarantine,
+    )
+
+    good, bad = split_quarantine(read_transcripts_jsonl(spark, JSONL_FIXTURE))
+    assert bad.count() == 3
+    assert good.count() == 197
+    assert dict(good.dtypes)["ts"] == "timestamp"
+    assert dict(good.dtypes)["turn_idx"] == "int"
