@@ -90,13 +90,21 @@ def main() -> int:
     ann_recall = round(len(exact_nn & approx_nn) / max(len(exact_nn), 1), 4)
 
     # -- KG pipeline ------------------------------------------------------------
+    # The host shows bursty hypervisor CPU steal (8-11% under load;
+    # identical runs have ranged 86-228s) — score the minimum wall over
+    # REPS fresh runs, the same statistic scripts/scaling_bench.py uses.
     transcripts = spark.read.parquet(tr_path)
     dictionary = spark.read.parquet(dict_path)
     n_turns = transcripts.count()
-    io = TableIO(f"{workdir}/wh", n_buckets=16)
-    t0 = time.monotonic()
-    res = build_graph(spark, transcripts, dictionary, io, run_id="bench")
-    kg_wall = time.monotonic() - t0
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    walls = []
+    for rep in range(reps):
+        io = TableIO(f"{workdir}/wh{rep}", n_buckets=16)
+        t0 = time.monotonic()
+        res = build_graph(spark, transcripts, dictionary, io,
+                          run_id=f"bench{rep}")
+        walls.append(time.monotonic() - t0)
+    kg_wall = min(walls)
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     total = round(time.monotonic() - t_total, 3)
@@ -111,6 +119,7 @@ def main() -> int:
         "kg_triples": int(res["triples"]),
         "kg_triples_per_sec": round(res["triples"] / kg_wall, 1),
         "kg_turns_per_sec": round(n_turns / kg_wall, 1),
+        "kg_pipeline_walls": [round(w, 3) for w in walls],
         "ann_lsh_recall_at5": ann_recall,
     }
     print(json.dumps(out))
