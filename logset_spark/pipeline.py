@@ -144,57 +144,69 @@ def _finalize(
     pending_final: DataFrame | None,
 ) -> DataFrame:
     """Stage 4 plan over PACKED rows: checkpointed stage_triples + fuzzy
-    rewrite, mention dedup.  Returns packed rows — one row per turn
-    (pc=TURN_PC, carrying role/tool/next_idx) plus one row per deduped
-    mention — so the dedup and layout exchanges move ~3x fewer rows and
-    zero URI strings; the 6x structural explosion and all URI minting
-    happen after the final layout shuffle in `_finisher`.  Valid because
-    every triple of a turn shares the turn's (ts_day, conv_bucket)
-    partition: layout placement is decided by the packed row.
+    rewrite.  Returns packed rows — one row per turn (pc=TURN_PC,
+    carrying role/tool/next_idx) plus one row per mention — so the ONE
+    layout exchange (which also hosts the mention dedup, `_dedup_rows`)
+    moves packed rows and zero URI strings; the 6x structural explosion
+    and all URI minting happen after that shuffle in `_finisher`.  Valid
+    because every triple of a turn shares the turn's (ts_day,
+    conv_bucket) partition: layout placement is decided by the packed
+    row.
 
     The links side is tiny (distinct fuzzy forms) -> broadcast left join;
     rows with null form_key pass through untouched."""
     staged = io.read(spark, _stage_name(run_id)).drop("conv_bucket")
     if pending_final is not None:
         staged = materialize.filter_to_pending(staged, pending_final, io.n_buckets)
-    is_turn = F.col("pc") == extract.TURN_PC
-    turns = staged.where(is_turn).select(
-        "conv_id", "turn_idx", "ts", "pc", "obj", "conf",
-        "role", "tool", "next_idx",
-    )
     lk = links.select(
         F.col("form").alias("form_key"),
         F.col("canon_uri").alias("f_canon"),
         F.col("score").cast("float").alias("f_score"),
     )
-    # Structural triples are distinct by construction (one turn row per
-    # (conv_id, turn_idx) under the input contract), so only mention rows
-    # — where two surface forms in one turn can resolve to the same
-    # canonical URI — go through the dedup shuffle.  The slim dedup key
-    # (conv_id, turn_idx, pc, obj) is equivalent to (subj, pred, obj):
-    # subj is a function of (pc, conv_id, turn_idx) and ts is constant
-    # within a turn.
-    deduped = (
-        staged.where(~is_turn)
-        .join(F.broadcast(lk), "form_key", "left")
-        .select(
-            "conv_id",
-            "turn_idx",
-            "ts",
-            "pc",
-            F.coalesce("f_canon", "obj").alias("obj"),
-            F.coalesce("f_score", "conf").alias("conf"),
-        )
-        .groupBy("conv_id", "turn_idx", "pc", "obj")
-        .agg(F.max("conf").alias("conf"), F.min("ts").alias("ts"))
-        .select(
-            "conv_id", "turn_idx", "ts", "pc", "obj", "conf",
-            F.lit(None).cast("string").alias("role"),
-            F.lit(None).cast("string").alias("tool"),
-            F.lit(None).cast("int").alias("next_idx"),
+    # Map-side broadcast rewrite only; NO dedup shuffle here.  Mention
+    # dedup (two surface forms in one turn resolving to one canonical
+    # URI) runs inside the write stage via `_dedup_rows`, keyed on a
+    # superset of the layout partitioning so it reuses the layout
+    # exchange instead of adding its own — see io.write(pre_sort=...).
+    # Turn rows pass through the join untouched (null form_key never
+    # matches) and are unique by construction, so the shared aggregate
+    # is a no-op for them.
+    return staged.join(F.broadcast(lk), "form_key", "left").select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "pc",
+        F.coalesce("f_canon", "obj").alias("obj"),
+        F.coalesce("f_score", "conf").alias("conf"),
+        "role",
+        "tool",
+        "next_idx",
+    )
+
+
+def _dedup_rows(df: DataFrame) -> DataFrame:
+    """Packed-row dedup, run AFTER the layout repartition (io.write
+    pre_sort hook).  The grouping key is a SUPERSET of the layout
+    partitioning (ts_day, conv_bucket) — and the extra keys don't split
+    groups, because ts_day/conv_bucket are functions of (conv_id, ts)
+    and ts is constant within a turn — so Catalyst reuses the layout
+    exchange and the whole aggregate is partition-local: the old
+    standalone dedup shuffle (a second full pass of every packed row
+    over the wire) disappears.  The dedup key (conv_id, turn_idx, pc,
+    obj) is equivalent to (subj, pred, obj): subj is a function of
+    (pc, conv_id, turn_idx)."""
+    return (
+        df.groupBy("ts_day", "conv_bucket", "conv_id", "turn_idx", "pc", "obj")
+        .agg(
+            F.min("ts").alias("ts"),
+            F.max("conf").alias("conf"),
+            # exactly one turn row per group carries these; mention
+            # groups are all-null for them
+            F.any_value("role", True).alias("role"),
+            F.any_value("tool", True).alias("tool"),
+            F.any_value("next_idx", True).alias("next_idx"),
         )
     )
-    return turns.unionByName(deduped)
 
 
 def _finisher(df: DataFrame) -> DataFrame:
@@ -368,7 +380,8 @@ def build_graph(
     # into DISJOINT partitions (sameAs rows have null ts -> the
     # __HIVE_DEFAULT_PARTITION__ pseudo-day), so both stay idempotent.
     final = _finalize(spark, io, run_id, links, pending_final)
-    io.write(final, materialize.TRIPLES, finisher=_finisher)
+    io.write(final, materialize.TRIPLES, finisher=_finisher,
+             pre_sort=_dedup_rows)
     n_same = same_as.count()
     if n_same:
         io.write(same_as, materialize.TRIPLES)

@@ -51,10 +51,16 @@ class TableIO:
         return f"{self.root}/{name}"
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
-              finisher=None) -> None:
+              finisher=None, pre_sort=None) -> None:
         """Partitioned write. `mode=overwrite` + dynamic partitionOverwriteMode
         (set in session.py) means only the partitions present in `df` are
         replaced — the idempotent-resume primitive (SURVEY §2 S4).
+
+        `pre_sort(df) -> df` runs AFTER the layout repartition and BEFORE
+        the local sort: a groupBy keyed on a superset of (ts_day,
+        conv_bucket) placed here reuses the layout exchange (Catalyst's
+        subset rule for ClusteredDistribution) — partition-local dedup
+        with no shuffle of its own.
 
         `finisher(df) -> df` runs AFTER the layout repartition AND the
         local sort: reconstruction of wide derived columns (subject URIs,
@@ -76,15 +82,16 @@ class TableIO:
         if self.n_write_salts > 1:
             keys.append(F.pmod(F.xxhash64("conv_id", "turn_idx"),
                                F.lit(self.n_write_salts)))
-        out = (
-            with_layout(df, self.n_buckets)
-            .repartition(*keys)
-            # prefix the partition cols so FileFormatWriter's required
-            # ordering is already satisfied — ONE local sort instead of
-            # ours + the writer's hidden partition-col sort; sorting the
-            # PACKED rows (pre-finisher) moves ~3x fewer bytes than
-            # sorting the exploded triples would
-            .sortWithinPartitions("ts_day", "conv_bucket", "conv_id", "turn_idx")
+        out = with_layout(df, self.n_buckets).repartition(*keys)
+        if pre_sort:
+            out = pre_sort(out)
+        # prefix the partition cols so FileFormatWriter's required
+        # ordering is already satisfied — ONE local sort instead of
+        # ours + the writer's hidden partition-col sort; sorting the
+        # PACKED rows (pre-finisher) moves ~3x fewer bytes than
+        # sorting the exploded triples would
+        out = out.sortWithinPartitions(
+            "ts_day", "conv_bucket", "conv_id", "turn_idx"
         )
         if finisher:
             out = finisher(out)
