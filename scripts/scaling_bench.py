@@ -152,10 +152,11 @@ def main() -> int:
 
 Same job (`jobs/build_graph.py`, full extract+link+canonicalize+materialize),
 same pre-generated input ({n_turns} turns, {n_convs} convs, seed=42), fresh
-JVM per run via `spark-submit --py-files`.  `taskset -c 0-7` + local[8]
-stands in for the N-executor cluster (pinning makes it an honest 8-core
-machine: GC, parquet IO and python UDF workers are confined with the task
-slots), `taskset -c 0-31` + local[32] for 4N.  No real cluster exists in
+JVM per run via `spark-submit --py-files`.  `taskset -c 0-{N_CORES-1}` +
+local[{N_CORES}] stands in for the N-executor cluster (pinning makes it an
+honest {N_CORES}-core machine: GC, parquet IO and python UDF workers are
+confined with the task slots), `taskset -c 0-{N4_CORES-1}` +
+local[{N4_CORES}] for 4N.  No real cluster exists in
 this sandbox; see BASELINE.md.  The host shows bursty hypervisor CPU steal
 (8-11% under load), so each level ran {REPS}x interleaved and the minimum
 wall per level is scored; all walls (s):
