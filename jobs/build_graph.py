@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                         "(skew valve for hot days/buckets)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--fuzzy-threshold", type=float, default=0.55)
+    p.add_argument("--gc-stale-checkpoints", action="store_true",
+                   help="before starting, drop stage-1 checkpoints left by "
+                        "OTHER run_ids under this warehouse (crashed/abandoned "
+                        "runs); forfeits resume for those run_ids")
     args = p.parse_args(argv)
 
     from logset_spark.pipeline import build_graph
@@ -53,7 +57,7 @@ def main(argv=None) -> int:
     result = build_graph(
         spark, transcripts, dictionary, io,
         run_id=args.run_id, fuzzy_threshold=args.fuzzy_threshold,
-        timings=timings,
+        timings=timings, gc_stale_checkpoints=args.gc_stale_checkpoints,
     )
     result["stage_s"] = timings
     print(json.dumps(result))

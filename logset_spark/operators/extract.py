@@ -137,7 +137,16 @@ def make_candidate_detector(spark, extra_surfaces: set[str] | None):
     `extra_surfaces=None` = emit-ALL-tokens mode (dictionary had more
     non-name-like surfaces than NON_NAMELIKE_CAP); pair it with
     unified_stage1(prefiltered=False) so the join-side filter drops
-    tokens that neither hit the dictionary nor look name-like."""
+    tokens that neither hit the dictionary nor look name-like.
+
+    The keep/drop decision tests the NORMALIZED token (strip('_-') is
+    link.normalize_form restricted to the token charset) against the same
+    name-shape regex the emit-all join-side filter applies to norm_form,
+    and `extra_surfaces` holds normalized surfaces — so the two modes
+    keep exactly the same tokens (parity asserted in
+    tests/test_pipeline.py::test_detector_modes_agree).  Deciding on the
+    raw token would diverge: 'mainframe-' normalizes to a dictionary
+    surface but matches neither the raw-shape regex nor the set."""
     bc = spark.sparkContext.broadcast(
         frozenset(extra_surfaces) if extra_surfaces is not None else None
     )
@@ -153,7 +162,8 @@ def make_candidate_detector(spark, extra_surfaces: set[str] | None):
             low = txt.lower()
             found = []
             for tok in dict.fromkeys(_TOKEN_RE.findall(low)):
-                if extra is None or _NAMELIKE_RE.match(tok) or tok in extra:
+                norm = tok.strip("_-")
+                if extra is None or _NAMELIKE_RE.match(norm) or norm in extra:
                     found.append(("cand", tok))
             found += [("ts", iso) for iso in dict.fromkeys(_ISO_RE.findall(txt))]
             out.append(found)

@@ -56,17 +56,27 @@ def _append_control_rows(io: TableIO, name: str, table) -> None:
     os.replace(tmp, final)
 
 
-def sink_partitions(io: TableIO, name: str = TRIPLES) -> list[tuple[str, int]]:
+def sink_partitions(
+    io: TableIO, name: str = TRIPLES, since_mtime: float | None = None
+) -> list[tuple[str, int]]:
     """(ts_day, conv_bucket) pairs actually present in the written sink,
     from the partition directory names — an FS listing, not a Spark job
-    (Iceberg path: the `.partitions` metadata table)."""
+    (Iceberg path: the `.partitions` metadata table).
+
+    `since_mtime` (unix seconds) keeps only partition dirs touched at or
+    after that time: a dynamic-overwrite replaces files inside the dirs
+    it writes, bumping their mtime, so "dirs touched since run start" =
+    "partitions THIS run landed" even on a reused warehouse whose sink
+    holds partitions from earlier manifest-less writers."""
     out = []
     for d in glob.glob(f"{io.path(name)}/ts_day=*/conv_bucket=*"):
         bucket_dir, day_dir = d, os.path.dirname(d)
         day = os.path.basename(day_dir).split("=", 1)[1]
         if day.startswith("__"):  # null-ts pseudo-partition (global sameAs
             continue              # rows) — regenerated idempotently, not
-        out.append(               # a resume unit
+        if since_mtime is not None and os.path.getmtime(d) < since_mtime:
+            continue
+        out.append(
             (day, int(os.path.basename(bucket_dir).split("=", 1)[1]))
         )
     return sorted(out)
@@ -211,15 +221,19 @@ def mark_done(
     run_id: str,
     stage: str,
     parts: DataFrame | None,
+    since_mtime: float | None = None,
 ) -> list[tuple[str, int]]:
     """parts=None (fresh full run): the done set is whatever landed in the
     sink, read from its partition directories — no Spark job.  Returns the
     (ts_day, conv_bucket) pairs marked, so the caller can scope lineage to
-    exactly the partitions THIS run landed."""
+    exactly the partitions THIS run landed.  Pass the run's start time as
+    `since_mtime` so a reused warehouse's pre-existing partitions (from an
+    earlier manifest-less writer) are neither marked done for this run_id
+    nor credited to its lineage."""
     import pyarrow as pa
 
     if parts is None:
-        pairs = sink_partitions(io)
+        pairs = sink_partitions(io, since_mtime=since_mtime)
     else:
         pairs = [(str(r["ts_day"]), r["conv_bucket"]) for r in parts.collect()]
     table = pa.table(

@@ -15,9 +15,10 @@ scalable shape (DataFrame equivalent of RDD ``zipWithIndex``):
    ``spark_partition_id``.
 
 Two balanced shuffles of the data, never a single-task stage.  The input
-is persisted between the count job and the main job so both see the same
-range boundaries (range partitioning samples its bounds; recomputation
-could re-sample differently).
+is locally checkpointed between the count job and the main job so both
+see the same range boundaries (range partitioning samples its bounds;
+recomputation could re-sample differently — see the note in the
+function body).
 """
 
 from __future__ import annotations
@@ -41,11 +42,23 @@ def global_sorted_index(
     a sorted layout is needed downstream.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint, NOT persist: both downstream jobs (the offset count
+    # and the final pass) must see the SAME range boundaries (range
+    # partitioning samples its bounds; recomputation could re-sample).
+    # A persist() only *hints* that — under memory pressure an evicted
+    # block is silently recomputed with fresh samples, desynchronizing
+    # the offsets with no error — and a DataFrame persist is pinned in
+    # the cache manager for the session unless explicitly unpersisted.
+    # localCheckpoint truncates lineage: a lost block fails the job
+    # loudly instead of corrupting ranks, and its blocks are released by
+    # the ContextCleaner when this DataFrame goes out of scope.  (On a
+    # cluster where executor loss must be survivable, swap for a
+    # reliable checkpoint() against the checkpoint dir.)
     part = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn(_PID, F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {r[_PID]: r["n"] for r in
               part.groupBy(_PID).agg(F.count("*").alias("n")).collect()}
@@ -57,11 +70,6 @@ def global_sorted_index(
     # extreme partition counts swap for a broadcast join on pid.
     off = F.array(*[F.lit(o) for o in offsets]) if offsets else F.array()
     local = F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
-    # NOTE: stays persisted until the caller materializes the result —
-    # unpersisting earlier would let the range shuffle re-sample its
-    # boundaries and desynchronize the offsets.  Callers may
-    # .unpersist() the block via spark.catalog.clearCache() or by
-    # persisting the final result themselves once computed.
     return part.withColumn(
         index_col,
         (F.element_at(off, F.col(_PID) + 1) + local).cast("long"),

@@ -30,7 +30,6 @@ dedup groupBy, and the layout repartition — everything quadratic-ish
 
 from __future__ import annotations
 
-import shutil
 import time
 import uuid
 
@@ -39,6 +38,7 @@ from pyspark.sql import functions as F
 
 from . import vocab as V
 from .operators import cc, extract, link, materialize
+from .sources import tableio
 from .sources.tableio import TableIO
 
 STAGE_TRIPLES = "stage_triples"
@@ -194,9 +194,17 @@ def _dedup_rows(df: DataFrame) -> DataFrame:
     standalone dedup shuffle (a second full pass of every packed row
     over the wire) disappears.  The dedup key (conv_id, turn_idx, pc,
     obj) is equivalent to (subj, pred, obj): subj is a function of
-    (pc, conv_id, turn_idx)."""
+    (pc, conv_id, turn_idx).  When TableIO salted the exchange
+    (n_write_salts > 1) the transient salt column joins the grouping
+    keys: it is a function of (conv_id, turn_idx) so it splits nothing,
+    and without it the grouping would no longer be a superset of the
+    (salted) partitioning — Catalyst would insert the very shuffle this
+    hook exists to avoid."""
+    keys = ["ts_day", "conv_bucket", "conv_id", "turn_idx", "pc", "obj"]
+    if tableio.WRITE_SALT in df.columns:
+        keys.insert(2, tableio.WRITE_SALT)
     return (
-        df.groupBy("ts_day", "conv_bucket", "conv_id", "turn_idx", "pc", "obj")
+        df.groupBy(*keys)
         .agg(
             F.min("ts").alias("ts"),
             F.max("conf").alias("conf"),
@@ -269,9 +277,17 @@ def _obs_count(obs: Observation) -> int:
     is re-raised."""
     try:
         return int(obs.get["n"])
-    except Exception as exc:  # narrow: the empty-row toPyRow assertion only
-        msg = f"{type(exc).__name__}: {exc}"
-        if "AssertionError" in msg or "valueCount" in msg or "KeyError" in msg:
+    except (KeyError, AssertionError):
+        # metrics row absent / python-side empty-row assertion
+        return 0
+    except Exception as exc:
+        # Py4J wraps the JVM toPyRow AssertionError; classify by the JVM
+        # exception CLASS, never by substring over str(exc) — that string
+        # carries the full Java stack trace, and any unrelated failure
+        # whose trace merely mentions AssertionError would be swallowed.
+        jexc = getattr(exc, "java_exception", None)
+        jcls = jexc.getClass().getName() if jexc is not None else ""
+        if jcls.endswith("AssertionError"):
             return 0
         raise
 
@@ -287,6 +303,7 @@ def build_graph(
     fuzzy: bool = True,
     canonicalize: bool = True,
     timings: dict | None = None,
+    gc_stale_checkpoints: bool = False,
 ) -> dict:
     """Run the full pipeline; returns {run_id, rows_in, triples, wall_ms}.
 
@@ -296,8 +313,21 @@ def build_graph(
     overwrites so re-runs replace rather than duplicate.  `fuzzy` /
     `canonicalize` toggle stages 2/3 (profiling + degraded modes);
     `timings` (optional dict) collects per-stage wall seconds.
+
+    A COMPLETED run removes its own stage-1 checkpoint; a crashed or
+    abandoned run_id intentionally keeps its (dataset-sized) checkpoint
+    so resume-with-the-same-run_id stays cheap.  `gc_stale_checkpoints`
+    reclaims that space: before starting, drop every other run_id's
+    checkpoint under this warehouse — opt-in because it forfeits resume
+    for those runs (their manifests would point at deleted data, so a
+    later resume of a GC'd run_id must use a fresh run_id instead).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    t0_wall = time.time()  # for mtime-scoping this run's sink partitions
+    if gc_stale_checkpoints:
+        for stale in io.list_runs(STAGE_TRIPLES):
+            if stale != run_id:
+                io.remove(_stage_name(stale), spark)
     t0 = time.monotonic()
     marks: list[tuple[str, float]] = []
 
@@ -387,7 +417,7 @@ def build_graph(
         io.write(same_as, materialize.TRIPLES)
     _mark("materialize")
     done_pairs = materialize.mark_done(
-        spark, io, run_id, "materialize", pending_final
+        spark, io, run_id, "materialize", pending_final, since_mtime=t0_wall
     )
     _mark("mark_done")
 
@@ -397,11 +427,12 @@ def build_graph(
     # partition_row_counts lists every sink partition, and crediting
     # earlier runs' partitions to this run_id would corrupt lineage-based
     # verification — null-ts pseudo-days (sameAs rows) are regenerated
-    # every run, so they are always this run's.
+    # every run, so they are this run's exactly when it wrote sameAs rows
+    # (n_same > 0); otherwise any __ dirs are a prior run's leftovers.
     this_run = {(d, b) for d, b in done_pairs}
     counts = [
         c for c in materialize.partition_row_counts(io, materialize.TRIPLES)
-        if (c[0], c[1]) in this_run or c[0].startswith("__")
+        if (c[0], c[1]) in this_run or (n_same and c[0].startswith("__"))
     ]
     rows_out = sum(c[2] for c in counts)
 
@@ -414,7 +445,7 @@ def build_graph(
     # Successful completion: the run-scoped stage-1 checkpoint is dead
     # weight now (resume consults the manifest and skips before reading
     # it) — drop it so stale buckets can never leak into a later run.
-    shutil.rmtree(io.path(_stage_name(run_id)), ignore_errors=True)
+    io.remove(_stage_name(run_id), spark)
     _mark("finalize")
     links.unpersist()
     if pending_final is not None:

@@ -869,13 +869,20 @@ def ngram_minhash_blocks(docs, toks_col: str = "toks"):
     shingles equals min over distinct ones, so no array_distinct is
     needed."""
     toks = F.col(toks_col)
+    # <3 tokens -> no shingles (guard: sequence(0, negative) is a
+    # DESCENDING sequence whose index 0 crashes slice at runtime; the
+    # oracle's range(len-2) is empty for the same doc).  when() is lazy,
+    # so the sequence never evaluates on short docs.
     shingle_rows = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-            )
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     )
     keyed = shingle_rows.groupBy("doc_id").agg(
@@ -906,12 +913,16 @@ def q_dedup_ngram(spark, sf):
     exact Jaccard on the (tiny) candidate pairs, threshold 0.4."""
     d = _t(spark, sf, "documents")
     toks = _tokens(F.col("text"))
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        )
-    )
+    # same short-doc guard as ngram_minhash_blocks: <3 tokens -> empty set
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     docs = d.select("doc_id", sh.alias("shingles"))
     banded = ngram_minhash_blocks(d.select("doc_id", toks.alias("toks")))
     a, b = banded.alias("a"), banded.alias("b")
@@ -1429,6 +1440,7 @@ def q_sink_roundtrip(spark, sf):
     is the idempotent-resume overwrite — then read back through the
     partitioned reader.  Oracle = the identity projection: round-trip and
     re-overwrite must lose/duplicate nothing."""
+    import shutil
     import tempfile
 
     from .sources.tableio import TableIO
@@ -1439,7 +1451,13 @@ def q_sink_roundtrip(spark, sf):
         "ts",
         F.col("event_type").alias("etype"),
     )
-    io = TableIO(root=tempfile.mkdtemp(prefix="logset_sink_"), n_buckets=8)
+    # fixed per-sf scratch root, recreated each call: repeated bench/
+    # oracle runs reuse ONE directory instead of leaking a full events
+    # copy per invocation (mkdtemp would)
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_sink_roundtrip_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    io = TableIO(root=root, n_buckets=8)
     io.write(e, "roundtrip")          # full write
     io.write(e, "roundtrip")          # idempotent dynamic-overwrite replay
     back = io.read(spark, "roundtrip")

@@ -17,12 +17,20 @@ Turtle file load/serialize (PK:src/graph.py Graph.parse/serialize).
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
+
+# Name of the transient write-salt column TableIO.write adds when
+# n_write_salts > 1; pre_sort hooks that aggregate must include it in
+# their grouping keys (when present) so the salted layout exchange is
+# reused.  Dropped before the rows reach the files.
+WRITE_SALT = "_wsalt"
 
 
 def with_layout(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
@@ -73,16 +81,44 @@ class TableIO:
         tests/test_plans.py::test_write_sorts_packed_rows_once)."""
         if self.catalog == "iceberg":  # pragma: no cover - needs runtime jar
             out = with_layout(df, self.n_buckets)
+            # pre_sort carries engine-independent semantics (the mention
+            # dedup), not just a physical hint — skipping it here would
+            # write duplicate rows on the iceberg path
+            out = pre_sort(out) if pre_sort else out
             out = finisher(out) if finisher else out
             (out.writeTo(self.path(name)).using("iceberg")
              .partitionedBy(F.bucket(self.n_buckets, "conv_id"), F.days("ts"))
              .createOrReplace())
             return
-        keys = [F.col("ts_day"), F.col("conv_bucket")]
+        (
+            self.prepare(df, finisher=finisher, pre_sort=pre_sort)
+            .write.mode(mode)
+            .partitionBy("ts_day", "conv_bucket")
+            .parquet(self.path(name))
+        )
+
+    def prepare(self, df: DataFrame, finisher=None, pre_sort=None) -> DataFrame:
+        """The parquet write plan minus the write itself (exposed so plan
+        tests can assert exchange reuse): layout cols -> (salted) layout
+        repartition -> pre_sort -> local sort -> finisher."""
+        out = with_layout(df, self.n_buckets)
         if self.n_write_salts > 1:
-            keys.append(F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                               F.lit(self.n_write_salts)))
-        out = with_layout(df, self.n_buckets).repartition(*keys)
+            # Materialize the salt as a NAMED column: pre_sort aggregates
+            # group on it too (it is a function of (conv_id, turn_idx), so
+            # it never splits a dedup group), which keeps the grouping a
+            # superset of the partitioning — Catalyst reuses this exchange
+            # instead of inserting a second full shuffle on the unsalted
+            # keys, and the writers keep the salt spread for hot
+            # partitions.  An inline salt EXPRESSION in repartition() would
+            # defeat both (the aggregate can't prove the dependency).
+            out = out.withColumn(
+                WRITE_SALT,
+                F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                       F.lit(self.n_write_salts)).cast("int"),
+            ).repartition(F.col("ts_day"), F.col("conv_bucket"),
+                          F.col(WRITE_SALT))
+        else:
+            out = out.repartition(F.col("ts_day"), F.col("conv_bucket"))
         if pre_sort:
             out = pre_sort(out)
         # prefix the partition cols so FileFormatWriter's required
@@ -95,17 +131,32 @@ class TableIO:
         )
         if finisher:
             out = finisher(out)
-        (
-            out
-            .write.mode(mode)
-            .partitionBy("ts_day", "conv_bucket")
-            .parquet(self.path(name))
-        )
+        if WRITE_SALT in out.columns:
+            out = out.drop(WRITE_SALT)
+        return out
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.catalog == "iceberg":  # pragma: no cover
             return spark.table(self.path(name))
         return spark.read.parquet(self.path(name))
+
+    def remove(self, name: str, spark: SparkSession | None = None) -> None:
+        """Drop a table/directory (checkpoint GC).  The parquet catalog is
+        a filesystem tree; iceberg needs a catalog DROP through a session."""
+        if self.catalog == "iceberg":  # pragma: no cover - needs runtime jar
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+            return
+        shutil.rmtree(self.path(name), ignore_errors=True)
+
+    def list_runs(self, name: str) -> list[str]:
+        """Run ids that own a `name/run=<id>` checkpoint subdir."""
+        base = self.path(name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("run=")
+        )
 
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         """Unpartitioned sink for tiny control tables (manifest, lineage)."""

@@ -191,29 +191,28 @@ cluster-relevant design.
             probe = json.load(f)
         m, c = probe.get("mem", {}), probe.get("cpu", {})
         md += f"""
-## Hardware ceiling (scripts/hw_probe.py, same pinned 8-vs-32 stand-ins)
+## Hardware ceiling (scripts/hw_probe.py — probes are ALWAYS the pinned
+## 8-core vs 32-core pair, independent of the bench pair above)
 
 | probe | 8-core aggregate | 32-core aggregate | 8->32 eff |
 | --- | --- | --- | --- |
 | memory bandwidth (STREAM-triad numpy) | {m.get('thr8')} GB/s | {m.get('thr32')} GB/s | **{m.get('eff')}** |
 | compute (sha256, cache-resident) | {c.get('thr8')} GB/s | {c.get('thr32')} GB/s | **{c.get('eff')}** |
 
-Why the job's efficiency cannot reach 0.8 *on this host*: 8 pinned cores
-already draw {m.get('thr8')} GB/s of the ~{m.get('thr32')} GB/s socket
-ceiling, so the machine's own DRAM bandwidth scales at {m.get('eff')}
-from 8 to 32 cores — any stage that moves data at GB/s rates (parquet
-scan/write, shuffle spill, page-cache traffic) is capped near that number,
-while pure compute scales at {c.get('eff')}.  The pipeline's measured
-efficiency sits BETWEEN the two ceilings and ABOVE a pure-bandwidth
-workload's, i.e. the plan itself adds no serial bottleneck: every
-transcript-scale stage scales uniformly (stage table above), there is no
-driver-side loop over data, and the packed-row layout moves the work that
-remains toward the compute side (URI minting + 6x structural explode run
-post-shuffle as codegen'd CPU; the shuffles/sort/checkpoint carry ~3x
-fewer bytes).  On a real 4N-executor cluster the aggregate DRAM
-bandwidth, NICs, and disk lanes scale WITH the executor count — the
-resource this single socket cannot multiply — which is exactly what the
-N-vs-4N criterion assumes.
+What the probes bound: 8 pinned cores already draw {m.get('thr8')} GB/s
+of the ~{m.get('thr32')} GB/s socket ceiling, so the machine's own DRAM
+bandwidth scales at {m.get('eff')} from 8 to 32 cores — any stage that
+moves data at GB/s rates (parquet scan/write, shuffle spill, page-cache
+traffic) is capped near that number at core counts that saturate the
+socket, while pure compute scales at {c.get('eff')}.  Core pairs that
+saturate the socket (8->32, and 4->16 partially) are bounded by the
+bandwidth row; at unsaturated pairs (2->8) the plan's own scaling is
+visible.  The packed-row layout moves the remaining work toward the
+compute side (URI minting + 6x structural explode run post-shuffle as
+codegen'd CPU; the shuffles/sort/checkpoint carry ~3x fewer bytes).  On
+a real 4N-executor cluster the aggregate DRAM bandwidth, NICs, and disk
+lanes scale WITH the executor count — the resource this single socket
+cannot multiply — which is exactly what the N-vs-4N criterion assumes.
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:

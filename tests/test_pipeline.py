@@ -248,3 +248,54 @@ def test_resume_idempotent(spark, tmp_path):
     ).agg(F.sum("h"), F.count("*")).first()
     assert fp1 == fp2
     assert r1["triples"] > 0
+
+
+def test_detector_modes_agree(spark):
+    """Prefiltered (surface-set broadcast) and emit-all detector modes
+    must produce the SAME stage-1 rows — including for tokens whose raw
+    shape differs from their normalized form ('mainframe-' strips to a
+    dictionary surface; 'a_-' strips to a bare letter the emit-all filter
+    drops)."""
+    from logset_spark.operators import extract
+
+    ddf = spark.createDataFrame(
+        pd.DataFrame({
+            "canon_uri": ["ent:mainframe", "ent:data_mover"],
+            "surface": ["mainframe", "data_mover"],
+            "kind": ["tool", "tool"],
+            "weight": [1.0, 1.0],
+            "valid_from": pd.to_datetime(["2020-01-01"] * 2),
+        }),
+        schema=synth.DICT_SCHEMA,
+    )
+    tdf = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user"] * 3,
+            "text": [
+                "deployed on mainframe- today",     # trailing '-': norm hits dict
+                "ran data_mover then a_- happened", # 'a_-' norm 'a': both drop
+                "plain words only here",
+            ],
+            "tool": [None, "data_mover", None],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 3),
+        }),
+        schema=synth.TRANSCRIPT_SCHEMA,
+    )
+    extra = extract.non_namelike_surfaces(ddf)
+    assert extra == {"mainframe"}
+    pre = extract.unified_stage1(
+        tdf, extract.make_candidate_detector(spark, extra), ddf,
+        prefiltered=True,
+    )
+    allmode = extract.unified_stage1(
+        tdf, extract.make_candidate_detector(spark, None), ddf,
+        prefiltered=False,
+    )
+    cols = ["conv_id", "turn_idx", "pc", "obj", "conf"]
+    a = sorted(map(tuple, pre.select(*cols).collect()))
+    b = sorted(map(tuple, allmode.select(*cols).collect()))
+    assert a == b
+    # and the normalized trailing-punct token actually linked
+    assert any(r[3] == "ent:mainframe" for r in a)

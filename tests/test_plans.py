@@ -179,3 +179,42 @@ def test_detector_evaluated_once_under_explode(spark, sf_dir):
     fn, _ = REGISTRY["q_mentions"]
     plan = _plan(fn(spark, sf_dir))
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_salted_write_reuses_exchange_for_dedup(spark):
+    """With n_write_salts > 1 the fused dedup aggregate must still reuse
+    the (salted) layout exchange: the salt rides as a named column in
+    both the repartition and the grouping keys, so the prepared plan
+    contains exactly ONE full-data Exchange — an inline salt expression
+    would force Catalyst to add a second shuffle on the unsalted keys,
+    silently undoing the fusion AND the skew spread."""
+    from pyspark.sql import functions as F
+
+    from logset_spark import pipeline as P
+    from logset_spark.sources.tableio import TableIO, WRITE_SALT
+
+    # every column derives from id (nothing foldable): constant-literal
+    # columns would alias away under the aggregate and defeat Catalyst's
+    # semantic partitioning match in a way real data never does
+    df = spark.range(256).select(
+        F.concat(F.lit("c"), (F.col("id") % 7)).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 3).alias("ts"),
+        (F.col("id") % 2).cast("tinyint").alias("pc"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("o"), "id")).alias("obj"),
+        (F.col("id") % 5).cast("float").alias("conf"),
+        F.concat(F.lit("r"), F.col("id") % 2).alias("role"),
+        F.when(F.col("id") % 4 == 0, F.lit("t")).alias("tool"),
+        (F.col("id") + 1).cast("int").alias("next_idx"),
+    )
+    io = TableIO("/tmp/unused_salt_plan", n_buckets=4, n_write_salts=4)
+    out = io.prepare(df, pre_sort=P._dedup_rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert WRITE_SALT not in out.columns  # transient: dropped pre-write
+    # behavior parity: salted prepare emits the same rows as unsalted
+    io1 = TableIO("/tmp/unused_salt_plan", n_buckets=4, n_write_salts=1)
+    ref = io1.prepare(df, pre_sort=P._dedup_rows)
+    cols = sorted(set(out.columns) & set(ref.columns))
+    assert sorted(map(tuple, out.select(*cols).collect())) == \
+           sorted(map(tuple, ref.select(*cols).collect()))
