@@ -219,11 +219,13 @@ cannot multiply — which is exactly what the N-vs-4N criterion assumes.
         f.write(md)
     print(json.dumps({
         "turns": n_turns,
-        "wall8_s": best8["wall_ms"] / 1000,
-        "wall32_s": best32["wall_ms"] / 1000,
-        "thr8": round(thr8, 1),
-        "thr32": round(thr32, 1),
-        "triples_per_sec_32": round(tps32, 1),
+        "n_cores": N_CORES,
+        "n4_cores": N4_CORES,
+        "wall_n_s": best8["wall_ms"] / 1000,
+        "wall_4n_s": best32["wall_ms"] / 1000,
+        "thr_n": round(thr8, 1),
+        "thr_4n": round(thr32, 1),
+        "triples_per_sec_4n": round(tps32, 1),
         "scaling_eff": round(eff, 3),
         "all_walls": all_walls,
     }))
