@@ -4,8 +4,9 @@ Four tiers, cheapest-first — at 100 TB you run them in this order and
 each tier shrinks the next tier's input:
 
 1. exact       — md5 content hash groupBy (one shuffle on the hash)
-2. simhash     — 64-bit near-dup fingerprint; hamming<=k via 4-band
-                 exact-match blocking (pigeonhole: k<=3 ⇒ one band equal)
+2. simhash     — 64-bit near-dup fingerprint; hamming<=k via (k+1)-band
+                 exact-match blocking (pigeonhole: k differing bits can
+                 touch at most k of k+1 bands ⇒ one band equal)
 3. minhash-LSH — banded Jaccard blocking (shared with entity linking,
                  logset_spark.operators.link.band_signatures)
 4. verify      — exact n-gram Jaccard on candidate pairs only (native
@@ -69,23 +70,28 @@ def simhash_udf(bits: int = 64):
 
 
 def simhash_bands(df: DataFrame, text_col: str = "text", n_bands: int = 4) -> DataFrame:
-    """Explode the 64-bit simhash into n_bands 16-bit bands: two docs with
-    hamming distance < n_bands must agree on at least one band
-    (pigeonhole), so candidate pairs come from an equi-join on
-    (band_idx, band_val) — never an all-pairs hamming scan."""
+    """Explode the 64-bit simhash into n_bands bands of 64//n_bands bits:
+    two docs with hamming distance < n_bands must agree on at least one
+    band (pigeonhole), so candidate pairs come from an equi-join on
+    (band_idx, band_val) — never an all-pairs hamming scan.
+
+    The band expressions are built in a plain Python loop with int shift
+    amounts: shiftrightunsigned's numBits parameter is int-only, so a
+    transform-lambda Column there fails at plan-build time."""
     width = 64 // n_bands
     sh = df.withColumn("simhash", simhash_udf()(F.col(text_col)))
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
     return sh.select(
         *df.columns,
         "simhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
-            )
-        ).alias("band_idx", "band_val"),
+        F.posexplode(band_vals).alias("band_idx", "band_val"),
     )
 
 
@@ -93,8 +99,14 @@ def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by simhash: band-blocked candidates, exact popcount
-    verify (native bit_count)."""
-    banded = simhash_bands(df, text_col, n_bands=4)
+    verify (native bit_count).
+
+    n_bands derives from max_hamming (pigeonhole needs max_hamming + 1
+    bands for a guaranteed shared band — a fixed 4 would silently lose
+    recall at max_hamming >= 4).  banded is locally checkpointed before
+    the self-join: the two join branches alias differently, so without it
+    the simhash UDF would evaluate the whole corpus twice."""
+    banded = simhash_bands(df, text_col, n_bands=max_hamming + 1).localCheckpoint()
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
         "band_idx", "band_val",
@@ -123,11 +135,15 @@ def minhash_pairs(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH candidates + exact token-shingle Jaccard verify."""
+    """MinHash-LSH candidates + exact token-shingle Jaccard verify.
+
+    banded is locally checkpointed before the self-join — the branches
+    alias differently, so the minhash UDF would otherwise run twice over
+    the full corpus."""
     banded = band_signatures(df, text_col, num_hashes, bands, unit="word").select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
         "band", "band_hash",
-    )
+    ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -144,11 +160,18 @@ def minhash_pairs(
     )
 
     def shingles(c):
-        toks = F.split(F.lower(c), " ")
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        # \s+ split + empty filter mirrors the python str.split() the
+        # MinHash stage tokenizes with — a plain split(' ') keeps empty
+        # tokens on doubled spaces and never splits tabs/newlines, so the
+        # verify jaccard would disagree with the candidate stage (two docs
+        # differing only by a double space scored 0.625, not 1.0)
+        toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+        return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+                )
             )
         )
 

@@ -37,14 +37,22 @@ def normalize_form(col):
 
 
 def best_surface_dictionary(dictionary: DataFrame) -> DataFrame:
-    """Collapse the dictionary to one canonical row per surface
+    """Collapse the dictionary to one canonical row per NORMALIZED surface
     (max weight, tie-break lexicographically smallest canon_uri) so the
-    link join is 1:1 and never fans out."""
+    link join is 1:1 and never fans out.
+
+    The surface is normalized with the SAME normalize_form the mention
+    side applies before joining: a raw-surface dictionary entry like
+    'GitHub' or ' mainframe ' could otherwise never exact-match any
+    normalized mention — it would silently fall through to the fuzzy
+    stage on every occurrence.  Two raw surfaces collapsing to one
+    normalized form resolve by the same (weight, canon_uri) election."""
     w = Window.partitionBy("surface").orderBy(
         F.desc("weight"), F.asc("canon_uri")
     )
     return (
-        dictionary.withColumn("rn", F.row_number().over(w))
+        dictionary.withColumn("surface", normalize_form(F.col("surface")))
+        .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select("surface", "canon_uri", F.col("weight").alias("score"))
     )
@@ -169,12 +177,17 @@ def make_minhash_udf(num_hashes: int = 32, seed: int = 7, unit: str = "char"):
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
         for txt in texts:
+            # None, not a sentinel signature: an all-zero signature would
+            # put EVERY empty/gram-less string in the same bucket of every
+            # band — O(n_empty^2) candidate pairs that all verify to 0.0.
+            # band_signatures drops null signatures, so empties are simply
+            # never candidates (their true similarity to anything is 0).
             if not txt:
-                out.append([0] * len(seeds))
+                out.append(None)
                 continue
             hv = grams(txt)
             if hv.size == 0:
-                out.append([0] * len(seeds))
+                out.append(None)
                 continue
             out.append(_signature(hv, seeds).tolist())
         return pd.Series(out)
@@ -192,7 +205,10 @@ def band_signatures(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     mh = make_minhash_udf(num_hashes, seed, unit)
-    sig = df.withColumn("_sig", mh(F.col(text_col)))
+    # null signature = empty/gram-less text -> not bandable (see the UDF)
+    sig = df.withColumn("_sig", mh(F.col(text_col))).where(
+        F.col("_sig").isNotNull()
+    )
     banded = sig.select(
         *df.columns,
         F.posexplode(
@@ -288,20 +304,23 @@ def link_mentions(
     import time as _time
 
     t0 = _time.monotonic()
-    exact = exact_link(mentions, dictionary).persist()
+    # keep_norm: the normalization computed once inside exact_link is
+    # reused below for both the fuzzy-candidate projection and the
+    # re-join — never recomputed over the mention-scale table.
+    exact = exact_link(mentions, dictionary, keep_norm=True).persist()
     exact.count()
     if timings is not None:
         timings["link_exact"] = round(_time.monotonic() - t0, 2)
         t0 = _time.monotonic()
     misses = exact.where(
         (F.col("canon_uri").isNull()) & (F.col("kind") != "ts")
-    ).select(normalize_form(F.col("form")).alias("form")).distinct()
+    ).select(F.col("norm_form").alias("form")).distinct()
     fuzzy = fuzzy_link(misses, dictionary, threshold=fuzzy_threshold).persist()
     fuzzy.count()
     if timings is not None:
         timings["link_fuzzy"] = round(_time.monotonic() - t0, 2)
 
-    m = exact.withColumn("norm_form", normalize_form(F.col("form")))
+    m = exact
     f = fuzzy.select(
         F.col("form").alias("norm_form"),
         F.col("canon_uri").alias("f_canon"),

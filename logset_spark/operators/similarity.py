@@ -29,7 +29,12 @@ def _dot(a, b):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    # try_divide, not '/': under Spark 4's default ANSI mode one all-zero
+    # embedding anywhere in a 10^x-row corpus would throw DIVIDE_BY_ZERO
+    # and abort the whole job.  Zero-norm vectors score null -> never
+    # enter any top-k / threshold result, which is the right semantics
+    # (cosine is undefined for them).
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def cosine_topk(

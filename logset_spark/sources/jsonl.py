@@ -70,11 +70,13 @@ def read_transcripts_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined raw lines).  Good rows additionally require the
     join/partition keys the pipeline depends on — a syntactically valid
-    line with no conv_id is as unusable as a malformed one."""
-    bad = parsed.where(F.col("_bad")).select(RAW_COL)
+    line with no conv_id is as unusable as a malformed one, so it lands
+    in the SAME quarantine (good ∪ bad must account for every input
+    line; silently vanishing rows would defeat the audit sink)."""
+    has_keys = F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    bad = parsed.where(F.col("_bad") | ~has_keys).select(RAW_COL)
     good = (
-        parsed.where(~F.col("_bad"))
+        parsed.where(~F.col("_bad") & has_keys)
         .drop(RAW_COL, "_bad")
-        .where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     )
     return good, bad

@@ -172,20 +172,30 @@ def followed_by_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
-        batch = batch.sort_values("turn_idx", ignore_index=True)
+        # dedup within the batch: an at-least-once source can redeliver a
+        # turn, and a duplicated idx would chain a turn->itself self-loop
+        batch = (
+            batch.sort_values("turn_idx", ignore_index=True)
+            .drop_duplicates("turn_idx", ignore_index=True)
+        )
         idxs = batch["turn_idx"].tolist()
         tss = batch["ts"].tolist()
         prev = state.get if state.exists else None
         src_idx, src_ts = [], []
         dst_idx = []
-        if prev is not None:
+        # bridge only FORWARD: a redelivered last-seen turn (idxs[0] ==
+        # prev) would self-loop, and a late out-of-order turn (idxs[0] <
+        # prev) would mint a backward edge — both worse than the missing
+        # edge batch backfill repairs
+        if prev is not None and idxs[0] > int(prev[0]):
             src_idx.append(int(prev[0]))
             src_ts.append(prev[1])
             dst_idx.append(idxs[0])
         src_idx += idxs[:-1]
         src_ts += tss[:-1]
         dst_idx += idxs[1:]
-        state.update((int(idxs[-1]), tss[-1]))
+        if prev is None or int(idxs[-1]) > int(prev[0]):
+            state.update((int(idxs[-1]), tss[-1]))
         if conv_timeout_ms > 0:
             state.setTimeoutDuration(conv_timeout_ms)
         if not src_idx:

@@ -218,3 +218,22 @@ def test_salted_write_reuses_exchange_for_dedup(spark):
     cols = sorted(set(out.columns) & set(ref.columns))
     assert sorted(map(tuple, out.select(*cols).collect())) == \
            sorted(map(tuple, ref.select(*cols).collect()))
+
+
+def test_jsonl_quarantine_accounts_for_every_line(spark, tmp_path):
+    """good + quarantined must cover EVERY input line: a syntactically
+    valid row missing conv_id/turn_idx goes to the quarantine sink, never
+    silently vanishes."""
+    from logset_spark.sources.jsonl import read_transcripts_jsonl, split_quarantine
+
+    lines = [
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":"2024-01-01T00:00:00"}',
+        '{"turn_idx":1,"role":"user","text":"no conv id","tool":null,"ts":"2024-01-01T00:00:00"}',
+        '{"conv_id":"c1","role":"user","text":"no turn idx","tool":null,"ts":"2024-01-01T00:00:00"}',
+        'not json at all {{{',
+    ]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = split_quarantine(read_transcripts_jsonl(spark, str(p)))
+    assert good.count() == 1
+    assert bad.count() == 3   # 1 malformed + 2 missing-key rows quarantined

@@ -97,7 +97,9 @@ def test_minhash_udf_matches_driver_math(spark):
     seeds = link._minhash_seeds(16)
     hv = link._gram_hashes("granite-mesa_0042")
     assert got[2] == link._signature(hv, seeds).tolist()
-    assert got[3] == [0] * 16
+    # empty text -> null signature (not bandable), never a sentinel that
+    # collides all empties into one LSH bucket
+    assert got[3] is None
 
 
 # ---------------------------------------------------------------------------
@@ -442,3 +444,66 @@ def test_ngram_blocks_short_docs_no_crash(spark):
     by_doc = {r["doc_id"] for r in blocks}
     assert 3 in by_doc          # the one doc with >=3 tokens gets bands
     assert by_doc == {3}        # short docs contribute no blocks at all
+
+
+def test_simhash_pairs_end_to_end(spark):
+    """simhash_pairs must (a) not crash at plan build (int-only shift
+    amounts), (b) find planted near-dups, and (c) honor max_hamming >= 4
+    via derived band count (fixed 4 bands would lose the pigeonhole
+    guarantee)."""
+    from logset_spark.operators.dedup import simhash_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i:03d}" for i in range(800)])
+    base = " ".join(rng.choice(vocab, size=60))
+    texts = [base, base + " tail_token", *(
+        " ".join(rng.choice(vocab, size=60)) for _ in range(40)
+    )]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    d = spark.createDataFrame(pdf)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in simhash_pairs(d, max_hamming=6).collect()}
+    assert (0, 1) in pairs          # planted near-dup found
+    assert len(pairs) < 20          # no all-pairs explosion
+
+
+def test_minhash_pairs_whitespace_parity(spark):
+    """Verify-stage tokenization must match the MinHash stage's python
+    str.split(): docs identical up to doubled spaces / tabs must score
+    jaccard 1.0 (a plain split(' ') scored 0.625 and dropped them)."""
+    from logset_spark.operators.dedup import minhash_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [t, t.replace(" beta ", "  beta\t"), "totally different words here"],
+    })
+    out = minhash_pairs(spark.createDataFrame(pdf), threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_empty_text_never_bands(spark):
+    """Empty/gram-less strings must not collide into a shared LSH bucket
+    (an all-zero sentinel signature made every empty pair a candidate)."""
+    from logset_spark.operators.link import band_signatures
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", "", "real content words"]})
+    banded = band_signatures(spark.createDataFrame(pdf), "text", unit="word")
+    assert {r["doc_id"] for r in banded.collect()} == {3}
+
+
+def test_cosine_zero_norm_does_not_abort(spark):
+    """ANSI mode: one all-zero embedding must not kill the whole top-k job
+    (DIVIDE_BY_ZERO) — it scores null and never ranks."""
+    from logset_spark.operators.similarity import cosine_topk
+
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[0.0, 0.0], [1.0, 0.0], [0.6, 0.8]],
+    })
+    df = spark.createDataFrame(pdf)
+    got = cosine_topk(df, df, k=2).collect()
+    assert got  # ran to completion
+    assert all(r["query_id"] != 0 or r["neighbor_id"] != 0 for r in got) or True
+    # the zero vector never appears as a scored neighbor of itself
+    assert (0, 0) not in {(r["query_id"], r["neighbor_id"]) for r in got}

@@ -148,3 +148,46 @@ def test_followed_by_stream_matches_batch(spark, tmp_path):
     )
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_followed_by_stream_redelivery_no_self_loop(spark, tmp_path):
+    """At-least-once redelivery: a later micro-batch re-delivering the
+    last-seen turn must not mint a self-loop or backward followedBy edge,
+    and in-batch duplicates must not self-chain."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "conv_id": ["c"] * 3,
+        "turn_idx": pd.array([0, 1, 1], dtype="int32"),  # in-batch dup of 1
+        "role": ["user"] * 3,
+        "text": ["a", "b", "b"],
+        "tool": [None] * 3,
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 3),
+    })
+    redeliver = pd.DataFrame({
+        "conv_id": ["c"] * 2,
+        "turn_idx": pd.array([1, 2], dtype="int32"),  # 1 redelivered + new 2
+        "role": ["user"] * 2,
+        "text": ["b", "c"],
+        "tool": [None] * 2,
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 2),
+    })
+    path = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema=synth.TRANSCRIPT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+    spark.createDataFrame(redeliver, schema=synth.TRANSCRIPT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+    src = (
+        spark.readStream.schema(synth.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    st.run_available_now(st.followed_by_stream(src), ckpt, out)
+    edges = {(r["subj"], r["obj"])
+             for r in spark.read.parquet(out).collect()}
+    assert ("turn:c/1", "turn:c/1") not in edges        # no self-loop
+    assert all(s != o for s, o in edges)
+    assert ("turn:c/0", "turn:c/1") in edges
+    assert ("turn:c/1", "turn:c/2") in edges            # bridge still works
