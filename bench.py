@@ -4,7 +4,7 @@ Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]; the KG pipeline (extract+link+canonicalize+
 materialize) runs over a deterministic synthetic transcript table whose
 parquet is generated OUTSIDE the timed section (input size via
-$SPARK_GRAFT_BENCH_CONVS, default 30000 convs ~ 0.5M turns).
+$SPARK_GRAFT_BENCH_CONVS, default 120000 convs ~ 5.2M turns).
 
 Output: {"metric": "e2e_bench_seconds", "value": <total sec>,
          "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
@@ -96,7 +96,7 @@ def main() -> int:
     transcripts = spark.read.parquet(tr_path)
     dictionary = spark.read.parquet(dict_path)
     n_turns = transcripts.count()
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     walls = []
     for rep in range(reps):
         io = TableIO(f"{workdir}/wh{rep}", n_buckets=16)

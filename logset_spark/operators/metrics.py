@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 
 def precision_recall(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
+    """ONE aggregation pass supplies tp AND both side counts (tp = keys
+    seen on both sides; side count = keys whose side-set contains that
+    side) — no separate count() jobs re-scanning either table."""
     key = ["subj", "pred", "obj"]
     e = emitted.select(*key).distinct()
     g = golden.select(*key).distinct()
@@ -20,17 +23,17 @@ def precision_recall(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
         e.withColumn("_side", F.lit("e"))
         .unionByName(g.withColumn("_side", F.lit("g")))
         .groupBy(*key)
-        .agg(F.count_distinct("_side").alias("sides"), F.count("*").alias("n"))
+        .agg(F.collect_set("_side").alias("sides"))
         .agg(
-            F.count("*").alias("union_n"),
-            F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("n") >= 1, 1)).alias("_ignore"),
+            F.sum(F.when(F.size("sides") == 2, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(F.array_contains("sides", "e"), 1).otherwise(0)).alias("n_e"),
+            F.sum(F.when(F.array_contains("sides", "g"), 1).otherwise(0)).alias("n_g"),
         )
         .first()
     )
     tp = counts["tp"] or 0
-    n_e = e.count()
-    n_g = g.count()
+    n_e = counts["n_e"] or 0
+    n_g = counts["n_g"] or 0
     return {
         "tp": float(tp),
         "emitted": float(n_e),

@@ -110,9 +110,19 @@ def _same_as_triples(
     (surface, canon) pairs are already dictionary rows), so the graph is
     bounded by |dictionary| + |distinct fuzzy forms| — never scans the
     transcript-scale tables.  A sort-marker prefix makes ent: URIs win the
-    min-label election so the representative is never a surface form."""
+    min-label election so the representative is never a surface form.
+
+    Surfaces enter the graph NORMALIZED — the same normalize_form the
+    exact/fuzzy linkers apply (fuzzy form_keys already are).  Raw surfaces
+    would split one linked surface across several nodes: dictionary rows
+    ('GitHub' -> ent:A, 'github' -> ent:B) both exact-link to the elected
+    winner, so sameAs(B, A) must be emitted — which only happens if both
+    rows collapse to one 'github' node here."""
     pairs = (
-        dictionary.select(F.col("surface").alias("src"), F.col("canon_uri").alias("dst"))
+        dictionary.select(
+            link.normalize_form(F.col("surface")).alias("src"),
+            F.col("canon_uri").alias("dst"),
+        )
         .union(links.select(F.col("form").alias("src"), F.col("canon_uri").alias("dst")))
         .distinct()
     )

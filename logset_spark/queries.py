@@ -850,6 +850,23 @@ FROM documents GROUP BY md5(text)
 _NGRAM_BANDS = 4  # min-hash bands for candidate blocking (both engines)
 
 
+def _shingles3(toks):
+    """Token-3-gram shingle array, shared by the blocking and verify
+    stages of q_dedup_ngram — the two MUST stay expression-identical or
+    candidate generation and verification silently desynchronize.
+    <3 tokens -> empty (guard: sequence(0, negative) is a DESCENDING
+    sequence whose index 0 crashes slice at runtime; the oracle's
+    range(len-2) is empty for the same doc).  when() is lazy, so the
+    sequence never evaluates on short docs."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_minhash_blocks(docs, toks_col: str = "toks"):
     """(doc_id, toks) -> (doc_id, band, bkey): per band b, the block key
     is min(md5(b || shingle)) over the doc's token-3-gram shingles — a
@@ -869,21 +886,9 @@ def ngram_minhash_blocks(docs, toks_col: str = "toks"):
     shingles equals min over distinct ones, so no array_distinct is
     needed."""
     toks = F.col(toks_col)
-    # <3 tokens -> no shingles (guard: sequence(0, negative) is a
-    # DESCENDING sequence whose index 0 crashes slice at runtime; the
-    # oracle's range(len-2) is empty for the same doc).  when() is lazy,
-    # so the sequence never evaluates on short docs.
     shingle_rows = docs.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size(toks) >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 3),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
+        F.explode(_shingles3(toks)).alias("shingle"),
     )
     keyed = shingle_rows.groupBy("doc_id").agg(
         *[
@@ -913,16 +918,8 @@ def q_dedup_ngram(spark, sf):
     exact Jaccard on the (tiny) candidate pairs, threshold 0.4."""
     d = _t(spark, sf, "documents")
     toks = _tokens(F.col("text"))
-    # same short-doc guard as ngram_minhash_blocks: <3 tokens -> empty set
-    sh = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # one shared shingle expression with the blocking stage (_shingles3)
+    sh = F.array_distinct(_shingles3(toks))
     docs = d.select("doc_id", sh.alias("shingles"))
     banded = ngram_minhash_blocks(d.select("doc_id", toks.alias("toks")))
     a, b = banded.alias("a"), banded.alias("b")
@@ -1136,8 +1133,13 @@ def q_doc_fingerprint(spark, sf):
     """Rolling polynomial content fingerprint (acc*31 + codepoint mod p),
     computed natively with a higher-order aggregate — no Python, no UDF."""
     d = _t(spark, sf, "documents")
+    # filter empty chars on BOTH sides: an empty text splits to [''] whose
+    # codepoint the engines disagree on (Spark ascii('')=0, DuckDB
+    # unicode('')=-1) — dropping empties makes both reduce over the same
+    # sequence (and leave the seed 7 untouched for empty docs)
+    chars = F.filter(F.split("text", ""), lambda c: c != "")
     roll = F.aggregate(
-        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("bigint")),
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
         F.lit(7).cast("bigint"),
         lambda acc, c: (acc * 31 + c) % _ROLL_P,
     )
@@ -1147,7 +1149,8 @@ def q_doc_fingerprint(spark, sf):
 SQL_DOC_FINGERPRINT = f"""
 SELECT doc_id,
        list_reduce(list_prepend(7::BIGINT,
-                                [unicode(x) for x in string_split_regex(text, '')]),
+                                [unicode(x) for x in string_split_regex(text, '')
+                                 if x != '']),
                    (acc, c) -> (acc * 31 + c) % {_ROLL_P}) AS rolling_hash
 FROM documents
 """
@@ -1451,11 +1454,13 @@ def q_sink_roundtrip(spark, sf):
         "ts",
         F.col("event_type").alias("etype"),
     )
-    # fixed per-sf scratch root, recreated each call: repeated bench/
-    # oracle runs reuse ONE directory instead of leaking a full events
-    # copy per invocation (mkdtemp would)
+    # fixed per-(sf, process) scratch root, recreated each call: repeated
+    # runs in one process reuse ONE directory instead of leaking a full
+    # events copy per invocation (mkdtemp would), while the pid suffix
+    # keeps concurrent harness processes from clobbering each other's
+    # sink mid-read
     tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
-    root = f"{tempfile.gettempdir()}/logset_sink_roundtrip_{tag}"
+    root = f"{tempfile.gettempdir()}/logset_sink_roundtrip_{tag}_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     io = TableIO(root=root, n_buckets=8)
     io.write(e, "roundtrip")          # full write
@@ -1499,18 +1504,35 @@ def q_batch_features(spark, sf):
     )
 
 
+# COALESCE + empty-token filter align the edge cases with pandas:
+# str.split() on ''/whitespace-only returns [] (0 tokens), while a bare
+# string_split_regex(trim(''), '\s+') returns [''] (1); null text maps
+# to 0 chars via the fillna('') on the Spark side.
 SQL_BATCH_FEATURES = r"""
-SELECT doc_id, length(text) AS n_chars,
-       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-       string_split_regex(trim(text), '\s+')[1] AS first_tok
+SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+       len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                       x -> x != '')) AS n_ws_tokens,
+       coalesce(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            x -> x != '')[1], '') AS first_tok
 FROM documents
 """
 
 
-JSONL_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "transcripts_sample.jsonl",
-)
+def _jsonl_fixture() -> str:
+    """Repo-checkout path of the committed fixture; when logset_spark is
+    imported from a --py-files zip, __file__ points INSIDE the archive
+    (unreadable by spark.read.text), so fall back to cwd-relative."""
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "transcripts_sample.jsonl",
+    )
+    if os.path.exists(here):
+        return here
+    return os.path.join(os.getcwd(), "tests", "fixtures",
+                        "transcripts_sample.jsonl")
+
+
+JSONL_FIXTURE = _jsonl_fixture()
 
 
 def q_jsonl_source(spark, sf):
