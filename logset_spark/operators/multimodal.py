@@ -118,8 +118,11 @@ def frame_sample(
     """Video-style frame sampling, stubbed: split the payload into
     `n_frames` evenly-spaced byte windows ("frames") and emit a stable
     hash per frame.  Real path would seek keyframes with ffmpeg; the
-    1->N row expansion and batch shape are identical."""
-    from hashlib import blake2b
+    1->N row expansion and batch shape are identical.  md5 (not a faster
+    non-crypto hash) so the stub is reproducible by any SQL engine: on an
+    ASCII payload the byte windows equal character windows, which is what
+    lets q_multimodal_frames carry a DuckDB oracle."""
+    from hashlib import md5
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -132,7 +135,7 @@ def frame_sample(
                     frame = bytes(buf[k * step: k * step + frame_bytes])
                     ids.append(doc_id)
                     idxs.append(k)
-                    hashes.append(blake2b(frame, digest_size=8).hexdigest())
+                    hashes.append(md5(frame).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
                  "frame_hash": hashes}

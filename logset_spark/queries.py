@@ -1278,11 +1278,30 @@ def q_multimodal_features(spark, sf):
 
 def q_multimodal_frames(spark, sf):
     """Stubbed video frame-sampling: 1 payload -> N frame hashes via
-    mapInPandas (rows-only; hashes are stub-specific)."""
+    mapInPandas.  Restricted to ASCII payloads (octet_length == length)
+    so the stub's BYTE windows provably equal the oracle's CHARACTER
+    windows — md5 over both sides is then bit-identical and the Arrow
+    1->N expansion gets a full DuckDB value check."""
     from .operators.multimodal import attach_binary, frame_sample
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").where(
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    )
     return frame_sample(attach_binary(d))
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 4, 1) AS step
+  FROM documents
+  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       md5(substring(text, CAST(k * step + 1 AS BIGINT), 32)) AS frame_hash
+FROM d, UNNEST(range(least(4, n))) AS t(k)
+"""
 
 
 # ---- grouped-map / grouped-agg / CC / set-op additions --------------------
@@ -1648,5 +1667,5 @@ REGISTRY: dict[str, tuple] = {
     # multimodal (binary payload + typed metadata; decode stubbed)
     "q_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "q_multimodal_features": (q_multimodal_features, None),
-    "q_multimodal_frames": (q_multimodal_frames, None),
+    "q_multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

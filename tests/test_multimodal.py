@@ -53,7 +53,7 @@ def test_frame_sample_expansion(spark):
     # empty/null payloads emit no frames; others emit exactly n_frames
     assert set(pdf.doc_id) == {0, 1}
     assert pdf.groupby("doc_id").size().tolist() == [4, 4]
-    assert pdf.frame_hash.str.len().eq(16).all()
+    assert pdf.frame_hash.str.len().eq(32).all()
 
 
 def test_resize_stub_native(spark):
