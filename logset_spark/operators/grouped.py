@@ -97,3 +97,38 @@ def weighted_price_by_flag(lineitem: DataFrame) -> DataFrame:
             count_rows(F.col("l_quantity")).alias("n_items"),
         )
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    salt_col: str,
+    n_salts: int = 16,
+    scale: int = 2,
+) -> DataFrame:
+    """Skew-safe TWO-PHASE aggregation: partial agg on (key, salt) spreads
+    a hot group over n_salts reducers, a second (tiny — n_keys x n_salts
+    rows) agg on key merges the partials.  Catalyst's own partial
+    aggregation already map-side-combines, but one hot key still lands on
+    ONE final reducer; the explicit salt bounds that reducer's input at
+    1/n_salts of the hot key — the aggregation twin of link.salted_join.
+
+    Salt is pmod(xxhash64(salt_col), n_salts): deterministic, so re-runs
+    are stable (no rand()), and derived from a row-level column so a hot
+    key's rows spread uniformly.  The value sum stages through
+    decimal(18,scale) — exact, associativity-safe: the rewrite must be
+    provably value-identical to the plain GROUP BY, which is exactly what
+    the q_skew_agg oracle checks.  Returns [key, n_rows, sum_<value_col>
+    (decimal)]."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).alias("_s"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_s").alias(f"sum_{value_col}"),
+    )

@@ -1593,6 +1593,218 @@ FROM (SELECT doc_id,
 """
 
 
+# ---- round-2 breadth: session windows, skewed agg, KG traversal, ----------
+# ---- dedup clustering, TF-IDF keywords, CSV ingest -------------------------
+
+
+def q_session_window(spark, sf):
+    """X3 session windows in BATCH: native F.session_window (gap 30 min)
+    per user — the batch twin of streaming/incremental.session_counts.
+    Spark merges an event into the running session iff its ts is STRICTLY
+    inside (last_ts + gap); the oracle replays that rule as
+    gaps-and-islands (new session when diff >= gap)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM lagged)
+SELECT user_id, min(ts) AS sess_start,
+       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+       count(*) AS n_events
+FROM islands GROUP BY user_id, sess_id
+"""
+
+
+def q_skew_agg(spark, sf):
+    """A-family skew handling, oracle-checked: two-phase SALTED
+    aggregation (operators/grouped.salted_agg) vs the plain single-phase
+    GROUP BY — like q_salted for joins, salting an aggregation must be a
+    pure physical rewrite, so the oracle is the unsalted SQL.  Decimal
+    staging makes the two-phase sum exactly associative."""
+    from .operators.grouped import salted_agg
+
+    e = _t(spark, sf, "events")
+    out = salted_agg(
+        e, "event_type", value_col="value", salt_col="event_id", n_salts=16
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_SKEW_AGG = """
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_kg_2hop(spark, sf):
+    """SPARQL-style 2-hop pattern over the materialized triple table:
+    ?conv hasTurn ?turn . ?turn usedTool ?tool — a triple-store self-join,
+    the catalog-query shape LogSet answers with rdflib (which
+    conversations touched which tools), here a plain DataFrame equi-join
+    Catalyst can reorder/broadcast."""
+    tri = q_kg_structural(spark, sf)
+    ht = tri.where(F.col("pred") == "hasTurn").select(
+        F.col("subj").alias("conv"), F.col("obj").alias("turn")
+    )
+    ut = tri.where(F.col("pred") == "usedTool").select(
+        F.col("subj").alias("turn"), F.col("obj").alias("tool")
+    )
+    return ht.join(ut, "turn").select("conv", "tool").distinct()
+
+
+SQL_KG_2HOP = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT a.subj AS conv, b.obj AS tool
+FROM g a JOIN g b ON a.obj = b.subj
+WHERE a.pred = 'hasTurn' AND b.pred = 'usedTool'
+"""
+
+
+def q_dedup_cluster(spark, sf):
+    """Near-dup document CLUSTERS — the full dedup flow a training corpus
+    runs: LSH-block -> verify (q_dedup_ngram pairs, jaccard >= 0.4) ->
+    connected components -> canonical representative per cluster (keep-one
+    policy).  Forced down the DISTRIBUTED CC loop (small_graph_edges=0).
+    Node ids are zero-padded so CC's lexicographic min label == numeric
+    min doc_id; only clustered docs appear (singletons have no edges)."""
+    from .operators.cc import connected_components
+
+    pairs = q_dedup_ngram(spark, sf)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    comp = connected_components(edges, small_graph_edges=0)
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canon_doc_id"),
+    )
+
+
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE
+pairs AS ({SQL_DEDUP_NGRAM}),
+base AS (SELECT lpad(CAST(doc_a AS VARCHAR), 12, '0') AS src,
+                lpad(CAST(doc_b AS VARCHAR), 12, '0') AS dst FROM pairs),
+edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+walk(node, comp) AS (
+  SELECT src AS node, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(comp) AS BIGINT) AS canon_doc_id
+FROM walk GROUP BY node
+"""
+
+
+def q_tfidf(spark, sf):
+    """Text analysis: per-document top-3 keywords by TF-IDF.  tf = term
+    count in doc, idf = ln(n_docs / df); stopwords dropped; ties broken
+    by token asc so the ranking is total.  n_docs rides a broadcast
+    1-row aggregate (no driver collect); df joins on the token — all
+    shuffles are on token/doc keys, nothing quadratic."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    ).where(~F.col("word").isin(*STOPWORDS))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    ndocs = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = tf.join(dfreq, "word").crossJoin(F.broadcast(ndocs))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(tfidf), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "word", "tf", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok
+  WHERE word NOT IN {_STOP_SQL} GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df) DESC,
+                                     tf.word ASC) AS rnk
+  FROM tf JOIN dfreq USING (word) CROSS JOIN nd)
+SELECT doc_id, rnk, word, tf, round(tfidf, 6) AS tfidf
+FROM scored WHERE rnk <= 3
+"""
+
+
+def _csv_fixture() -> str:
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "transcripts_sample.csv",
+    )
+    if os.path.exists(here):
+        return here
+    return os.path.join(os.getcwd(), "tests", "fixtures",
+                        "transcripts_sample.csv")
+
+
+CSV_FIXTURE = _csv_fixture()
+
+
+def q_csv_source(spark, sf):
+    """S-family CSV transcript ingestion (sources/csvsrc.py): explicit
+    north-rule schema, PERMISSIVE parse, malformed rows quarantined — the
+    CSV twin of q_jsonl_source.  The DuckDB oracle reads the same
+    committed fixture with ignore_errors; both engines must agree on the
+    surviving rows and their typed values."""
+    from .sources.csvsrc import read_transcripts_csv, split_quarantine
+
+    good, _bad = split_quarantine(read_transcripts_csv(spark, CSV_FIXTURE))
+    return good.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+SQL_CSV_SOURCE = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM read_csv('{CSV_FIXTURE}', header=true, ignore_errors=true,
+              nullstr='', auto_detect=false, delim=',', quote='"', escape='"',
+              columns={{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER',
+                        'role': 'VARCHAR', 'text': 'VARCHAR',
+                        'tool': 'VARCHAR', 'ts': 'TIMESTAMP'}})
+WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1612,12 +1824,14 @@ REGISTRY: dict[str, tuple] = {
     "q_approx": (q_approx, None),
     "q_collect": (q_collect, SQL_COLLECT),
     "q_rollup": (q_rollup, SQL_ROLLUP),
+    "q_skew_agg": (q_skew_agg, SQL_SKEW_AGG),
     # windows
     "q_rownum": (q_rownum, SQL_ROWNUM),
     "q_rank": (q_rank, SQL_RANK),
     "q_lag": (q_lag, SQL_LAG),
     "q_runsum": (q_runsum, SQL_RUNSUM),
     "q_session": (q_session, SQL_SESSION),
+    "q_session_window": (q_session_window, SQL_SESSION_WINDOW),
     "q_window": (q_window, SQL_WINDOW),
     "q_topk": (q_topk, SQL_TOPK),
     "q_sort": (q_sort, SQL_SORT),
@@ -1641,6 +1855,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sink_roundtrip": (q_sink_roundtrip, SQL_SINK_ROUNDTRIP),
     "q_batch_features": (q_batch_features, SQL_BATCH_FEATURES),
     "q_jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
+    "q_csv_source": (q_csv_source, SQL_CSV_SOURCE),
     "q_grouped_map": (q_grouped_map, SQL_GROUPED_MAP),
     "q_pandas_udaf": (q_pandas_udaf, SQL_PANDAS_UDAF),
     "q_cc": (q_cc, SQL_CC),
@@ -1648,6 +1863,7 @@ REGISTRY: dict[str, tuple] = {
     "q_kg_structural": (q_kg_structural, SQL_KG_STRUCTURAL),
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
+    "q_kg_2hop": (q_kg_2hop, SQL_KG_2HOP),
     # training-data suite
     "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -1656,6 +1872,7 @@ REGISTRY: dict[str, tuple] = {
     "q_dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
     "q_dedup_minhash": (q_dedup_minhash, None),
     "q_dedup_simhash": (q_dedup_simhash, None),
+    "q_dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "q_embed_norm": (q_embed_norm, SQL_EMBED_NORM),
     "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
     "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
@@ -1663,6 +1880,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_ivf": (q_ann_ivf, None),
     "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_tfidf": (q_tfidf, SQL_TFIDF),
     "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     # multimodal (binary payload + typed metadata; decode stubbed)
     "q_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

@@ -507,3 +507,52 @@ def test_cosine_zero_norm_does_not_abort(spark):
     assert all(r["query_id"] != 0 or r["neighbor_id"] != 0 for r in got) or True
     # the zero vector never appears as a scored neighbor of itself
     assert (0, 0) not in {(r["query_id"], r["neighbor_id"]) for r in got}
+
+
+def test_csv_quarantine_split(spark):
+    """The committed CSV fixture carries exactly 4 malformed lines (bad
+    int, missing key, ragged, bad timestamp) among 44 data lines; the
+    PERMISSIVE text-scan + from_csv parse must quarantine those 4,
+    deliver all 40 valid rows typed, and unescape RFC-4180 doubled
+    quotes.  good + bad must account for every input line."""
+    from logset_spark.queries import CSV_FIXTURE
+    from logset_spark.sources.csvsrc import (
+        read_transcripts_csv, split_quarantine,
+    )
+
+    parsed = read_transcripts_csv(spark, CSV_FIXTURE)
+    good, bad = split_quarantine(parsed)
+    assert good.count() == 40
+    assert bad.count() == 4
+    assert parsed.count() == 44
+    assert dict(good.dtypes)["ts"] == "timestamp"
+    assert dict(good.dtypes)["turn_idx"] == "int"
+    quoted = good.where(F.col("turn_idx") == 2).select("text").first()[0]
+    assert quoted.startswith('quoted, "comma" text')  # quotes unescaped
+
+
+def test_salted_agg_invariance(spark):
+    """Two-phase salted aggregation is a pure physical rewrite: for any
+    n_salts the merged result equals the plain one-phase GROUP BY
+    (decimal staging makes the sums exactly associative)."""
+    from logset_spark.operators.grouped import salted_agg
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plain = {
+        r["event_type"]: (r["n"], float(r["s"]))
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    for n_salts in (1, 4, 16):
+        got = {
+            r["event_type"]: (r["n_rows"], float(r["sum_value"]))
+            for r in salted_agg(
+                e, "event_type", value_col="value",
+                salt_col="event_id", n_salts=n_salts,
+            ).collect()
+        }
+        assert got == plain, f"n_salts={n_salts}"
