@@ -74,3 +74,45 @@ def global_sorted_index(
         index_col,
         (F.element_at(off, F.col(_PID) + 1) + local).cast("long"),
     ).drop(_PID)
+
+
+def global_running_total(
+    df: DataFrame, cols: list[str], value_col: str,
+    total_col: str = "running_total", num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global prefix sum: ``sum(value_col) OVER (ORDER BY
+    *cols* ROWS UNBOUNDED PRECEDING)`` — inclusive of the current row —
+    without the single-task global window.  Same two-shuffle shape as
+    ``global_sorted_index`` (range partition -> per-partition TOTALS
+    collected, K scalars -> prefix offsets -> partition-local cumsum +
+    offset).  The backbone of sequence packing: token budgets need the
+    running token count across the whole corpus in a stable order.
+
+    *cols* must form a total order.  value_col must be integral (exact
+    prefix sums; float cumsums are order-sensitive).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # same localCheckpoint rationale as global_sorted_index: both jobs
+    # must see identical sampled range bounds, and a lost block must fail
+    # loudly rather than silently re-sample.
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = {r[_PID]: r["s"] or 0 for r in
+            part.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(sums, default=-1) + 1):
+        offsets.append(acc)
+        acc += sums.get(pid, 0)
+    off = F.array(*[F.lit(int(o)) for o in offsets]) if offsets else F.array()
+    local = F.sum(value_col).over(
+        Window.partitionBy(_PID).orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return part.withColumn(
+        total_col,
+        (F.element_at(off, F.col(_PID) + 1) + local).cast("long"),
+    ).drop(_PID)

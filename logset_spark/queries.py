@@ -1805,6 +1805,117 @@ WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
 """
 
 
+def q_sample_hash(spark, sf):
+    """Reproducible corpus sampling + train/valid split: md5 of the doc
+    key buckets every doc into 16 shards by first hex nibble — keep
+    shards {0,1} (a deterministic 1/8 sample) and split train/valid on
+    the second nibble (< 'd' = 13/16 train).  Content-keyed hashing (not
+    rand(), not sample()) means the selection is stable across runs,
+    engines, cluster sizes, and resumes — the only sampling discipline
+    that survives a resumable 100 TB pipeline."""
+    d = _t(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        d.select(
+            "doc_id",
+            F.substring(h, 1, 1).alias("shard"),
+            F.when(F.substring(h, 2, 1) < "d", "train")
+            .otherwise("valid")
+            .alias("split"),
+        )
+        .where(F.col("shard").isin("0", "1"))
+    )
+
+
+SQL_SAMPLE_HASH = """
+SELECT doc_id,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) < 'd'
+            THEN 'train' ELSE 'valid' END AS split
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def q_seq_pack(spark, sf):
+    """Training-sequence packing (concat-then-chunk, the GPT-style
+    pretraining layout): docs in deterministic doc_id order are laid
+    head-to-tail on a global token tape; each doc's start offset on the
+    tape assigns it a first bin (floor(start / budget)) and an offset
+    within it.  The global prefix sum runs through
+    operators/ordering.global_running_total — two balanced shuffles,
+    never a single-task ORDER BY window."""
+    from .operators.ordering import global_running_total
+
+    d = _t(spark, sf, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    t = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    c = global_running_total(t, ["doc_id"], "n_tokens", total_col="cum")
+    start = (F.col("cum") - F.col("n_tokens")).alias("start_off")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        start,
+        F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}").alias("first_bin"),
+        (F.col("cum") - F.col("n_tokens")).__mod__(_PACK_BUDGET).alias(
+            "offset_in_bin"
+        ),
+    )
+
+
+SQL_SEQ_PACK = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       start_off // {_PACK_BUDGET} AS first_bin,
+       start_off % {_PACK_BUDGET} AS offset_in_bin
+FROM c
+"""
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 256, 192
+
+
+def q_chunk(spark, sf):
+    """Context-window chunking for retrieval/training: slide a
+    256-char window with stride 192 (25% overlap) over each document —
+    1 -> N expansion fully native (sequence + posexplode + substr), no
+    Python, so codegen fuses it into the scan."""
+    d = _t(spark, sf, "documents").where(F.length("text") > 0)
+    ks = F.sequence(
+        F.lit(0),
+        F.floor((F.length("text") - 1) / _CHUNK_STRIDE).cast("int"),
+    )
+    e = d.select("doc_id", "text", F.posexplode(ks).alias("chunk_idx", "k"))
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("text")
+        .substr(F.col("k") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE))
+        .alias("chunk_text"),
+    )
+
+
+SQL_CHUNK = f"""
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+       substring(text, CAST(k * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_SIZE})
+         AS chunk_text
+FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) d,
+     UNNEST(range((length(text) - 1) // {_CHUNK_STRIDE} + 1)) AS t(k)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1881,6 +1992,9 @@ REGISTRY: dict[str, tuple] = {
     "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_tfidf": (q_tfidf, SQL_TFIDF),
+    "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "q_chunk": (q_chunk, SQL_CHUNK),
     "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
     # multimodal (binary payload + typed metadata; decode stubbed)
     "q_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

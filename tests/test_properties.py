@@ -556,3 +556,34 @@ def test_salted_agg_invariance(spark):
             ).collect()
         }
         assert got == plain, f"n_salts={n_salts}"
+
+
+def test_global_running_total_matches_window(spark):
+    """The two-shuffle distributed prefix sum must equal the (unscalable)
+    single-partition window cumsum under the same total order, for any
+    partitioning of the input."""
+    from logset_spark.operators.ordering import global_running_total
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", (F.col("user_id") % 7).alias("v"))
+        .repartition(13)  # arbitrary input partitioning must not matter
+    )
+    got = {
+        r["event_id"]: r["running_total"]
+        for r in global_running_total(
+            e, ["event_id"], "v", num_partitions=8
+        ).collect()
+    }
+    from pyspark.sql import Window as W
+
+    ref = {
+        r["event_id"]: r["ref"]
+        for r in e.withColumn(
+            "ref",
+            F.sum("v").over(
+                W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == ref
