@@ -62,13 +62,21 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     t_total = time.monotonic()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
     # -- headline queries ------------------------------------------------------
-    for name in BENCH_QUERIES:
-        fn, _sql = REGISTRY[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # Same statistic as the pipeline below and scripts/scaling_bench.py:
+    # min wall over `reps` interleaved passes.  A single pass aliases the
+    # host's bursty hypervisor steal (observed 2-4x on identical runs)
+    # into the scored number; the interleaved min is comparable
+    # round-over-round.  Pass 0 additionally absorbs JVM/codegen warmup.
+    for _rep in range(reps):
+        for name in BENCH_QUERIES:
+            fn, _sql = REGISTRY[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            t = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
 
     # -- ANN recall: approximate path vs exact baseline ------------------------
     from pyspark.sql import functions as F
@@ -96,7 +104,6 @@ def main() -> int:
     transcripts = spark.read.parquet(tr_path)
     dictionary = spark.read.parquet(dict_path)
     n_turns = transcripts.count()
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     walls = []
     for rep in range(reps):
         io = TableIO(f"{workdir}/wh{rep}", n_buckets=16)

@@ -1916,6 +1916,125 @@ FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) d,
 """
 
 
+def q_mixture(spark, sf):
+    """Training-data MIXTURE: per-source sampling rates (the data-mixing
+    step before pretraining — upweight curated sources, downsample bulk
+    crawl).  Rates are content-keyed md5 thresholds on the first hex
+    nibble — src0-4 keep 16/16, src5-9 keep 8/16, the rest 4/16 — so the
+    mix is deterministic and resumable like q_sample_hash; the hash key
+    includes the source so mixture selection is independent of the
+    sample-split hash."""
+    d = _t(spark, sf, "documents")
+    thresh = (
+        F.when(F.col("source").isin(*[f"src{i}" for i in range(5)]), "g")
+        .when(F.col("source").isin(*[f"src{i}" for i in range(5, 10)]), "8")
+        .otherwise("4")
+    )
+    nib = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 1
+    )
+    return d.select("doc_id", "source", nib.alias("nib")).where(
+        nib < thresh
+    ).drop("nib").withColumn("mix_rate", thresh)
+
+
+SQL_MIXTURE = """
+WITH d AS (
+  SELECT doc_id, source,
+         substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 1) AS nib,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'g'
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN '8'
+              ELSE '4' END AS mix_rate
+  FROM documents)
+SELECT doc_id, source, mix_rate FROM d WHERE nib < mix_rate
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark DECONTAMINATION: flag training docs sharing any token
+    3-gram with the eval set (here: doc_id < 10 stands in for the
+    benchmark).  Distinct (doc, shingle) pairs equi-join the BROADCAST
+    eval shingle set — the scale shape: the benchmark side is always
+    tiny, the training side streams map-side, no shuffle of the corpus.
+    Output: contaminated doc + how many distinct eval shingles it shares."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_shingles3(toks))).alias("shingle")
+    )
+    eval_sh = sh.where(F.col("doc_id") < 10).select("shingle").distinct()
+    train = sh.where(F.col("doc_id") >= 10)
+    return (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(len(string_split(lower(text),' ')) - 2),
+           i -> array_to_string(string_split(lower(text),' ')[i+1:i+3], ' ')
+         ))) AS shingle
+  FROM documents),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM sh JOIN ev USING (shingle)
+WHERE doc_id >= 10
+GROUP BY doc_id
+"""
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9-]{7,}"
+
+
+def q_pii_scrub(spark, sf):
+    """PII scrubbing: redact emails and phone numbers with typed
+    placeholders and count redactions per doc.  The corpus text is
+    synthetic word-salad with no PII, so deterministic PII is INJECTED
+    first (derived from doc_id) — the scrubber then has known ground
+    truth: every doc must come back with exactly 1 email + 1 phone
+    redacted.  Patterns are written in the RE2 ∩ Java-regex dialect so
+    Spark and DuckDB agree."""
+    d = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    no_email = F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, _PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        clean.alias("scrubbed_text"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents),
+ne AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM dirty)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t2, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text
+FROM ne
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1993,6 +2112,9 @@ REGISTRY: dict[str, tuple] = {
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_tfidf": (q_tfidf, SQL_TFIDF),
     "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "q_mixture": (q_mixture, SQL_MIXTURE),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_chunk": (q_chunk, SQL_CHUNK),
     "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
