@@ -2035,6 +2035,52 @@ FROM ne
 """
 
 
+def q_rep_filter(spark, sf):
+    """Gopher-style REPETITION filter: fraction of duplicate token
+    2-grams per doc (dup_2gram_frac = 1 - distinct/total) — the classic
+    within-document repetition signal used to drop degenerate/boilerplate
+    text from pretraining corpora.  All native array ops; `keep` applies
+    the published-style threshold (0.2)."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(grams)
+    frac = F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(grams)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        frac.alias("dup_2gram_frac"),
+        (frac <= 0.2).alias("keep"),
+    )
+
+
+SQL_REP_FILTER = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(len(string_split(lower(text),' ')) - 1),
+           i -> array_to_string(string_split(lower(text),' ')[i+1:i+2], ' '))
+           AS grams
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams)) /
+                       CAST(len(grams) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams)) /
+                       CAST(len(grams) AS DOUBLE), 6)
+            ELSE 0.0 END <= 0.2 AS keep
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2115,6 +2161,7 @@ REGISTRY: dict[str, tuple] = {
     "q_mixture": (q_mixture, SQL_MIXTURE),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "q_rep_filter": (q_rep_filter, SQL_REP_FILTER),
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_chunk": (q_chunk, SQL_CHUNK),
     "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
