@@ -397,6 +397,35 @@ GROUP BY 1, 2
 """
 
 
+_SLIDE_US = WINDOW_US // 2  # 3h slide under the 6h window -> 2 windows/event
+
+
+def q_window_sliding(spark, sf):
+    """X2 SLIDING time windows (6h window, 3h slide): every event lands in
+    exactly windowDuration/slide = 2 overlapping windows.  The oracle
+    replays Spark's epoch-aligned window assignment: the two candidate
+    starts are floor(ts/slide)*slide - k*slide for k in {0,1}, both of
+    which satisfy start <= ts < start + 6h."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+SQL_WINDOW_SLIDING = f"""
+SELECT make_timestamp(((epoch_us(ts) // {_SLIDE_US}) - k) * {_SLIDE_US})
+         AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events, UNNEST(range(2)) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 def q_topk(spark, sf):
     li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
     agg = li.groupBy("l_partkey").agg(_dsum(F.col("l_quantity")).alias("total_qty"))
@@ -2109,6 +2138,7 @@ REGISTRY: dict[str, tuple] = {
     "q_session": (q_session, SQL_SESSION),
     "q_session_window": (q_session_window, SQL_SESSION_WINDOW),
     "q_window": (q_window, SQL_WINDOW),
+    "q_window_sliding": (q_window_sliding, SQL_WINDOW_SLIDING),
     "q_topk": (q_topk, SQL_TOPK),
     "q_sort": (q_sort, SQL_SORT),
     # set ops
