@@ -253,6 +253,29 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
+
+def q_percentile(spark, sf):
+    """A-family exact percentiles: Spark `percentile` and DuckDB
+    `quantile_cont` share the definition (linear interpolation at rank
+    (n-1)*p), so the values agree exactly; round(4) absorbs the last-ulp
+    noise of the interpolation arithmetic."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
 # ---- windows ---------------------------------------------------------------
 
 
@@ -291,6 +314,30 @@ SQL_RANK = """
 SELECT s_suppkey, s_nationkey, s_acctbal,
        dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank
 FROM supplier
+"""
+
+
+def q_ntile(spark, sf):
+    """W-family distribution windows: ntile / percent_rank / cume_dist.
+    The ordering carries the unique event_id tie-break so all three are
+    total functions of the input — no ambiguity for the value hash."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
 
@@ -1075,6 +1122,47 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embed_quantize(spark, sf):
+    """Per-vector uint8 scalar quantization (the 4x memory-reduction path a
+    100 TB embedding store takes before ANN): qval = floor((x - vmin) /
+    ((vmax - vmin)/255)), clamped to [0,255]; constant vectors quantize to
+    0.  Both engines evaluate the IDENTICAL double expression tree on the
+    same float32-widened inputs, so the floor boundaries agree bit-for-bit.
+    Output posexploded to scalar rows (the driver canon hashes no arrays);
+    fully native — higher-order transform, no Python."""
+    em = _t(spark, sf, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    em = em.select("vec_id", v.alias("v"))
+    vmin, vmax = F.array_min("v"), F.array_max("v")
+    scale = (vmax - vmin) / F.lit(255.0)
+    q = F.transform(
+        "v",
+        lambda x: F.when(
+            vmax > vmin,
+            F.least(F.lit(255), F.greatest(F.lit(0), F.floor((x - vmin) / scale))),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return em.select("vec_id", F.posexplode(q).alias("pos", "qval"))
+
+
+SQL_EMBED_QUANTIZE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id,
+             CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
+             unnest(v) AS val,
+             list_aggregate(v, 'min') AS vmin,
+             list_aggregate(v, 'max') AS vmax
+      FROM e)
+SELECT vec_id, pos,
+       CAST(CASE WHEN vmax > vmin
+                 THEN least(255, greatest(0, floor((val - vmin) / ((vmax - vmin) / 255.0))))
+                 ELSE 0 END AS INT) AS qval
+FROM x
+"""
+
+
 def q_ann_cosine(spark, sf):
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3) —
     the exact baseline the LSH/IVF path approximates."""
@@ -1153,6 +1241,47 @@ SELECT doc_id,
 FROM (SELECT doc_id,
              regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
       FROM documents) d
+"""
+
+
+def q_bigram(spark, sf):
+    """Corpus top-20 bigram counts (the n-gram-LM / contamination-analysis
+    primitive): whitespace tokens lowered, adjacent pairs via
+    zip_with(slice, slice) — all native, one explode, one shuffle on the
+    bigram key with map-side partial counts.  greatest(n-1, 0) keeps the
+    slice length legal on 0/1-token docs (empty bigram list, no branch on
+    a descending `sequence`).  Tie-break by bigram text makes the top-20
+    cut a total order."""
+    d = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit("")
+    )
+    d = d.select(toks.alias("toks"), F.size(toks).alias("n"))
+    pair_len = F.greatest(F.col("n") - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("toks", F.lit(1), pair_len),
+        F.slice("toks", F.lit(2), pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+SQL_BIGRAM = r"""
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS l
+        FROM documents))
+SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
 """
 
 _ROLL_P = 1_000_000_007
@@ -2129,10 +2258,12 @@ REGISTRY: dict[str, tuple] = {
     "q_approx": (q_approx, None),
     "q_collect": (q_collect, SQL_COLLECT),
     "q_rollup": (q_rollup, SQL_ROLLUP),
+    "q_percentile": (q_percentile, SQL_PERCENTILE),
     "q_skew_agg": (q_skew_agg, SQL_SKEW_AGG),
     # windows
     "q_rownum": (q_rownum, SQL_ROWNUM),
     "q_rank": (q_rank, SQL_RANK),
+    "q_ntile": (q_ntile, SQL_NTILE),
     "q_lag": (q_lag, SQL_LAG),
     "q_runsum": (q_runsum, SQL_RUNSUM),
     "q_session": (q_session, SQL_SESSION),
@@ -2181,10 +2312,12 @@ REGISTRY: dict[str, tuple] = {
     "q_dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
     "q_embed_norm": (q_embed_norm, SQL_EMBED_NORM),
     "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
+    "q_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "q_ann_lsh": (q_ann_lsh, None),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
+    "q_bigram": (q_bigram, SQL_BIGRAM),
     "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "q_tfidf": (q_tfidf, SQL_TFIDF),
     "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
