@@ -2239,6 +2239,195 @@ FROM g
 """
 
 
+def q_closure(spark, sf):
+    """SPARQL property-path parity (`partOf+`, the reference's containment
+    hierarchy): transitive closure with min hop distance via PATH DOUBLING
+    (operators/graph.py) — O(log diameter) self-join rounds, each a plain
+    equi-join on the midpoint node.  Deterministic hierarchy: part key k
+    is partOf k//2 (a binary tree of depth 8 over keys 2..255).  Oracle =
+    DuckDB WITH RECURSIVE one-step expansion — same closure, different
+    algorithm, so the doubling logic itself is what gets checked."""
+    from .operators.graph import transitive_closure
+
+    p = _t(spark, sf, "part")
+    edges = p.where(F.col("p_partkey").between(2, 255)).select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("child"),
+        F.concat(
+            F.lit("p:"), F.expr("p_partkey div 2").cast("string")
+        ).alias("parent"),
+    )
+    return transitive_closure(edges)
+
+
+SQL_CLOSURE = """
+WITH RECURSIVE
+e AS (SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS node,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS ancestor
+      FROM part WHERE p_partkey BETWEEN 2 AND 255),
+walk(node, ancestor, dist) AS (
+  SELECT node, ancestor, 1 FROM e
+  UNION
+  SELECT w.node, e.ancestor, w.dist + 1
+  FROM walk w JOIN e ON e.node = w.ancestor
+)
+SELECT node, ancestor, CAST(min(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node, ancestor
+"""
+
+
+def q_pagerank(spark, sf):
+    """Entity importance over the KG: 3 synchronous PageRank iterations on
+    the bipartite user<->event_type graph, ALL ARITHMETIC IN SCALED 64-BIT
+    INTEGERS (operators/graph.py).  Floating-point PageRank can never pass
+    a cross-engine value-hash (sums are order-dependent); the fixed-point
+    recurrence is exactly reproducible, so the oracle replays the same
+    three iterations unrolled in SQL and must match to the last unit."""
+    from .operators.graph import pagerank_fixedpoint
+
+    e = _t(spark, sf, "events")
+    fwd = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_fixedpoint(edges, n_iter=3)
+
+
+_PR_ITER_SQL = """
+c{i} AS (
+  SELECT e.dst, CAST(sum(r.rank // od.od) AS BIGINT) AS s
+  FROM edges e JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT nodes.node,
+         (3 * 1000000000000) // (20 * nn.n)
+           + (17 * COALESCE(c{i}.s, 0)) // 20 AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nodes.node)"""
+
+SQL_PAGERANK = (
+    """
+WITH base AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                              't:' || event_type AS dst
+              FROM events),
+edges AS (SELECT src, dst FROM base
+          UNION SELECT dst AS src, src AS dst FROM base),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nn),"""
+    + ",".join(_PR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+)
+
+
+_DUP_WINDOW = 8  # tokens per duplicate-detection window
+
+
+def q_substring_dup(spark, sf):
+    """Sequence-level (substring) duplicate detection, the signal behind
+    suffix-array-style training-data dedup: every 8-token sliding window
+    is hashed row-wise (never md5 inside a higher-order lambda — see the
+    codegen hazard note on q_dedup_ngram) and windows appearing in more
+    than one document are reported with their positions.  Plan: explode ->
+    partial-aggregated groupBy on the hash -> hash-key join back; nothing
+    quadratic — cost is linear in total token count, the same shape at
+    100 TB."""
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    w = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= _DUP_WINDOW)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (_DUP_WINDOW - 1))
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _DUP_WINDOW))).alias(
+                "dup_hash"
+            ),
+        )
+    )
+    g = w.groupBy("dup_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return w.join(g, "dup_hash").where(F.col("n_docs") > 1).select(
+        "doc_id", "pos", "dup_hash", "n_docs"
+    )
+
+
+SQL_SUBSTRING_DUP = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         md5(array_to_string(toks[i:i+{_DUP_WINDOW - 1}], ' ')) AS dup_hash
+  FROM t, UNNEST(range(1, len(toks) - {_DUP_WINDOW - 2})) AS u(i)
+  WHERE len(toks) >= {_DUP_WINDOW}),
+g AS (SELECT dup_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM w GROUP BY dup_hash)
+SELECT doc_id, pos, dup_hash, n_docs
+FROM w JOIN g USING (dup_hash) WHERE n_docs > 1
+"""
+
+
+def q_lm_score(spark, sf):
+    """CCNet-style corpus-LM quality scoring: train a unigram LM on the
+    corpus itself (token probability = corpus frequency / total tokens),
+    then score each document by its mean token log-probability — low
+    scores flag gibberish, high scores flag boilerplate.  Determinism
+    discipline: each ln() term is rounded to 6 decimals and summed as
+    DECIMAL (exact, order-independent); only the final mean is a float
+    division, identical IEEE on both engines."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("word").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("t"))
+    lp = F.round(F.log(F.col("cf").cast("double") / F.col("t")), 6).cast(
+        "decimal(18,6)"
+    )
+    term = tf.join(cf, "word").crossJoin(F.broadcast(tot)).select(
+        "doc_id", "tf", lp.alias("lp")
+    )
+    return term.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_toks"),
+        F.round(
+            F.sum(F.col("tf") * F.col("lp")).cast("double") / F.sum("tf"), 6
+        ).alias("avg_logp"),
+    )
+
+
+SQL_LM_SCORE = """
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+cf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY word),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cf),
+term AS (
+  SELECT doc_id, tf,
+         CAST(round(ln(CAST(cf AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS lp
+  FROM tf JOIN cf USING (word) CROSS JOIN tot)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+       round(CAST(sum(tf * lp) AS DOUBLE) / sum(tf), 6) AS avg_logp
+FROM term GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2301,6 +2490,8 @@ REGISTRY: dict[str, tuple] = {
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_kg_2hop": (q_kg_2hop, SQL_KG_2HOP),
+    "q_closure": (q_closure, SQL_CLOSURE),
+    "q_pagerank": (q_pagerank, SQL_PAGERANK),
     # training-data suite
     "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -2325,6 +2516,8 @@ REGISTRY: dict[str, tuple] = {
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "q_rep_filter": (q_rep_filter, SQL_REP_FILTER),
+    "q_substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
+    "q_lm_score": (q_lm_score, SQL_LM_SCORE),
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_chunk": (q_chunk, SQL_CHUNK),
     "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),

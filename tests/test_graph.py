@@ -1,0 +1,106 @@
+"""operators/graph.py: path-doubling transitive closure and fixed-point
+PageRank, each checked against an independent pure-Python replay of the
+same semantics (the DuckDB oracle gate covers them again at sf0.01 via
+q_closure / q_pagerank)."""
+
+from __future__ import annotations
+
+import random
+
+from logset_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixedpoint,
+    transitive_closure,
+)
+
+
+def _py_closure(edges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """BFS-from-every-node ancestors with min hop distance."""
+    parents: dict[str, set[str]] = {}
+    for c, p in edges:
+        if c != p:
+            parents.setdefault(c, set()).add(p)
+    out: dict[tuple[str, str], int] = {}
+    for start in parents:
+        frontier, dist, seen = set(parents[start]), 1, {start}
+        while frontier:
+            for a in frontier:
+                if (start, a) not in out:
+                    out[(start, a)] = dist
+            seen |= frontier
+            frontier = {
+                g for a in frontier for g in parents.get(a, ()) if g not in seen
+            }
+            dist += 1
+    return {k: v for k, v in out.items() if k[0] != k[1]}
+
+
+def _py_pagerank(
+    edges: list[tuple[str, str]], n_iter: int, scale: int = PR_SCALE
+) -> dict[str, int]:
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    outdeg: dict[str, int] = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        contrib: dict[str, int] = {}
+        for s, d in e:
+            contrib[d] = contrib.get(d, 0) + rank[s] // outdeg[s]
+        rank = {
+            v: (3 * scale) // (20 * n) + (17 * contrib.get(v, 0)) // 20
+            for v in nodes
+        }
+    return rank
+
+
+def test_closure_matches_python_bfs(spark):
+    rng = random.Random(7)
+    # layered DAG: 40 nodes in 5 layers, edges only point to lower layers
+    layers = [[f"n{l}_{i}" for i in range(8)] for l in range(5)]
+    edges = []
+    for l in range(1, 5):
+        for c in layers[l]:
+            for p in rng.sample(layers[l - 1] + (layers[l - 2] if l > 1 else []), 2):
+                edges.append((c, p))
+    df = spark.createDataFrame(edges, "child string, parent string")
+    got = {
+        (r["node"], r["ancestor"]): r["dist"]
+        for r in transitive_closure(df).collect()
+    }
+    assert got == _py_closure(edges)
+
+
+def test_closure_deep_chain_log_rounds(spark):
+    # a 64-deep chain closes within the default 20 doubling rounds
+    edges = [(f"c{i}", f"c{i + 1}") for i in range(64)]
+    df = spark.createDataFrame(edges, "child string, parent string")
+    got = {
+        (r["node"], r["ancestor"]): r["dist"]
+        for r in transitive_closure(df).collect()
+    }
+    assert got[("c0", "c64")] == 64
+    assert len(got) == 64 * 65 // 2
+
+
+def test_pagerank_matches_python_fixed_point(spark):
+    rng = random.Random(11)
+    nodes = [f"v{i}" for i in range(30)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank_fixedpoint(df, n_iter=3).collect()}
+    assert got == _py_pagerank(edges, n_iter=3)
+
+
+def test_pagerank_mass_bounded(spark):
+    # total rank can only shrink (dangling leak + floor losses), never grow
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in pagerank_fixedpoint(df, n_iter=5).collect()}
+    assert sum(ranks.values()) <= PR_SCALE
+    assert all(v >= 0 for v in ranks.values())
