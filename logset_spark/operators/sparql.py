@@ -1,0 +1,277 @@
+"""SPARQL basic-graph-pattern compiler over the triples DataFrame.
+
+LogSet's query surface is rdflib SPARQL: a user writes triple patterns
+with shared variables and rdflib answers them by in-memory index lookups,
+row at a time (SURVEY §1.3 / §3).  At 10^12 triples the same query is a
+chain of filtered scans + equi-joins — exactly what Catalyst optimizes —
+so this module compiles a SPARQL subset to a DataFrame plan instead of
+interpreting patterns per row:
+
+* each triple pattern becomes ONE filtered scan of the triples table
+  (constants in s/p/o positions are pushed-down parquet filters; the
+  `pred` filter prunes row groups via column stats, and on a
+  pred-bucketed layout prunes whole files);
+* shared variables between patterns become equi-join keys (Catalyst
+  picks broadcast vs shuffle per side size; AQE re-plans at runtime);
+* FILTER clauses become post-join `where` expressions on bound columns
+  (pushed further down by Catalyst when they touch one pattern only);
+* OPTIONAL groups become left outer joins on the shared variables —
+  the standard SPARQL-algebra LeftJoin lowering.
+
+Pattern-order heuristic: patterns are greedily ordered most-constants
+first among those sharing a variable with the already-bound set, so the
+plan grows connected (no accidental cartesian) and starts from the most
+selective scan.  Catalyst cannot reorder inner joins across the Python
+DSL, so this one ordering decision lives here; everything downstream
+(join strategy, filter pushdown, codegen) is the optimizer's.
+
+Grammar (documented subset — one line per clause, '.'-separated
+patterns):
+
+    SELECT [DISTINCT] ?v1 ?v2 | *
+    WHERE { pattern ( . pattern )*
+            ( . FILTER(expr) )*
+            ( . OPTIONAL { pattern ( . pattern )* } )* }
+    [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ]
+
+    pattern := term term term        term := ?var | bareword | 'literal'
+    expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
+               bound(?var), combined with && / || / !
+
+Terms are plain strings (URIs in this engine are prefixed strings like
+`conv:123`, SURVEY §1.3); no datatype tower — the triples table is
+(subj, pred, obj) strings, so comparisons are string comparisons, which
+matches how the structural triples encode values.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(t: str) -> bool:
+    return t.startswith("?")
+
+
+@dataclass
+class ParsedQuery:
+    select: list[str]  # var names without '?'; empty = all in-order
+    distinct: bool
+    patterns: list[tuple[str, str, str]]
+    filters: list[str]  # raw FILTER bodies (still with ?vars)
+    optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
+
+
+def _tokenize_terms(s: str) -> list[str]:
+    """Split pattern text on whitespace, keeping 'quoted literals' (which
+    may contain spaces) as single terms."""
+    return [
+        m.group(1) if m.group(1) is not None else m.group(0)
+        for m in re.finditer(r"'([^']*)'|\S+", s)
+    ]
+
+
+def _parse_patterns(body: str) -> list[tuple[str, str, str]]:
+    pats = []
+    for chunk in body.split("."):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        terms = _tokenize_terms(chunk)
+        if len(terms) != 3:
+            raise ValueError(f"pattern must have 3 terms: {chunk!r}")
+        pats.append(tuple(terms))
+    return pats
+
+
+def parse_sparql(query: str) -> ParsedQuery:
+    """Parse the documented SPARQL subset.  Raises ValueError with the
+    offending clause on anything outside the subset — silent
+    misinterpretation of a query language is worse than rejection."""
+    q = " ".join(query.split())  # normalize whitespace
+    m = re.match(
+        r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}"
+        r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?\s*$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparseable query (need SELECT ... WHERE {{...}}): {q!r}")
+    distinct = m.group(1) is not None
+    sel_raw = m.group(2).strip()
+    if sel_raw == "*":
+        select: list[str] = []
+    else:
+        select = [v[1:] for v in sel_raw.split() if _is_var(v)]
+        if len(select) != len(sel_raw.split()):
+            raise ValueError(f"SELECT list must be ?vars or *: {sel_raw!r}")
+
+    body = m.group(3)
+    filters: list[str] = []
+    optionals: list[list[tuple[str, str, str]]] = []
+
+    # pull OPTIONAL { ... } groups out first (no nesting in the subset)
+    def _opt(mo: re.Match) -> str:
+        optionals.append(_parse_patterns(mo.group(1)))
+        return " "
+
+    body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _opt, body, flags=re.IGNORECASE)
+
+    # then FILTER(...) clauses (balanced parens not needed for the subset:
+    # match to the ')' that balances the opening one)
+    def _filt(mo: re.Match) -> str:
+        filters.append(mo.group(1).strip())
+        return " "
+
+    body = re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", _filt, body,
+                  flags=re.IGNORECASE)
+
+    patterns = _parse_patterns(body)
+    if not patterns:
+        raise ValueError("WHERE clause has no triple patterns")
+
+    order_by = []
+    if m.group(4):
+        toks = m.group(4).split()
+        i = 0
+        while i < len(toks):
+            if not _is_var(toks[i]):
+                raise ValueError(f"ORDER BY expects ?vars: {m.group(4)!r}")
+            desc = i + 1 < len(toks) and toks[i + 1].upper() == "DESC"
+            order_by.append((toks[i][1:], desc))
+            i += 2 if desc else 1
+    limit = int(m.group(5)) if m.group(5) else None
+    return ParsedQuery(select, distinct, patterns, filters, optionals, order_by, limit)
+
+
+def _filter_to_expr(body: str) -> str:
+    """FILTER body -> Spark SQL boolean expression over bound columns.
+    Whitelist-rewrites the subset's operators; unknown ?vars simply become
+    missing-column errors at analysis time (loud, not silent)."""
+    e = body
+    e = re.sub(r"regex\s*\(\s*\?(\w+)\s*,\s*('(?:[^']*)')\s*\)",
+               r"\1 RLIKE \2", e, flags=re.IGNORECASE)
+    e = re.sub(r"bound\s*\(\s*\?(\w+)\s*\)", r"\1 IS NOT NULL", e,
+               flags=re.IGNORECASE)
+    e = e.replace("&&", " AND ").replace("||", " OR ")
+    e = re.sub(r"!(?!=)", " NOT ", e)
+    e = re.sub(r"(?<![!<>=])=(?!=)", "=", e)  # SPARQL '=' is SQL '='
+    e = e.replace("!=", "<>")
+    e = re.sub(r"\?(\w+)", r"\1", e)
+    return e
+
+
+def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[DataFrame, set[str]]:
+    """One pattern -> one filtered scan projecting its variables.
+    Constants filter (pushed down to the source); a variable repeated
+    within the pattern adds an intra-row equality filter."""
+    df = triples
+    first_pos_of: dict[str, str] = {}
+    for pos, term in zip(_POS, pattern):
+        if _is_var(term):
+            v = term[1:]
+            if v in first_pos_of:
+                df = df.where(F.col(first_pos_of[v]) == F.col(pos))
+            else:
+                first_pos_of[v] = pos
+        else:
+            df = df.where(F.col(pos) == term)
+    cols = [F.col(pos).alias(v) for v, pos in first_pos_of.items()]
+    # a pattern with no vars is an existence assertion: one marker row if
+    # any triple matches, zero otherwise (limit(1) so the later crossJoin
+    # gates rather than multiplies)
+    if not cols:
+        return df.select(F.lit(1).alias(f"_exists_{tag}")).limit(1), set()
+    return df.select(*cols), set(first_pos_of)
+
+
+def _order_patterns(patterns: list[tuple[str, str, str]]) -> list[tuple[str, str, str]]:
+    """Greedy: most constants first; then repeatedly take the most-
+    selective pattern connected (shares a var) to the bound set, falling
+    back to any remaining pattern (true cartesian — allowed but last)."""
+    if not patterns:
+        return []
+    n_const = lambda p: sum(0 if _is_var(t) else 1 for t in p)
+    pvars = lambda p: {t[1:] for t in p if _is_var(t)}
+    remaining = sorted(patterns, key=n_const, reverse=True)
+    out = [remaining.pop(0)]
+    bound = pvars(out[0])
+    while remaining:
+        connected = [p for p in remaining if pvars(p) & bound]
+        pick = max(connected, key=n_const) if connected else remaining[0]
+        remaining.remove(pick)
+        out.append(pick)
+        bound |= pvars(pick)
+    return out
+
+
+def _join_patterns(
+    triples: DataFrame, patterns: list[tuple[str, str, str]], start_tag: int = 0
+) -> tuple[DataFrame, list[str]]:
+    """Inner-join a pattern group on shared variables; returns the bound
+    DataFrame and variable order of first appearance."""
+    ordered = _order_patterns(patterns)
+    acc, acc_vars = _scan(triples, ordered[0], start_tag)
+    var_order = [c for c in acc.columns if not c.startswith("_exists_")]
+    for i, p in enumerate(ordered[1:], start=start_tag + 1):
+        df, vs = _scan(triples, p, i)
+        shared = sorted(acc_vars & vs)
+        acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
+        var_order += [v for v in sorted(vs - acc_vars)]
+        acc_vars |= vs
+    return acc, var_order
+
+
+def bgp(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    filters: list[str] = (),
+    optionals: list[list[tuple[str, str, str]]] = (),
+    select: list[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """Programmatic BGP evaluation (the parser lowers to this).  Returns
+    a DataFrame with one column per selected variable."""
+    acc, var_order = _join_patterns(triples, patterns)
+    for gi, group in enumerate(optionals):
+        opt_df, opt_vars = _join_patterns(triples, group, start_tag=1000 * (gi + 1))
+        shared = sorted(set(var_order) & set(opt_df.columns))
+        if not shared:
+            raise ValueError(f"OPTIONAL group {group} shares no variable")
+        acc = acc.join(opt_df, on=shared, how="left")
+        var_order += [v for v in opt_df.columns
+                      if v not in var_order and not v.startswith("_exists_")]
+    for f in filters:
+        acc = acc.where(F.expr(_filter_to_expr(f)))
+    cols = select if select else [v for v in var_order]
+    out = acc.select(*cols)
+    return out.distinct() if distinct else out
+
+
+def sparql(triples: DataFrame, query: str) -> DataFrame:
+    """Evaluate a query in the documented SPARQL subset over a
+    (subj, pred, obj, ...) triples DataFrame."""
+    pq = parse_sparql(query)
+    out = bgp(
+        triples,
+        pq.patterns,
+        filters=pq.filters,
+        optionals=pq.optionals,
+        select=pq.select or None,
+        distinct=pq.distinct,
+    )
+    if pq.order_by:
+        out = out.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in pq.order_by]
+        )
+    if pq.limit is not None:
+        out = out.limit(pq.limit)
+    return out

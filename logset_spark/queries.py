@@ -1844,6 +1844,78 @@ WHERE a.pred = 'hasTurn' AND b.pred = 'usedTool'
 """
 
 
+def q_sparql_2hop(spark, sf):
+    """The reference's ACTUAL query surface: rdflib answers SPARQL over
+    the catalog graph (SURVEY §1.3); operators/sparql.py compiles the
+    same basic graph patterns to filtered scans + Catalyst equi-joins
+    instead of per-row index lookups.  Same logical query as q_kg_2hop,
+    but arriving through the parser + compiler — the oracle cross-checks
+    that the compiled plan computes textbook BGP semantics."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?conv ?tool
+           WHERE { ?conv hasTurn ?turn . ?turn usedTool ?tool }""",
+    )
+
+
+SQL_SPARQL_2HOP = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT a.subj AS conv, b.obj AS tool
+FROM g a JOIN g b ON a.obj = b.subj
+WHERE a.pred = 'hasTurn' AND b.pred = 'usedTool'
+"""
+
+
+def q_sparql_filter(spark, sf):
+    """SPARQL FILTER lowering: regex() -> RLIKE, != -> <>, && -> AND,
+    applied over the bound variables after the pattern joins (Catalyst
+    pushes single-pattern predicates back into the scans)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn ?tool
+           WHERE { ?turn usedTool ?tool . ?turn hasRole role:tool .
+                   FILTER(regex(?tool, 'err') && ?turn != 'turn:u1/0') }""",
+    )
+
+
+SQL_SPARQL_FILTER = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT a.subj AS turn, a.obj AS tool
+FROM g a JOIN g b ON a.subj = b.subj
+WHERE a.pred = 'usedTool' AND b.pred = 'hasRole' AND b.obj = 'role:tool'
+  AND regexp_matches(a.obj, 'err') AND a.subj <> 'turn:u1/0'
+"""
+
+
+def q_sparql_optional(spark, sf):
+    """SPARQL OPTIONAL = the algebra's LeftJoin: turns keep their role
+    binding whether or not a usedTool triple exists (most turns have
+    tool NULL — exactly the unbound-variable semantics)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn ?role ?tool
+           WHERE { ?turn hasRole ?role . OPTIONAL { ?turn usedTool ?tool } }""",
+    )
+
+
+SQL_SPARQL_OPTIONAL = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT a.subj AS turn, a.obj AS role, b.obj AS tool
+FROM g a LEFT JOIN (SELECT subj, obj FROM g WHERE pred = 'usedTool') b
+  ON a.subj = b.subj
+WHERE a.pred = 'hasRole'
+"""
+
+
 def q_dedup_cluster(spark, sf):
     """Near-dup document CLUSTERS — the full dedup flow a training corpus
     runs: LSH-block -> verify (q_dedup_ngram pairs, jaccard >= 0.4) ->
@@ -2490,6 +2562,9 @@ REGISTRY: dict[str, tuple] = {
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_kg_2hop": (q_kg_2hop, SQL_KG_2HOP),
+    "q_sparql_2hop": (q_sparql_2hop, SQL_SPARQL_2HOP),
+    "q_sparql_filter": (q_sparql_filter, SQL_SPARQL_FILTER),
+    "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
     "q_closure": (q_closure, SQL_CLOSURE),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
     # training-data suite

@@ -1,0 +1,174 @@
+"""SPARQL BGP compiler (operators/sparql.py): parser unit tests, a
+semantics cross-check against a naive in-Python BGP evaluator (the
+row-at-a-time evaluation rdflib does, reimplemented in ~30 lines so the
+distributed plan is checked against an independent implementation of the
+same algebra), and a plan test that the constant-pred filter reaches the
+parquet scan."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from logset_spark.operators.sparql import bgp, parse_sparql, sparql
+
+TRIPLES = [
+    # conv:a has two turns; turn a/0 used grep, a/1 used sed
+    ("conv:a", "hasTurn", "turn:a/0"),
+    ("conv:a", "hasTurn", "turn:a/1"),
+    ("turn:a/0", "usedTool", "tool:grep"),
+    ("turn:a/1", "usedTool", "tool:sed"),
+    ("turn:a/0", "hasRole", "role:tool"),
+    ("turn:a/1", "hasRole", "role:tool"),
+    # conv:b has one turn with no tool
+    ("conv:b", "hasTurn", "turn:b/0"),
+    ("turn:b/0", "hasRole", "role:user"),
+    # self-loop-ish row to exercise repeated-variable patterns
+    ("node:x", "linksTo", "node:x"),
+    ("node:x", "linksTo", "node:y"),
+]
+
+
+def _naive_bgp(triples, patterns, optionals=()):
+    """Reference evaluator: enumerate bindings pattern-by-pattern, the
+    way an in-memory triple store does."""
+
+    def match(pattern, binding):
+        out = []
+        for t in triples:
+            b = dict(binding)
+            ok = True
+            for term, val in zip(pattern, t):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in b and b[v] != val:
+                        ok = False
+                        break
+                    b[v] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                out.append(b)
+        return out
+
+    bindings = [{}]
+    for p in patterns:
+        bindings = [b2 for b in bindings for b2 in match(p, b)]
+    for group in optionals:
+        ext = []
+        for b in bindings:
+            sub = [dict(b)]
+            for p in group:
+                sub = [b2 for s in sub for b2 in match(p, s)]
+            ext.extend(sub if sub else [b])
+        bindings = ext
+    return bindings
+
+
+@pytest.fixture(scope="module")
+def tri(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_two_hop_matches_naive(tri):
+    pats = [("?conv", "hasTurn", "?turn"), ("?turn", "usedTool", "?tool")]
+    got = _rows(bgp(tri, pats, select=["conv", "tool"]))
+    want = sorted({(b["conv"], b["tool"]) for b in _naive_bgp(TRIPLES, pats)})
+    assert got == want == [("conv:a", "tool:grep"), ("conv:a", "tool:sed")]
+
+
+def test_every_two_pattern_combination_matches_naive(tri):
+    """Exhaustive small-space sweep: all ordered pairs of pattern shapes
+    over {const, var} positions share variable ?x in subj/obj slots."""
+    shapes = [
+        ("?x", "hasTurn", "?y"),
+        ("?y", "usedTool", "?z"),
+        ("?y", "hasRole", "role:tool"),
+        ("?x", "linksTo", "?x"),
+        ("conv:a", "hasTurn", "?y"),
+    ]
+    for pats in itertools.permutations(shapes, 2):
+        vars_ = []
+        for p in pats:
+            vars_ += [t[1:] for t in p if t.startswith("?") and t[1:] not in vars_]
+        got = _rows(bgp(tri, list(pats), select=vars_))
+        want = sorted({tuple(b[v] for v in vars_)
+                       for b in _naive_bgp(TRIPLES, list(pats))})
+        assert got == want, f"mismatch for {pats}"
+
+
+def test_repeated_variable_in_pattern(tri):
+    got = _rows(bgp(tri, [("?n", "linksTo", "?n")]))
+    assert got == [("node:x",)]
+
+
+def test_optional_keeps_unmatched_left_rows(tri):
+    q = """SELECT DISTINCT ?turn ?tool
+           WHERE { ?c hasTurn ?turn . OPTIONAL { ?turn usedTool ?tool } }"""
+    got = _rows(sparql(tri, q))
+    assert got == [
+        ("turn:a/0", "tool:grep"),
+        ("turn:a/1", "tool:sed"),
+        ("turn:b/0", None),
+    ]
+
+
+def test_filter_regex_and_inequality(tri):
+    q = """SELECT ?turn ?tool
+           WHERE { ?turn usedTool ?tool .
+                   FILTER(regex(?tool, 'gr|se') && ?turn != 'turn:a/1') }"""
+    assert _rows(sparql(tri, q)) == [("turn:a/0", "tool:grep")]
+
+
+def test_filter_bound_on_optional(tri):
+    q = """SELECT ?turn WHERE { ?c hasTurn ?turn .
+           OPTIONAL { ?turn usedTool ?tool } . FILTER(!bound(?tool)) }"""
+    assert _rows(sparql(tri, q)) == [("turn:b/0",)]
+
+
+def test_existence_pattern_gates(tri):
+    hit = bgp(tri, [("?c", "hasTurn", "?t"), ("conv:a", "hasTurn", "turn:a/0")])
+    miss = bgp(tri, [("?c", "hasTurn", "?t"), ("conv:z", "hasTurn", "turn:z/0")])
+    assert hit.count() == 3 and miss.count() == 0
+
+
+def test_order_by_and_limit(tri):
+    q = """SELECT ?tool WHERE { ?t usedTool ?tool } ORDER BY ?tool DESC LIMIT 1"""
+    assert [r[0] for r in sparql(tri, q).collect()] == ["tool:sed"]
+
+
+def test_parser_round_trip_fields():
+    pq = parse_sparql(
+        """SELECT DISTINCT ?a ?b WHERE { ?a p1 ?b . ?b p2 'lit val' .
+           FILTER(?a != 'x') . OPTIONAL { ?b p3 ?c } }
+           ORDER BY ?a ?b DESC LIMIT 7"""
+    )
+    assert pq.distinct and pq.select == ["a", "b"]
+    assert pq.patterns == [("?a", "p1", "?b"), ("?b", "p2", "lit val")]
+    assert pq.filters == ["?a != 'x'"]
+    assert pq.optionals == [[("?b", "p3", "?c")]]
+    assert pq.order_by == [("a", False), ("b", True)] and pq.limit == 7
+
+
+def test_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?a WHERE { ?a p }")  # 2-term pattern
+    with pytest.raises(ValueError):
+        parse_sparql("ASK { ?a p ?b }")  # outside the subset
+
+
+def test_constant_pred_filter_pushes_to_parquet(spark, tri, tmp_path):
+    path = str(tmp_path / "tri")
+    tri.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = bgp(
+        stored, [("?c", "hasTurn", "?t"), ("?t", "usedTool", "?tool")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(pred,hasTurn)" in plan
