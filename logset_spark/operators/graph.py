@@ -157,3 +157,111 @@ def pagerank_fixedpoint(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """edges: DataFrame[a:string, b:string], undirected (any direction,
+    duplicates/self-loops tolerated).  Returns DataFrame[node, n_tri]
+    with each node's triangle participation count (nodes in no triangle
+    are absent).
+
+    DEGREE-ORIENTED wedge join — the algorithm that survives skew: orient every
+    edge from its lower-(degree, id) endpoint to the higher one, so each
+    node's out-degree is bounded by ~sqrt(|E|) even on power-law graphs
+    (a celebrity node has huge in-degree but tiny out-degree).  Wedges
+    are generated per out-neighbor pair of the SMALL side only, then
+    closed with one more equi-join against the oriented edge set —
+    3 shuffles total, never a quadratic blowup on hot nodes.  A naive
+    a<b<c self-join materializes deg^2 wedges on every hot node; the
+    oracle uses exactly that naive algorithm (fine at oracle scale),
+    which cross-checks this orientation logic against an independent
+    formulation."""
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # referenced by the degree agg AND both sides of the wedge join:
+        # checkpoint so the upstream edge derivation runs once, not 4x
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = canon.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("d"),
+    ).select("src", F.col("d.v").alias("dst"), F.col("d.dv").alias("dst_deg")) \
+        .localCheckpoint(eager=True)  # feeds e1, e2 AND the closing join
+    # wedge (src; x, y) with x before y in the SAME (deg, id) total order
+    # the orientation used, so the closing edge is oriented x -> y
+    e1 = oriented.select("src", F.col("dst").alias("x"), F.col("dst_deg").alias("xd"))
+    e2 = oriented.select("src", F.col("dst").alias("y"), F.col("dst_deg").alias("yd"))
+    wedges = e1.join(e2, "src").where(
+        (F.col("xd") < F.col("yd"))
+        | ((F.col("xd") == F.col("yd")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    corners = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """edges: DataFrame[a:string, b:string] undirected.  Runs exactly
+    `rounds` synchronous peel rounds of the k-core algorithm (drop every
+    node whose degree among surviving nodes is < k, repeat) and returns
+    DataFrame[node, deg] — survivors with their residual degree.
+
+    FIXED round count, not to-convergence: the driver's value-hash gate
+    needs a result reproducible by an oracle replaying the same number
+    of rounds in unrolled SQL, and a fixed-round peel is exactly the
+    k-core once the peel has converged (tests assert convergence on the
+    bench fixture; at true scale you'd run rounds = observed peel depth,
+    which is small — peel depth, unlike diameter, rarely exceeds tens).
+    Each round is one groupBy (degree count) + one semi-join filter —
+    2 shuffles/round on an ever-shrinking edge set."""
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = canon
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )

@@ -2397,6 +2397,106 @@ SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
 )
 
 
+def _copurchase_edges(spark, sf):
+    """Deterministic undirected test graph with triangles: parts are
+    linked when they appear in the same order (orders thinned 4x by key
+    so the oracle's naive wedge join stays cheap).  ~30k edges / 2000
+    nodes at sf0.01 — dense enough for non-trivial cores and triangles."""
+    li = _t(spark, sf, "lineitem").where(F.expr("l_orderkey % 4 = 0")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.concat(F.lit("p:"), F.col("a.l_partkey").cast("string")).alias("a"),
+            F.concat(F.lit("p:"), F.col("b.l_partkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+
+
+_COPURCHASE_SQL = """
+  SELECT DISTINCT 'p:' || CAST(a.l_partkey AS VARCHAR) AS u,
+                  'p:' || CAST(b.l_partkey AS VARCHAR) AS v,
+                  a.l_partkey AS uk, b.l_partkey AS vk
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 4 = 0
+"""
+
+
+def q_triangle(spark, sf):
+    """Per-node triangle counts on the co-purchase graph via the
+    DEGREE-ORIENTED wedge join (operators/graph.py triangle_count) —
+    the skew-proof formulation whose wedge work is bounded by ~sqrt(|E|)
+    per node.  The oracle counts the same triangles with the naive
+    a<b<c three-way self-join, so the orientation algebra is checked
+    against an independent algorithm."""
+    from .operators.graph import triangle_count
+
+    return triangle_count(_copurchase_edges(spark, sf))
+
+
+SQL_TRIANGLE = f"""
+WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.uk = e1.vk
+  JOIN e e3 ON e3.uk = e1.uk AND e3.vk = e2.vk),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+"""
+
+
+_KCORE_K, _KCORE_ROUNDS = 15, 6
+
+
+def q_kcore(spark, sf):
+    """k-core of the co-purchase graph (k=15) by 6 fixed synchronous
+    peel rounds (operators/graph.py kcore_peel); 6 rounds is past
+    convergence on this graph (the peel stabilizes in 3), so the result
+    IS the 15-core.  The oracle unrolls the identical 6 rounds in SQL."""
+    from .operators.graph import kcore_peel
+
+    return kcore_peel(_copurchase_edges(spark, sf), k=_KCORE_K,
+                      rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+        (SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}) nn
+        GROUP BY node),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (SELECT u, v FROM e{p}
+         WHERE u IN (SELECT node FROM a{i}) AND v IN (SELECT node FROM a{i}))""")
+    return (
+        f"WITH e0 AS MATERIALIZED (SELECT u, v FROM ({_COPURCHASE_SQL}) ce),"
+        + ",".join(rounds)
+        + f"""
+SELECT node, count(*) AS deg FROM
+  (SELECT u AS node FROM e{_KCORE_ROUNDS}
+   UNION ALL SELECT v FROM e{_KCORE_ROUNDS}) nn
+GROUP BY node
+"""
+    )
+
+
+SQL_KCORE = _kcore_sql()
+
+
 _DUP_WINDOW = 8  # tokens per duplicate-detection window
 
 
@@ -2567,6 +2667,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
     "q_closure": (q_closure, SQL_CLOSURE),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
+    "q_triangle": (q_triangle, SQL_TRIANGLE),
+    "q_kcore": (q_kcore, SQL_KCORE),
     # training-data suite
     "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),

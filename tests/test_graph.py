@@ -104,3 +104,56 @@ def test_pagerank_mass_bounded(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank_fixedpoint(df, n_iter=5).collect()}
     assert sum(ranks.values()) <= PR_SCALE
     assert all(v >= 0 for v in ranks.values())
+
+
+def _py_triangles(edges):
+    """Per-node triangle counts by brute force over node triples of a
+    small random graph."""
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from logset_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = list({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(140)
+    })
+    df = spark.createDataFrame(
+        [(a, b) if rng.random() < 0.5 else (b, a) for a, b in edges],
+        "a string, b string",
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == _py_triangles(edges)
+
+
+def test_kcore_matches_networkx(spark):
+    from logset_spark.operators.graph import kcore_peel
+
+    import networkx as nx
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = list({tuple(sorted(rng.sample(nodes, 2))) for _ in range(130)})
+    g = nx.Graph(edges)
+    for k in (2, 3):
+        # enough rounds to converge on a 40-node graph -> true k-core
+        got = {r["node"]: r["deg"] for r in
+               kcore_peel(spark.createDataFrame(edges, "a string, b string"),
+                          k=k, rounds=12).collect()}
+        core = nx.k_core(g, k)
+        assert set(got) == set(core.nodes)
+        assert got == {n: d for n, d in core.degree()}
