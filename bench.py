@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_kg_dedup",
     "q_ann_cosine",
     "q_dedup_minhash",
+    "q_sparql_2hop",
 ]
 
 

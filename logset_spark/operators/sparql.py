@@ -35,6 +35,9 @@ patterns):
     [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ]
 
     pattern := term term term        term := ?var | bareword | 'literal'
+               (a constant predicate `p+` is the SPARQL 1.1 one-or-more
+                property path, evaluated as a distributed transitive
+                closure of p's edges)
     expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
                bound(?var), combined with && / || / !
 
@@ -172,7 +175,25 @@ def _filter_to_expr(body: str) -> str:
 def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[DataFrame, set[str]]:
     """One pattern -> one filtered scan projecting its variables.
     Constants filter (pushed down to the source); a variable repeated
-    within the pattern adds an intra-row equality filter."""
+    within the pattern adds an intra-row equality filter.
+
+    SPARQL 1.1 property path `pred+` (one-or-more): the pattern's source
+    is swapped for the transitive closure of that predicate's edge set
+    (path-doubling `transitive_closure`, O(log diameter) rounds) — the
+    rdflib recursive-traversal semantics as a distributed fixpoint."""
+    pred = pattern[1]
+    if not _is_var(pred) and pred.endswith("+") and len(pred) > 1:
+        from .graph import transitive_closure
+
+        base = pred[:-1]
+        edges = triples.where(F.col("pred") == base).select(
+            F.col("subj").alias("child"), F.col("obj").alias("parent")
+        )
+        triples = transitive_closure(edges).select(
+            F.col("node").alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.col("ancestor").alias("obj"),
+        )
     df = triples
     first_pos_of: dict[str, str] = {}
     for pos, term in zip(_POS, pattern):

@@ -1653,6 +1653,65 @@ FROM events
 """
 
 
+def bucketed_tables(spark, sf):
+    """Write orders + customer as Spark BUCKETED tables (bucketBy 8 on
+    the join key, sortBy within buckets) and return them re-read from
+    the catalog.  Bucketing is THE co-located-join device at 100 TB: two
+    tables bucketed the same way sort-merge-join with ZERO Exchange on
+    either side (asserted in tests/test_plans.py::
+    test_bucketed_join_no_exchange) — the shuffle is paid once at write
+    time, then every downstream join of the pair is shuffle-free.
+    External-table path option so no warehouse-dir assumption; fixed
+    per-(sf, pid) scratch root as in q_sink_roundtrip."""
+    import shutil
+    import tempfile
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_bucketed_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    specs = (
+        ("b_orders", _t(spark, sf, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"), "o_custkey"),
+        ("b_customer", _t(spark, sf, "customer").select(
+            "c_custkey", "c_name"), "c_custkey"),
+    )
+    for name, df, key in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{root}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return spark.table("b_orders"), spark.table("b_customer")
+
+
+def q_bucket_join(spark, sf):
+    """Co-located bucketed join: orders JOIN customer on the bucket key,
+    aggregated per customer.  The physical plan has no Exchange on
+    either scan (bucket layout == join distribution); the oracle replays
+    the same join from the raw tables — bucketing must change the plan,
+    never the result."""
+    bo, bc = bucketed_tables(spark, sf)
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+        )
+    )
+
+
+SQL_BUCKET_JOIN = """
+SELECT c_custkey, c_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
 def q_batch_features(spark, sf):
     """V3 mapInPandas, oracle-checked: per-document stats computed in
     Arrow-batched pandas (unlike q_multimodal_features whose stub-decoder
@@ -1890,6 +1949,54 @@ SELECT DISTINCT a.subj AS turn, a.obj AS tool
 FROM g a JOIN g b ON a.subj = b.subj
 WHERE a.pred = 'usedTool' AND b.pred = 'hasRole' AND b.obj = 'role:tool'
   AND regexp_matches(a.obj, 'err') AND a.subj <> 'turn:u1/0'
+"""
+
+
+def q_sparql_path(spark, sf):
+    """SPARQL 1.1 property path `partOf+` through the compiler: the
+    parser sees a `p+` predicate and swaps the pattern's source for the
+    path-doubling transitive closure of p's edges — the same containment
+    hierarchy q_closure checks directly, but arriving via the query
+    language (and joined against a second pattern, so closure results
+    compose with ordinary BGP evaluation).  Hierarchy: part key k partOf
+    k//2 (binary tree over keys 2..255), with a depth marker triple for
+    leaf-band nodes (keys 128..255) to give the second pattern real
+    selectivity."""
+    from .operators.sparql import sparql
+
+    p = _t(spark, sf, "part")
+    base = p.where(F.col("p_partkey").between(2, 255))
+    edges = base.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("partOf").alias("pred"),
+        F.concat(F.lit("p:"), F.expr("p_partkey div 2").cast("string")).alias("obj"),
+    )
+    leaves = base.where(F.col("p_partkey") >= 128).select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("isLeaf").alias("pred"),
+        F.lit("true").alias("obj"),
+    )
+    tri = edges.unionByName(leaves)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?n ?a
+           WHERE { ?n partOf+ ?a . ?n isLeaf true }""",
+    )
+
+
+SQL_SPARQL_PATH = """
+WITH RECURSIVE
+e AS (SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS node,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS ancestor,
+             p_partkey AS k
+      FROM part WHERE p_partkey BETWEEN 2 AND 255),
+walk(node, ancestor) AS (
+  SELECT node, ancestor FROM e
+  UNION
+  SELECT w.node, e.ancestor FROM walk w JOIN e ON e.node = w.ancestor)
+SELECT DISTINCT w.node AS n, w.ancestor AS a
+FROM walk w
+WHERE w.node IN (SELECT node FROM e WHERE k >= 128)
 """
 
 
@@ -2651,6 +2758,7 @@ REGISTRY: dict[str, tuple] = {
     # grouped-map / grouped-agg / CC / detector / sink / batch-map
     "q_mentions": (q_mentions, SQL_MENTIONS),
     "q_sink_roundtrip": (q_sink_roundtrip, SQL_SINK_ROUNDTRIP),
+    "q_bucket_join": (q_bucket_join, SQL_BUCKET_JOIN),
     "q_batch_features": (q_batch_features, SQL_BATCH_FEATURES),
     "q_jsonl_source": (q_jsonl_source, SQL_JSONL_SOURCE),
     "q_csv_source": (q_csv_source, SQL_CSV_SOURCE),
@@ -2665,6 +2773,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_2hop": (q_sparql_2hop, SQL_SPARQL_2HOP),
     "q_sparql_filter": (q_sparql_filter, SQL_SPARQL_FILTER),
     "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
+    "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_closure": (q_closure, SQL_CLOSURE),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
     "q_triangle": (q_triangle, SQL_TRIANGLE),

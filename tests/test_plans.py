@@ -237,3 +237,19 @@ def test_jsonl_quarantine_accounts_for_every_line(spark, tmp_path):
     good, bad = split_quarantine(read_transcripts_jsonl(spark, str(p)))
     assert good.count() == 1
     assert bad.count() == 3   # 1 malformed + 2 missing-key rows quarantined
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Both sides bucketBy(8, join key): the sort-merge join must read
+    bucket layout as the join distribution — zero shuffle Exchange on
+    either side (the write-once shuffle is the whole point of bucketing
+    at 100 TB).  merge hint pins SMJ so AQE can't broadcast the small
+    side and hide the property being asserted."""
+    from logset_spark.queries import bucketed_tables
+
+    bo, bc = bucketed_tables(spark, sf_dir)
+    j = bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan and "ShuffleExchange" not in plan

@@ -172,3 +172,14 @@ def test_constant_pred_filter_pushes_to_parquet(spark, tri, tmp_path):
         stored, [("?c", "hasTurn", "?t"), ("?t", "usedTool", "?tool")]
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(pred,hasTurn)" in plan
+
+def test_property_path_one_or_more(spark):
+    chain = spark.createDataFrame(
+        [("a", "partOf", "b"), ("b", "partOf", "c"), ("c", "partOf", "d"),
+         ("a", "isLeaf", "true")],
+        "subj string, pred string, obj string",
+    )
+    got = _rows(sparql(
+        chain, "SELECT ?n ?x WHERE { ?n partOf+ ?x . ?n isLeaf true }"
+    ))
+    assert got == [("a", "b"), ("a", "c"), ("a", "d")]
