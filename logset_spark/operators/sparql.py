@@ -29,6 +29,10 @@ Grammar (documented subset — one line per clause, '.'-separated
 patterns):
 
     SELECT [DISTINCT] ?v1 ?v2 | *
+           | ?g1 ... (AGG(?v) AS ?name) ...   -- SPARQL 1.1 aggregates:
+             COUNT/MIN/MAX/SUM/AVG over a var, or COUNT(*); plain ?vars
+             in the list become the GROUP BY keys (groupBy lowering;
+             SUM/AVG try_cast the string object to double)
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
             ( . OPTIONAL { pattern ( . pattern )* } )* }
@@ -63,8 +67,16 @@ def _is_var(t: str) -> bool:
 
 
 @dataclass
+class AggItem:
+    func: str  # COUNT/MIN/MAX/SUM/AVG
+    var: str | None  # None = COUNT(*)
+    alias: str
+
+
+@dataclass
 class ParsedQuery:
     select: list[str]  # var names without '?'; empty = all in-order
+    aggs: list["AggItem"]  # SPARQL 1.1 aggregate items; select = group keys
     distinct: bool
     patterns: list[tuple[str, str, str]]
     filters: list[str]  # raw FILTER bodies (still with ?vars)
@@ -110,12 +122,28 @@ def parse_sparql(query: str) -> ParsedQuery:
         raise ValueError(f"unparseable query (need SELECT ... WHERE {{...}}): {q!r}")
     distinct = m.group(1) is not None
     sel_raw = m.group(2).strip()
+    aggs: list[AggItem] = []
+
+    def _agg(mo: re.Match) -> str:
+        func = mo.group(1).upper()
+        var = None if mo.group(2) == "*" else mo.group(2)[1:]
+        if var is None and func != "COUNT":
+            raise ValueError(f"{func}(*) is not in the subset (COUNT(*) only)")
+        aggs.append(AggItem(func, var, mo.group(3)[1:]))
+        return " "
+
+    sel_raw = re.sub(
+        r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
+        _agg, sel_raw, flags=re.IGNORECASE,
+    ).strip()
     if sel_raw == "*":
+        if aggs:
+            raise ValueError("cannot mix * with aggregate items")
         select: list[str] = []
     else:
         select = [v[1:] for v in sel_raw.split() if _is_var(v)]
         if len(select) != len(sel_raw.split()):
-            raise ValueError(f"SELECT list must be ?vars or *: {sel_raw!r}")
+            raise ValueError(f"SELECT list must be ?vars or aggregates: {sel_raw!r}")
 
     body = m.group(3)
     filters: list[str] = []
@@ -152,7 +180,10 @@ def parse_sparql(query: str) -> ParsedQuery:
             order_by.append((toks[i][1:], desc))
             i += 2 if desc else 1
     limit = int(m.group(5)) if m.group(5) else None
-    return ParsedQuery(select, distinct, patterns, filters, optionals, order_by, limit)
+    return ParsedQuery(
+        select=select, aggs=aggs, distinct=distinct, patterns=patterns,
+        filters=filters, optionals=optionals, order_by=order_by, limit=limit,
+    )
 
 
 def _filter_to_expr(body: str) -> str:
@@ -281,14 +312,34 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame."""
     pq = parse_sparql(query)
-    out = bgp(
-        triples,
-        pq.patterns,
-        filters=pq.filters,
-        optionals=pq.optionals,
-        select=pq.select or None,
-        distinct=pq.distinct,
-    )
+    if pq.aggs:
+        # aggregate form: evaluate the BGP keeping every needed variable
+        # as raw bindings (NO distinct — aggregate semantics are over the
+        # solution multiset), then one groupBy on the plain select vars
+        needed = list(dict.fromkeys(
+            pq.select + [a.var for a in pq.aggs if a.var is not None]
+        ))
+        sol = bgp(
+            triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
+            select=needed or None, distinct=False,
+        )
+        def _agg_col(a: AggItem):
+            if a.var is None:
+                return F.count(F.lit(1)).alias(a.alias)
+            col = F.col(a.var)
+            if a.func in ("SUM", "AVG"):
+                col = col.cast("double")
+            return getattr(F, a.func.lower())(col).alias(a.alias)
+        out = sol.groupBy(*pq.select).agg(*[_agg_col(a) for a in pq.aggs])
+    else:
+        out = bgp(
+            triples,
+            pq.patterns,
+            filters=pq.filters,
+            optionals=pq.optionals,
+            select=pq.select or None,
+            distinct=pq.distinct,
+        )
     if pq.order_by:
         out = out.orderBy(
             *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in pq.order_by]

@@ -2000,6 +2000,28 @@ WHERE w.node IN (SELECT node FROM e WHERE k >= 128)
 """
 
 
+def q_sparql_agg(spark, sf):
+    """SPARQL 1.1 aggregates through the compiler: plain ?vars in the
+    SELECT list become groupBy keys, (COUNT(?v) AS ?n) items become
+    aggregate columns over the solution MULTISET (no distinct before the
+    groupBy — textbook aggregate semantics)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?tool (COUNT(?turn) AS ?n_uses)
+           WHERE { ?turn usedTool ?tool }""",
+    )
+
+
+SQL_SPARQL_AGG = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT obj AS tool, count(*) AS n_uses
+FROM g WHERE pred = 'usedTool' GROUP BY obj
+"""
+
+
 def q_sparql_optional(spark, sf):
     """SPARQL OPTIONAL = the algebra's LeftJoin: turns keep their role
     binding whether or not a usedTool triple exists (most turns have
@@ -2774,6 +2796,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_filter": (q_sparql_filter, SQL_SPARQL_FILTER),
     "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
+    "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_closure": (q_closure, SQL_CLOSURE),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
     "q_triangle": (q_triangle, SQL_TRIANGLE),

@@ -183,3 +183,29 @@ def test_property_path_one_or_more(spark):
         chain, "SELECT ?n ?x WHERE { ?n partOf+ ?x . ?n isLeaf true }"
     ))
     assert got == [("a", "b"), ("a", "c"), ("a", "d")]
+
+
+def test_aggregates_group_and_count(tri):
+    q = """SELECT ?conv (COUNT(?turn) AS ?n) WHERE { ?conv hasTurn ?turn }"""
+    assert _rows(sparql(tri, q)) == [("conv:a", 2), ("conv:b", 1)]
+
+
+def test_aggregate_count_star_no_group(tri):
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?t usedTool ?tool }"
+    assert _rows(sparql(tri, q)) == [(2,)]
+
+
+def test_aggregate_counts_multiset_not_distinct(spark):
+    """Two turns use the same tool: COUNT must see both solutions even
+    though the (tool,) projection would dedup under SELECT DISTINCT."""
+    t = spark.createDataFrame(
+        [("t1", "usedTool", "grep"), ("t2", "usedTool", "grep")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?tool (COUNT(?turn) AS ?n) WHERE { ?turn usedTool ?tool }"
+    assert _rows(sparql(t, q)) == [("grep", 2)]
+
+
+def test_aggregate_rejects_sum_star():
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT (SUM(*) AS ?s) WHERE { ?a p ?b }")
