@@ -83,6 +83,12 @@ class ParsedQuery:
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    # WHERE { {A} UNION {B} ... }: pattern-group arms (patterns is then
+    # empty); each arm is a plain BGP (no nested FILTER/OPTIONAL in arms)
+    unions: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # CONSTRUCT { template } WHERE {...}: template triple patterns whose
+    # variables are substituted from each solution (None = SELECT query)
+    construct: list[tuple[str, str, str]] | None = None
 
 
 def _tokenize_terms(s: str) -> list[str]:
@@ -112,6 +118,17 @@ def parse_sparql(query: str) -> ParsedQuery:
     offending clause on anything outside the subset — silent
     misinterpretation of a query language is worse than rejection."""
     q = " ".join(query.split())  # normalize whitespace
+    cm = re.match(
+        r"CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        template = _parse_patterns(cm.group(1))
+        if not template:
+            raise ValueError("CONSTRUCT template has no triple patterns")
+        inner = parse_sparql(f"SELECT * WHERE {{{cm.group(2)}}}")
+        inner.construct = template
+        return inner
     m = re.match(
         r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}"
         r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?\s*$",
@@ -165,9 +182,21 @@ def parse_sparql(query: str) -> ParsedQuery:
     body = re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", _filt, body,
                   flags=re.IGNORECASE)
 
-    patterns = _parse_patterns(body)
-    if not patterns:
-        raise ValueError("WHERE clause has no triple patterns")
+    # top-level UNION of braced pattern groups: { A } UNION { B } [UNION ...]
+    unions: list[list[tuple[str, str, str]]] = []
+    um = re.match(
+        r"\s*\{([^{}]*)\}(?:\s+UNION\s+\{([^{}]*)\})+\s*$", body, re.IGNORECASE
+    )
+    if um:
+        arms = re.findall(r"\{([^{}]*)\}", body)
+        unions = [_parse_patterns(a) for a in arms]
+        if any(not a for a in unions):
+            raise ValueError("empty UNION arm")
+        patterns = []
+    else:
+        patterns = _parse_patterns(body)
+        if not patterns:
+            raise ValueError("WHERE clause has no triple patterns")
 
     order_by = []
     if m.group(4):
@@ -183,6 +212,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     return ParsedQuery(
         select=select, aggs=aggs, distinct=distinct, patterns=patterns,
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
+        unions=unions,
     )
 
 
@@ -289,10 +319,37 @@ def bgp(
     optionals: list[list[tuple[str, str, str]]] = (),
     select: list[str] | None = None,
     distinct: bool = True,
+    unions: list[list[tuple[str, str, str]]] = (),
 ) -> DataFrame:
     """Programmatic BGP evaluation (the parser lowers to this).  Returns
-    a DataFrame with one column per selected variable."""
-    acc, var_order = _join_patterns(triples, patterns)
+    a DataFrame with one column per selected variable.
+
+    `unions`: pattern-group arms ({A} UNION {B}); each arm is evaluated
+    independently and the solutions concatenated with variables aligned
+    by name (vars unbound in an arm become NULL — SPARQL union
+    semantics).  Mutually exclusive with `patterns`."""
+    if unions:
+        if patterns:
+            raise ValueError("patterns and unions are mutually exclusive")
+        arm_res = []
+        var_order: list[str] = []
+        for i, arm in enumerate(unions):
+            df, _ = _join_patterns(triples, arm, start_tag=5000 * (i + 1))
+            vs = [c for c in df.columns if not c.startswith("_exists_")]
+            arm_res.append((df, set(vs)))
+            var_order += [v for v in vs if v not in var_order]
+        aligned = [
+            df.select(*[
+                F.col(v) if v in vs else F.lit(None).cast("string").alias(v)
+                for v in var_order
+            ])
+            for df, vs in arm_res
+        ]
+        acc = aligned[0]
+        for d in aligned[1:]:
+            acc = acc.unionByName(d)
+    else:
+        acc, var_order = _join_patterns(triples, patterns)
     for gi, group in enumerate(optionals):
         opt_df, opt_vars = _join_patterns(triples, group, start_tag=1000 * (gi + 1))
         shared = sorted(set(var_order) & set(opt_df.columns))
@@ -312,6 +369,32 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame."""
     pq = parse_sparql(query)
+    if pq.construct is not None:
+        # CONSTRUCT: evaluate WHERE, then instantiate each template
+        # pattern per solution — the reference's graph-building shape
+        # (query bindings -> emitted triples), distinct because a graph
+        # is a SET of triples
+        sol = bgp(
+            triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
+            distinct=False, unions=pq.unions,
+        )
+        def _term(t: str):
+            return F.col(t[1:]) if _is_var(t) else F.lit(t)
+        parts = [
+            sol.select(
+                _term(s).alias("subj"), _term(p).alias("pred"),
+                _term(o).alias("obj"),
+            )
+            for s, p, o in pq.construct
+        ]
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        # unbound OPTIONAL vars instantiate no triple (SPARQL semantics)
+        return out.where(
+            F.col("subj").isNotNull() & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        ).distinct()
     if pq.aggs:
         # aggregate form: evaluate the BGP keeping every needed variable
         # as raw bindings (NO distinct — aggregate semantics are over the
@@ -321,7 +404,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         ))
         sol = bgp(
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
-            select=needed or None, distinct=False,
+            select=needed or None, distinct=False, unions=pq.unions,
         )
         def _agg_col(a: AggItem):
             if a.var is None:
@@ -339,6 +422,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             optionals=pq.optionals,
             select=pq.select or None,
             distinct=pq.distinct,
+            unions=pq.unions,
         )
     if pq.order_by:
         out = out.orderBy(

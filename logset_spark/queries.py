@@ -2022,6 +2022,31 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_sparql_construct(spark, sf):
+    """SPARQL CONSTRUCT — the reference's graph-BUILDING shape (rdflib
+    users query one graph and add the bindings to another): the WHERE
+    solutions instantiate each template pattern, here inverting hasTurn
+    into partOf/contains pairs.  Distinct because a graph is a set."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """CONSTRUCT { ?t inConv ?c . ?c contains ?t }
+           WHERE { ?c hasTurn ?t }""",
+    )
+
+
+SQL_SPARQL_CONSTRUCT = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+ht AS (SELECT subj AS c, obj AS t FROM g WHERE pred = 'hasTurn')
+SELECT DISTINCT * FROM (
+  SELECT t AS subj, 'inConv' AS pred, c AS obj FROM ht
+  UNION ALL
+  SELECT c, 'contains', t FROM ht)
+"""
+
+
 def q_sparql_optional(spark, sf):
     """SPARQL OPTIONAL = the algebra's LeftJoin: turns keep their role
     binding whether or not a usedTool triple exists (most turns have
@@ -2797,6 +2822,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
+    "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
     "q_closure": (q_closure, SQL_CLOSURE),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
     "q_triangle": (q_triangle, SQL_TRIANGLE),

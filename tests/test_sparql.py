@@ -74,7 +74,10 @@ def tri(spark):
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 def test_two_hop_matches_naive(tri):
@@ -209,3 +212,35 @@ def test_aggregate_counts_multiset_not_distinct(spark):
 def test_aggregate_rejects_sum_star():
     with pytest.raises(ValueError):
         parse_sparql("SELECT (SUM(*) AS ?s) WHERE { ?a p ?b }")
+
+
+def test_union_aligns_vars_with_nulls(tri):
+    q = """SELECT DISTINCT ?t ?tool ?role
+           WHERE { { ?t usedTool ?tool } UNION { ?t hasRole ?role } }"""
+    got = _rows(sparql(tri, q))
+    assert ("turn:a/0", "tool:grep", None) in got
+    assert ("turn:b/0", None, "role:user") in got
+    assert len(got) == 5
+
+
+def test_union_same_vars_concatenates(tri):
+    q = """SELECT ?x WHERE { { ?x usedTool tool:grep } UNION { ?x usedTool tool:sed } }"""
+    assert _rows(sparql(tri, q)) == [("turn:a/0",), ("turn:a/1",)]
+
+
+def test_construct_emits_template_triples(tri):
+    q = """CONSTRUCT { ?t partOf ?c . ?c contains ?t }
+           WHERE { ?c hasTurn ?t }"""
+    got = _rows(sparql(tri, q))
+    assert ("turn:a/0", "partOf", "conv:a") in got
+    assert ("conv:a", "contains", "turn:a/0") in got
+    assert len(got) == 6  # 3 hasTurn solutions x 2 template patterns
+
+
+def test_construct_skips_unbound_optional(tri):
+    q = """CONSTRUCT { ?t toolUsed ?tool }
+           WHERE { ?c hasTurn ?t . OPTIONAL { ?t usedTool ?tool } }"""
+    got = _rows(sparql(tri, q))
+    # turn:b/0 has no tool -> no triple for it
+    assert got == [("turn:a/0", "toolUsed", "tool:grep"),
+                   ("turn:a/1", "toolUsed", "tool:sed")]
