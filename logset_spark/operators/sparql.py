@@ -36,7 +36,13 @@ patterns):
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
             ( . OPTIONAL { pattern ( . pattern )* } )* }
+    WHERE { { patterns } UNION { patterns } ( UNION {...} )* }
     [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ]
+
+    Other query forms: ASK { body } (one boolean row);
+    CONSTRUCT { template patterns } WHERE { body } (solutions
+    instantiate the template into distinct (subj, pred, obj) rows —
+    the reference's graph-building shape).
 
     pattern := term term term        term := ?var | bareword | 'literal'
                (a constant predicate `p+` is the SPARQL 1.1 one-or-more
@@ -89,6 +95,8 @@ class ParsedQuery:
     # CONSTRUCT { template } WHERE {...}: template triple patterns whose
     # variables are substituted from each solution (None = SELECT query)
     construct: list[tuple[str, str, str]] | None = None
+    # ASK { ... }: one boolean row — does any solution exist?
+    ask: bool = False
 
 
 def _tokenize_terms(s: str) -> list[str]:
@@ -118,6 +126,11 @@ def parse_sparql(query: str) -> ParsedQuery:
     offending clause on anything outside the subset — silent
     misinterpretation of a query language is worse than rejection."""
     q = " ".join(query.split())  # normalize whitespace
+    am = re.match(r"ASK\s*\{(.*)\}\s*$", q, re.IGNORECASE | re.DOTALL)
+    if am:
+        inner = parse_sparql(f"SELECT * WHERE {{{am.group(1)}}}")
+        inner.ask = True
+        return inner
     cm = re.match(
         r"CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", q,
         re.IGNORECASE | re.DOTALL,
@@ -369,6 +382,14 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame."""
     pq = parse_sparql(query)
+    if pq.ask:
+        # ASK: one boolean row.  limit(1) before the agg so the scan
+        # stops at the first solution instead of materializing them all.
+        sol = bgp(
+            triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
+            distinct=False, unions=pq.unions,
+        ).limit(1)
+        return sol.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if pq.construct is not None:
         # CONSTRUCT: evaluate WHERE, then instantiate each template
         # pattern per solution — the reference's graph-building shape

@@ -164,7 +164,7 @@ def test_parser_rejects_garbage():
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?a WHERE { ?a p }")  # 2-term pattern
     with pytest.raises(ValueError):
-        parse_sparql("ASK { ?a p ?b }")  # outside the subset
+        parse_sparql("DESCRIBE ?a WHERE { ?a p ?b }")  # outside the subset
 
 
 def test_constant_pred_filter_pushes_to_parquet(spark, tri, tmp_path):
@@ -244,3 +244,8 @@ def test_construct_skips_unbound_optional(tri):
     # turn:b/0 has no tool -> no triple for it
     assert got == [("turn:a/0", "toolUsed", "tool:grep"),
                    ("turn:a/1", "toolUsed", "tool:sed")]
+
+
+def test_ask_true_and_false(tri):
+    assert sparql(tri, "ASK { ?t usedTool tool:grep }").collect()[0]["ask"] is True
+    assert sparql(tri, "ASK { ?t usedTool tool:awk }").collect()[0]["ask"] is False
