@@ -1,0 +1,119 @@
+"""Data profiling + expectation checking over warehouse tables.
+
+LogSet is a metadata catalog: its whole purpose is descriptive metadata
+about data artifacts (temporal extent, subjects, formats — SURVEY §1.1).
+At warehouse scale the descriptive layer is computed, not hand-entered:
+`profile` derives per-column statistics in ONE pass, and `expectations`
+turns catalog invariants (key uniqueness, referential integrity,
+completeness) into counted checks — the Deequ-style quality gate a
+100 TB ingest runs before publishing a partition.
+
+Scale shape: `profile` is a single wide aggregate (every metric is an
+agg expression over one scan — Catalyst partial-aggregates map-side, so
+the shuffle carries one row per column-metric, not data).  Uniqueness /
+integrity checks are one groupBy or one broadcast-able anti-join each,
+all on key columns only (column-pruned scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# metrics emitted per column; numeric-only metrics are null for strings
+PROFILE_METRICS = ("count", "nulls", "distinct", "min", "max")
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler -> long format
+    DataFrame[column, metric, value:string].
+
+    Exact `count_distinct` (not approx) so the result is engine-
+    reproducible; at true scale swap in approx_count_distinct and accept
+    a rows-only check — the plan shape (single wide agg) is unchanged.
+    Values are stringified with a fixed format so one schema carries
+    numeric and string columns."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}\x00count"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}\x00nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}\x00distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}\x00min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}\x00max"),
+        ]
+    wide = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(m).alias("metric"),
+            F.col(f"`{c}\x00{m}`").cast("string").alias("value"),
+        )
+        for c in cols
+        for m in PROFILE_METRICS
+    ])
+    return wide.select(F.explode(pairs).alias("p")).select(
+        "p.column", "p.metric", "p.value"
+    )
+
+
+def expect_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """-> [check, violations, total]: rows whose key occurs more than
+    once (violations counts ALL rows in duplicated groups)."""
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("violations"))
+    )
+    total = df.agg(F.count("*").alias("total"))
+    return (
+        dup.crossJoin(total)
+        .select(
+            F.lit(f"unique({','.join(keys)})").alias("check"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("total").cast("long").alias("total"),
+        )
+    )
+
+
+def expect_references(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Referential integrity: child rows whose non-null key has no match
+    in parent (one anti-join on pruned key columns; broadcast when the
+    parent key set is small, shuffle otherwise — Catalyst's call)."""
+    orphans = (
+        child.select(F.col(child_key))
+        .where(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+    )
+    total = child.agg(F.count("*").alias("total"))
+    return orphans.crossJoin(total).select(
+        F.lit(f"references({child_key}->{parent_key})").alias("check"),
+        F.col("violations").cast("long").alias("violations"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
+def expect_complete(df: DataFrame, col: str) -> DataFrame:
+    """Completeness: null count for a required column."""
+    return df.agg(
+        F.lit(f"complete({col})").alias("check"),
+        F.sum(F.col(col).isNull().cast("long")).cast("long").alias("violations"),
+        F.count("*").cast("long").alias("total"),
+    )
+
+
+def run_expectations(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-check one-row frames into the quality report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -2022,6 +2022,74 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+_PROFILE_COLS = ("event_id", "user_id", "event_type")
+
+
+def q_profile(spark, sf):
+    """One-pass column profiler (operators/quality.py) — the computed
+    descriptive metadata a catalog tool records per artifact, as a single
+    wide aggregate whose shuffle carries one row per (column, metric).
+    Long-format output; numeric values stringified by the engine cast
+    (int/string columns only here — double/timestamp casts format
+    differently across engines and belong to a rows-only profile)."""
+    from .operators.quality import profile
+
+    return profile(_t(spark, sf, "events"), list(_PROFILE_COLS))
+
+
+SQL_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", '{m}' AS metric,
+        CAST({expr} AS VARCHAR) AS value FROM events"""
+    for c in _PROFILE_COLS
+    for m, expr in (
+        ("count", f"count({c})"),
+        ("nulls", f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"),
+        ("distinct", f"count(DISTINCT {c})"),
+        ("min", f"min({c})"),
+        ("max", f"max({c})"),
+    )
+)
+
+
+def q_expectations(spark, sf):
+    """Deequ-style expectation suite as counted checks — the quality
+    gate a 100 TB ingest runs before publishing a partition: primary-key
+    uniqueness (one groupBy), referential integrity orders->customer
+    (one key-pruned anti-join), completeness (null count)."""
+    from .operators.quality import (
+        expect_complete,
+        expect_references,
+        expect_unique,
+        run_expectations,
+    )
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return run_expectations([
+        expect_unique(o, ["o_orderkey"]),
+        expect_references(o, "o_custkey", c, "c_custkey"),
+        expect_complete(o, "o_orderdate"),
+    ])
+
+
+SQL_EXPECTATIONS = """
+SELECT 'unique(o_orderkey)' AS check, CAST(COALESCE((
+         SELECT sum(n) FROM (SELECT count(*) AS n FROM orders
+                             GROUP BY o_orderkey HAVING count(*) > 1) d
+       ), 0) AS BIGINT) AS violations,
+       (SELECT count(*) FROM orders) AS total
+UNION ALL
+SELECT 'references(o_custkey->c_custkey)',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT count(*) FROM orders)
+UNION ALL
+SELECT 'complete(o_orderdate)',
+       (SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders),
+       (SELECT count(*) FROM orders)
+"""
+
+
 def q_sparql_construct(spark, sf):
     """SPARQL CONSTRUCT — the reference's graph-BUILDING shape (rdflib
     users query one graph and add the bindings to another): the WHERE
@@ -2823,6 +2891,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "q_profile": (q_profile, SQL_PROFILE),
+    "q_expectations": (q_expectations, SQL_EXPECTATIONS),
     "q_closure": (q_closure, SQL_CLOSURE),
     "q_pagerank": (q_pagerank, SQL_PAGERANK),
     "q_triangle": (q_triangle, SQL_TRIANGLE),

@@ -1,0 +1,54 @@
+"""operators/quality.py: profiler and expectation checks on fixtures
+with KNOWN violations (the sf tables are clean, so the oracle rows there
+only prove the zero case — these prove the counting)."""
+
+from __future__ import annotations
+
+from logset_spark.operators.quality import (
+    expect_complete,
+    expect_references,
+    expect_unique,
+    profile,
+    run_expectations,
+)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], "k int, s string"
+    )
+    got = {(r["column"], r["metric"]): r["value"] for r in
+           profile(df).collect()}
+    assert got[("k", "count")] == "4" and got[("k", "nulls")] == "0"
+    assert got[("k", "distinct")] == "3"
+    assert got[("k", "min")] == "1" and got[("k", "max")] == "3"
+    assert got[("s", "count")] == "3" and got[("s", "nulls")] == "1"
+    assert got[("s", "distinct")] == "2"
+    assert got[("s", "min")] == "a" and got[("s", "max")] == "b"
+
+
+def test_expectations_count_violations(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 99), (3, None)], "pk int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (30,)], "id int")
+    rep = {r["check"]: (r["violations"], r["total"]) for r in run_expectations([
+        expect_unique(child, ["pk"]),
+        expect_references(child, "fk", parent, "id"),
+        expect_complete(child, "fk"),
+    ]).collect()}
+    # pk=1 occurs twice -> both rows count as violations
+    assert rep["unique(pk)"] == (2, 4)
+    # fk=99 has no parent; the NULL fk is not an orphan (SQL FK semantics)
+    assert rep["references(fk->id)"] == (1, 4)
+    assert rep["complete(fk)"] == (1, 4)
+
+
+def test_expectations_clean_table_zero_violations(spark):
+    child = spark.createDataFrame([(1, 10), (2, 30)], "pk int, fk int")
+    parent = spark.createDataFrame([(10,), (30,)], "id int")
+    rep = run_expectations([
+        expect_unique(child, ["pk"]),
+        expect_references(child, "fk", parent, "id"),
+    ]).collect()
+    assert all(r["violations"] == 0 and r["total"] == 2 for r in rep)
