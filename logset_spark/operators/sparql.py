@@ -97,6 +97,8 @@ class ParsedQuery:
     construct: list[tuple[str, str, str]] | None = None
     # ASK { ... }: one boolean row — does any solution exist?
     ask: bool = False
+    # DESCRIBE <uri>: every triple with the resource as subject or object
+    describe: str | None = None
 
 
 def _tokenize_terms(s: str) -> list[str]:
@@ -126,6 +128,12 @@ def parse_sparql(query: str) -> ParsedQuery:
     offending clause on anything outside the subset — silent
     misinterpretation of a query language is worse than rejection."""
     q = " ".join(query.split())  # normalize whitespace
+    dm = re.match(r"DESCRIBE\s+(\S+)\s*$", q, re.IGNORECASE)
+    if dm and not _is_var(dm.group(1)):
+        pq = ParsedQuery(select=[], aggs=[], distinct=True, patterns=[],
+                         filters=[])
+        pq.describe = dm.group(1)
+        return pq
     am = re.match(r"ASK\s*\{(.*)\}\s*$", q, re.IGNORECASE | re.DOTALL)
     if am:
         inner = parse_sparql(f"SELECT * WHERE {{{am.group(1)}}}")
@@ -382,6 +390,19 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame."""
     pq = parse_sparql(query)
+    if pq.describe is not None:
+        # DESCRIBE <uri>: the resource's concise neighborhood — both
+        # pushed-down scans, unioned (rdflib's Graph.triples((uri,*,*))
+        # + ((*,*,uri)) shape)
+        return (
+            triples.where(F.col("subj") == pq.describe)
+            .select("subj", "pred", "obj")
+            .unionByName(
+                triples.where(F.col("obj") == pq.describe)
+                .select("subj", "pred", "obj")
+            )
+            .distinct()
+        )
     if pq.ask:
         # ASK: one boolean row.  limit(1) before the agg so the scan
         # stops at the first solution instead of materializing them all.

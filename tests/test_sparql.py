@@ -249,3 +249,12 @@ def test_construct_skips_unbound_optional(tri):
 def test_ask_true_and_false(tri):
     assert sparql(tri, "ASK { ?t usedTool tool:grep }").collect()[0]["ask"] is True
     assert sparql(tri, "ASK { ?t usedTool tool:awk }").collect()[0]["ask"] is False
+
+
+def test_describe_neighborhood(tri):
+    got = _rows(sparql(tri, "DESCRIBE turn:a/0"))
+    assert got == [
+        ("conv:a", "hasTurn", "turn:a/0"),
+        ("turn:a/0", "hasRole", "role:tool"),
+        ("turn:a/0", "usedTool", "tool:grep"),
+    ]
