@@ -1,0 +1,62 @@
+"""SPARQL query job — run a query against a built triples warehouse via
+spark-submit (the read-side counterpart of build_graph.py; together they
+replace the reference's create/query CLI lifecycles):
+
+    zip -r kgpipe.zip logset_spark
+    spark-submit --py-files kgpipe.zip jobs/query_graph.py \
+        --warehouse /path/warehouse \
+        --query "SELECT ?conv (COUNT(?turn) AS ?n) WHERE { ?conv hasTurn ?turn }" \
+        [--out /path/result_parquet] [--show 20]
+
+Accepts every form operators/sparql.py compiles (SELECT with
+FILTER/OPTIONAL/UNION/aggregates/property paths, ASK, CONSTRUCT,
+DESCRIBE).  Without --out, prints up to --show rows as JSON lines plus
+ONE summary JSON line; with --out, writes the full result as parquet
+(distributed write — the driver never collects the result set).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Query the transcript knowledge graph")
+    p.add_argument("--warehouse", required=True, help="warehouse root (build_graph --out)")
+    p.add_argument("--query", help="SPARQL query text")
+    p.add_argument("--query-file", help="file containing the query")
+    p.add_argument("--out", help="write full result parquet here instead of printing")
+    p.add_argument("--show", type=int, default=20, help="max rows to print without --out")
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if not args.query and not args.query_file:
+        p.error("one of --query / --query-file is required")
+    query = args.query or open(args.query_file).read()
+
+    from logset_spark.operators.sparql import sparql
+    from logset_spark.session import get_spark
+    from logset_spark.sources.tableio import TableIO
+
+    spark = get_spark("query_graph", cpus=args.cpus)
+    triples = TableIO(root=args.warehouse).read(spark, "triples")
+    result = sparql(triples, query)
+
+    if args.out:
+        result.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out,
+                          "columns": result.columns}))
+    else:
+        rows = result.limit(args.show).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"rows_shown": len(rows), "columns": result.columns}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
