@@ -473,3 +473,28 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     if pq.limit is not None:
         out = out.limit(pq.limit)
     return out
+
+
+def write_vertical(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write triples VERTICALLY PARTITIONED by predicate (the classic
+    triple-store layout: one directory per predicate).  The KG vocabulary
+    is a closed, small set (SURVEY §1.1 — LogSet's ontology has ~a dozen
+    predicates), so partition count stays tiny while every constant-pred
+    BGP pattern — the overwhelmingly common kind — prunes to its own
+    files at PLANNING time (PartitionFilters, no footer reads of other
+    predicates).  Repartition by pred before the write so each partition
+    dir is written by its own task set instead of every task appending a
+    sliver to every dir."""
+    (
+        triples.repartition("pred")
+        .write.mode(mode)
+        .partitionBy("pred")
+        .parquet(path)
+    )
+
+
+def read_vertical(spark, path: str) -> DataFrame:
+    """Read a vertical layout back as an ordinary (subj, pred, obj, ...)
+    triples DataFrame — bgp()/sparql() work unchanged; Catalyst turns
+    their pred-constant filters into partition pruning."""
+    return spark.read.parquet(path)

@@ -258,3 +258,18 @@ def test_describe_neighborhood(tri):
         ("turn:a/0", "hasRole", "role:tool"),
         ("turn:a/0", "usedTool", "tool:grep"),
     ]
+
+
+def test_vertical_layout_prunes_partitions(spark, tri, tmp_path):
+    from logset_spark.operators.sparql import read_vertical, write_vertical
+
+    path = str(tmp_path / "vtri")
+    write_vertical(tri, path)
+    stored = read_vertical(spark, path)
+    # same answers as the row layout
+    q = "SELECT DISTINCT ?c ?tool WHERE { ?c hasTurn ?t . ?t usedTool ?tool }"
+    assert _rows(sparql(stored, q)) == _rows(sparql(tri, q))
+    # and the constant-pred scan prunes to the pred's own partition
+    one = bgp(stored, [("?t", "usedTool", "?tool")])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "usedTool" in plan
