@@ -37,8 +37,38 @@ from pyspark.sql import functions as F
 PR_SCALE = 1_000_000_000_000
 
 
+# below this many edges the closure runs as driver-side BFS (same
+# pattern, threshold, and rationale as cc.SMALL_GRAPH_EDGES: ~20 Spark
+# jobs of fixpoint overhead dwarf a tiny graph; the distributed loop is
+# what runs at catalog scale and q_closure pins it on for the oracle)
+SMALL_CLOSURE_EDGES = 250_000
+
+
+def _closure_small(spark, rows: list) -> DataFrame:
+    """Driver BFS over collected (child, parent) pairs -> closure rows."""
+    parents: dict[str, set[str]] = {}
+    for child, parent in rows:
+        if child != parent:
+            parents.setdefault(child, set()).add(parent)
+    out = []
+    for start, first in parents.items():
+        frontier, dist, seen = set(first), 1, {start}
+        while frontier:
+            for a in frontier:
+                out.append((start, a, dist))
+            seen |= frontier
+            frontier = {
+                g for a in frontier for g in parents.get(a, ()) if g not in seen
+            }
+            dist += 1
+    return spark.createDataFrame(
+        out, "node string, ancestor string, dist int"
+    )
+
+
 def transitive_closure(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 20,
+    small_graph_edges: int = SMALL_CLOSURE_EDGES,
 ) -> DataFrame:
     """edges: DataFrame[child:string, parent:string] (a DAG; cycles would
     still terminate — path doubling only adds pairs, and pair count is
@@ -52,7 +82,19 @@ def transitive_closure(
     self-join round squares the reach.  The join key is the midpoint
     node — a plain equi-join Catalyst shuffles on that key, no
     quadratics anywhere (fan-out is bounded by the true closure size).
-    """
+
+    `small_graph_edges`: below this edge count the closure is computed
+    by driver BFS instead (pass 0 to force the distributed loop — the
+    oracle-checked q_closure does, so the doubling algebra itself stays
+    under test; both paths are equivalence-tested in tests/test_graph).
+    BFS gives min-HOP distance and path doubling min over all walks of
+    per-round-minimal splits — equal exactly because doubling keeps the
+    per-pair MIN each round, so a shortest 2^k-bounded decomposition
+    always survives."""
+    if small_graph_edges:
+        head = edges.select("child", "parent").limit(small_graph_edges + 1).collect()
+        if len(head) <= small_graph_edges:
+            return _closure_small(edges.sparkSession, [tuple(r) for r in head])
     c = (
         edges.select(
             F.col("child").alias("node"),

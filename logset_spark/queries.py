@@ -2550,7 +2550,9 @@ def q_closure(spark, sf):
             F.lit("p:"), F.expr("p_partkey div 2").cast("string")
         ).alias("parent"),
     )
-    return transitive_closure(edges)
+    # force the DISTRIBUTED doubling loop: this oracle row exists to
+    # check the distributed algebra, not the driver BFS fast path
+    return transitive_closure(edges, small_graph_edges=0)
 
 
 SQL_CLOSURE = """
@@ -2679,14 +2681,14 @@ SELECT node, count(*) AS n_tri FROM corners GROUP BY node
 """
 
 
-_KCORE_K, _KCORE_ROUNDS = 15, 6
+_KCORE_K, _KCORE_ROUNDS = 15, 4
 
 
 def q_kcore(spark, sf):
-    """k-core of the co-purchase graph (k=15) by 6 fixed synchronous
-    peel rounds (operators/graph.py kcore_peel); 6 rounds is past
+    """k-core of the co-purchase graph (k=15) by 4 fixed synchronous
+    peel rounds (operators/graph.py kcore_peel); 4 rounds is past
     convergence on this graph (the peel stabilizes in 3), so the result
-    IS the 15-core.  The oracle unrolls the identical 6 rounds in SQL."""
+    IS the 15-core.  The oracle unrolls the identical 4 rounds in SQL."""
     from .operators.graph import kcore_peel
 
     return kcore_peel(_copurchase_edges(spark, sf), k=_KCORE_K,

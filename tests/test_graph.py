@@ -66,11 +66,15 @@ def test_closure_matches_python_bfs(spark):
             for p in rng.sample(layers[l - 1] + (layers[l - 2] if l > 1 else []), 2):
                 edges.append((c, p))
     df = spark.createDataFrame(edges, "child string, parent string")
-    got = {
-        (r["node"], r["ancestor"]): r["dist"]
-        for r in transitive_closure(df).collect()
-    }
-    assert got == _py_closure(edges)
+    # BOTH paths: driver BFS (default under the small-graph threshold)
+    # and the distributed path-doubling loop (small_graph_edges=0)
+    for kw in ({}, {"small_graph_edges": 0}):
+        got = {
+            (r["node"], r["ancestor"]): r["dist"]
+            for r in transitive_closure(df, **kw).collect()
+        }
+        assert got == _py_closure(edges), f"path {kw}"
+
 
 
 def test_closure_deep_chain_log_rounds(spark):
@@ -79,7 +83,7 @@ def test_closure_deep_chain_log_rounds(spark):
     df = spark.createDataFrame(edges, "child string, parent string")
     got = {
         (r["node"], r["ancestor"]): r["dist"]
-        for r in transitive_closure(df).collect()
+        for r in transitive_closure(df, small_graph_edges=0).collect()
     }
     assert got[("c0", "c64")] == 64
     assert len(got) == 64 * 65 // 2
