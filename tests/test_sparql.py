@@ -273,3 +273,45 @@ def test_vertical_layout_prunes_partitions(spark, tri, tmp_path):
     one = bgp(stored, [("?t", "usedTool", "?tool")])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "usedTool" in plan
+
+
+def test_random_graphs_and_patterns_match_naive(spark):
+    """Randomized sweep (seeded, no hypothesis shrinking needed at this
+    size): random triple sets over small alphabets x random 2-3 pattern
+    BGPs with guaranteed variable sharing, checked against the naive
+    evaluator.  Catches join/ordering/projection bugs the hand-picked
+    cases miss."""
+    import random as rnd
+
+    rng = rnd.Random(2024)
+    subjects = [f"s{i}" for i in range(6)]
+    preds = ["p1", "p2", "p3"]
+    for case in range(10):
+        triples = sorted({
+            (rng.choice(subjects), rng.choice(preds), rng.choice(subjects))
+            for _ in range(rng.randint(5, 18))
+        })
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        n_pat = rng.randint(2, 3)
+        vars_pool = ["a", "b", "c", "d"]
+        pats = []
+        for pi in range(n_pat):
+            # subject: reuse a var from an earlier pattern when possible
+            # so the BGP stays connected
+            used = [t for p in pats for t in p if t.startswith("?")]
+            s = rng.choice(used) if used and rng.random() < 0.8 else (
+                "?" + rng.choice(vars_pool))
+            p = rng.choice(preds + ["?" + rng.choice(vars_pool)])
+            o = ("?" + rng.choice(vars_pool)) if rng.random() < 0.7 else (
+                rng.choice(subjects))
+            pats.append((s, p, o))
+        out_vars = []
+        for p in pats:
+            out_vars += [t[1:] for t in p
+                         if t.startswith("?") and t[1:] not in out_vars]
+        got = _rows(bgp(df, pats, select=out_vars))
+        want = sorted({tuple(b[v] for v in out_vars)
+                       for b in _naive_bgp(triples, pats)})
+        assert got == want, f"case {case}: {pats} over {len(triples)} triples"
