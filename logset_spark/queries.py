@@ -2022,6 +2022,121 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_funnel(spark, sf):
+    """Ordered funnel (signup -> first click AFTER it -> first purchase
+    after THAT) per user, reported as stage reach counts.  The ordering
+    constraint is the point: three conditional-min aggregations, each
+    joined back so the next stage's min is bounded below by the previous
+    stage's timestamp — strictly one groupBy + one (broadcast-sized,
+    per-user) join per stage, never a per-user sort or UDF."""
+    e = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return s3.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
+    )
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+  FROM events GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, s1.t1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id, s1.t1),
+s3 AS (
+  SELECT e.user_id, s2.t1, s2.t2,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id, s2.t1, s2.t2)
+SELECT count(t1) AS n_signup, count(t2) AS n_click_after,
+       count(t3) AS n_purchase_after
+FROM s3
+"""
+
+
+def q_gapfill(spark, sf):
+    """Time-series resample + forward fill: per user, a contiguous DAILY
+    grid from first to last event day (F.sequence -> explode: grid
+    generation is distributed, never a driver loop), daily max(value)
+    where observed, then last-non-null carried forward via
+    last(ignorenulls) over the per-user day order.  The canonical
+    gap-fill shape for sensor/metric tables at scale — one window, one
+    groupBy, grid rows generated where the user's data lives."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    obs = e.groupBy("user_id", "day").agg(
+        F.round(F.max("value"), 4).alias("obs_val")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        grid.join(obs, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("obs_val", ignorenulls=True).over(w).alias("filled_val"),
+            F.col("obs_val").isNotNull().alias("observed"),
+        )
+    )
+
+
+SQL_GAPFILL = """
+WITH e AS (SELECT user_id, date_trunc('day', ts) AS day, value FROM events),
+bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds),
+obs AS (SELECT user_id, day, round(max(value), 4) AS obs_val
+        FROM e GROUP BY user_id, day)
+SELECT g.user_id, g.day,
+       last_value(o.obs_val IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day) AS filled_val,
+       o.obs_val IS NOT NULL AS observed
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+"""
+
+
 _PROFILE_COLS = ("event_id", "user_id", "event_type")
 
 
@@ -2893,6 +3008,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "q_funnel": (q_funnel, SQL_FUNNEL),
+    "q_gapfill": (q_gapfill, SQL_GAPFILL),
     "q_profile": (q_profile, SQL_PROFILE),
     "q_expectations": (q_expectations, SQL_EXPECTATIONS),
     "q_closure": (q_closure, SQL_CLOSURE),
