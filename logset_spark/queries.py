@@ -2085,6 +2085,49 @@ FROM s3
 """
 
 
+def q_retention(spark, sf):
+    """Cohort retention matrix: users cohorted by first-signup week,
+    counted as retained in each later week they show ANY activity.
+    Two aggregations + one join, the standard warehouse shape — the
+    distinct-(user, week) activity set is the only shuffle of
+    event-scale data, and it shrinks the table before the cohort join."""
+    e = _t(spark, sf, "events")
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER) AS weeks_since,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+WHERE a.week >= c.cohort_week
+GROUP BY c.cohort_week, weeks_since
+"""
+
+
 def q_gapfill(spark, sf):
     """Time-series resample + forward fill: per user, a contiguous DAILY
     grid from first to last event day (F.sequence -> explode: grid
@@ -3009,6 +3052,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
     "q_funnel": (q_funnel, SQL_FUNNEL),
+    "q_retention": (q_retention, SQL_RETENTION),
     "q_gapfill": (q_gapfill, SQL_GAPFILL),
     "q_profile": (q_profile, SQL_PROFILE),
     "q_expectations": (q_expectations, SQL_EXPECTATIONS),
