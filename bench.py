@@ -37,6 +37,32 @@ BENCH_QUERIES = [
 ]
 
 
+def _mini_mem_probe() -> float | None:
+    """Aggregate STREAM-triad GB/s over 8 pinned processes (one short
+    rep of scripts/hw_probe.py's mem level).  Returns None on any
+    failure — the probe is context, never a gate."""
+    try:
+        import subprocess
+
+        env = dict(os.environ, SPARK_GRAFT_PROBE_REPS="1")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", "0-7", sys.executable,
+                 f"{repo}/scripts/hw_probe.py", "--worker", "mem"],
+                stdout=subprocess.PIPE, text=True, env=env,
+            )
+            for _ in range(8)
+        ]
+        total = 0.0
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            total += json.loads(out.strip().splitlines()[-1])["thr"]
+        return round(total / 1e9, 1)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -134,6 +160,12 @@ def main() -> int:
         "kg_turns_per_sec": round(n_turns / kg_wall, 1),
         "kg_pipeline_walls": [round(w, 3) for w in walls],
         "ann_lsh_recall_at5": ann_recall,
+        # ~15s single-level STREAM burst so the recorded bench carries its
+        # own host-state context: this machine's DRAM bandwidth drifts >4x
+        # between days (BENCH/BASELINE.md probe series), and kg_pipeline is
+        # bandwidth-bound — a wall without this number is uninterpretable.
+        # Round-1-day reference: ~87 GB/s at 8 pinned cores.
+        "host_mem_gbps_8core": _mini_mem_probe(),
     }
     print(json.dumps(out))
     shutil.rmtree(workdir, ignore_errors=True)
