@@ -706,6 +706,28 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """
 
+def q_unpivot(spark, sf):
+    """melt/unpivot — the inverse of q_pivot via the native
+    DataFrame.unpivot operator (wide part-size columns -> long rows;
+    a Generate in the plan, no shuffle at all)."""
+    p = _t(spark, sf, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").alias("size_raw"),
+        (F.col("p_size") * 2).alias("size_doubled"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["size_raw", "size_doubled"], "measure", "val"
+    )
+
+
+SQL_UNPIVOT = """
+SELECT p_partkey, 'size_raw' AS measure, p_size AS val FROM part
+UNION ALL
+SELECT p_partkey, 'size_doubled', p_size * 2 FROM part
+"""
+
+
 # --------------------------------------------------------------------------
 # KG construction over driver testdata (flagship family)
 #
@@ -3030,6 +3052,7 @@ REGISTRY: dict[str, tuple] = {
     "q_asof": (q_asof, SQL_ASOF),
     "q_cross": (q_cross, SQL_CROSS),
     "q_pivot": (q_pivot, SQL_PIVOT),
+    "q_unpivot": (q_unpivot, SQL_UNPIVOT),
     # grouped-map / grouped-agg / CC / detector / sink / batch-map
     "q_mentions": (q_mentions, SQL_MENTIONS),
     "q_sink_roundtrip": (q_sink_roundtrip, SQL_SINK_ROUNDTRIP),
