@@ -2044,6 +2044,66 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_outliers(spark, sf):
+    """Per-group z-score outlier detection: per event_type mean/stddev
+    in one aggregation, broadcast back, |z| >= 2.5 flagged.  Decimal-
+    staged mean/std so the aggregates are order-independent; the z-score
+    itself is one float expression on two broadcast scalars per group."""
+    e = _t(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg(_dec(F.col("value"))).cast("double").alias("mu"),
+        F.stddev_samp(F.col("value")).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) >= 2.5)
+        .select(
+            "event_id", "event_type", F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+SQL_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(avg(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, round(value, 4) AS value,
+       round((value - mu) / sigma, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((value - mu) / sigma) >= 2.5
+"""
+
+
+def q_transitions(spark, sf):
+    """Event-transition matrix (first-order Markov counts): lead() over
+    each user's time-ordered events, then count (from, to) pairs — one
+    narrow per-user window + one small groupBy; the sequence-mining
+    primitive behind next-action models."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+"""
+
+
 def q_funnel(spark, sf):
     """Ordered funnel (signup -> first click AFTER it -> first purchase
     after THAT) per user, reported as stage reach counts.  The ordering
@@ -3074,6 +3134,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "q_outliers": (q_outliers, SQL_OUTLIERS),
+    "q_transitions": (q_transitions, SQL_TRANSITIONS),
     "q_funnel": (q_funnel, SQL_FUNNEL),
     "q_retention": (q_retention, SQL_RETENTION),
     "q_gapfill": (q_gapfill, SQL_GAPFILL),
