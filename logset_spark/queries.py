@@ -2044,6 +2044,30 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the general form rollup/cube specialize
+    (q_rollup covers the hierarchy case); issued through spark.sql over
+    a temp view, exercising the SQL surface alongside the DataFrame DSL.
+    grouping() flags disambiguate a grouped-out NULL from a data NULL."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_outliers(spark, sf):
     """Per-group z-score outlier detection: per event_type mean/stddev
     in one aggregation, broadcast back, |z| >= 2.5 flagged.  Decimal-
@@ -3134,6 +3158,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "q_outliers": (q_outliers, SQL_OUTLIERS),
     "q_transitions": (q_transitions, SQL_TRANSITIONS),
     "q_funnel": (q_funnel, SQL_FUNNEL),
