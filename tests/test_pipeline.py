@@ -299,3 +299,45 @@ def test_detector_modes_agree(spark):
     assert a == b
     # and the normalized trailing-punct token actually linked
     assert any(r[3] == "ent:mainframe" for r in a)
+
+
+def test_sparql_over_built_warehouse(spark, tmp_path):
+    """Integration of the two halves: build a warehouse with the
+    production pipeline, then answer catalog questions over it through
+    the SPARQL compiler, cross-checking each answer against independent
+    DataFrame computations and the recorded lineage."""
+    from logset_spark.operators.sparql import sparql
+
+    _res, emitted, _golden = _run(
+        spark, tmp_path, n_convs=5, alias_noise_rate=0.0
+    )
+
+    # per-conversation turn counts via SPARQL == direct groupBy on triples
+    got = {
+        r["conv"]: r["n"]
+        for r in sparql(
+            emitted,
+            "SELECT ?conv (COUNT(?t) AS ?n) WHERE { ?conv hasTurn ?t }",
+        ).collect()
+    }
+    want = {
+        r["subj"]: r["n"]
+        for r in emitted.where(F.col("pred") == "hasTurn")
+        .groupBy("subj").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # every turn that mentions an entity also carries a role (schema
+    # invariant of the extractor), checked as a SPARQL ASK of the
+    # violation -> must be false
+    violation = sparql(
+        emitted,
+        """ASK { ?t mentions ?e . ?t hasRole ?r . FILTER(?r = 'role:none') }""",
+    ).collect()[0]["ask"]
+    assert violation is False
+
+    # DESCRIBE on a real conv URI returns exactly its hasTurn edges plus
+    # any partOf backlinks — nonempty and closed over that URI
+    conv = sorted(got)[0]
+    desc = sparql(emitted, f"DESCRIBE {conv}").collect()
+    assert desc and all(conv in (r["subj"], r["obj"]) for r in desc)
