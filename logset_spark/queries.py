@@ -2044,6 +2044,52 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_percent_rank(spark, sf):
+    """Relative-rank window family (percent_rank + cume_dist) over each
+    event_type's value distribution — the remaining W-kit members after
+    rank/dense_rank/ntile.  Rounded to 6dp: both engines compute the
+    same rational numbers, rounding only guards float formatting."""
+    e = _t(spark, sf, "events").where(F.col("event_id") % 10 == 0)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events WHERE event_id % 10 = 0
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+def q_corr(spark, sf):
+    """Bivariate statistics aggregate: Pearson correlation + sample
+    covariance of (value, user_id) per event_type — the statistical agg
+    family beyond sum/avg/stddev.  4dp rounding absorbs the different
+    (but numerically stable at this scale) summation orders."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
+        F.round(F.covar_samp("value", F.col("user_id").cast("double")), 4).alias("covar_vu"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_CORR = """
+SELECT event_type,
+       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_grouping_sets(spark, sf):
     """Explicit GROUPING SETS — the general form rollup/cube specialize
     (q_rollup covers the hierarchy case); issued through spark.sql over
@@ -3158,6 +3204,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
     "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
     "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "q_percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
+    "q_corr": (q_corr, SQL_CORR),
     "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "q_outliers": (q_outliers, SQL_OUTLIERS),
     "q_transitions": (q_transitions, SQL_TRANSITIONS),
