@@ -24,7 +24,13 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Query the transcript knowledge graph")
-    p.add_argument("--warehouse", required=True, help="warehouse root (build_graph --out)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--warehouse", help="warehouse root (build_graph --out)")
+    src.add_argument("--catalog", help="entry .ttl catalog file to query instead"
+                                       " of a parquet warehouse")
+    p.add_argument("--follow-links", action="store_true",
+                   help="with --catalog: follow rdfs:seeAlso/dcat:catalog links"
+                        " to linked .ttl files (cycle-safe) and query the union")
     p.add_argument("--query", help="SPARQL query text")
     p.add_argument("--query-file", help="file containing the query")
     p.add_argument("--out", help="write full result parquet here instead of printing")
@@ -39,9 +45,14 @@ def main(argv=None) -> int:
     from logset_spark.operators.sparql import sparql
     from logset_spark.session import get_spark
     from logset_spark.sources.tableio import TableIO
+    from logset_spark.sources.turtle import load_catalog
 
     spark = get_spark("query_graph", cpus=args.cpus)
-    triples = TableIO(root=args.warehouse).read(spark, "triples")
+    if args.catalog:
+        triples = load_catalog(spark, args.catalog,
+                               follow_links=args.follow_links)
+    else:
+        triples = TableIO(root=args.warehouse).read(spark, "triples")
     result = sparql(triples, query)
 
     if args.out:

@@ -30,10 +30,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# rank unit: 1.0 == 10^12.  Headroom check: N ranks each <= SCALE sum to
-# <= N*SCALE; bigint holds 9.2e18, so graphs up to ~9.2M nodes are safe
-# even if every node funneled into one sink.  Per-edge contributions are
-# <= SCALE each and summed per dst — same bound.
+# rank unit: 1.0 == 10^12.  Headroom: total rank MASS is conserved-or-
+# shrinking in this recurrence (mass_0 = N*(scale DIV N) <= scale;
+# mass_{k+1} <= 0.15*scale + 0.85*mass_k <= scale, truncating division
+# only loses mass), so every per-node rank and every per-dst in_sum is
+# <= scale = 1e12 regardless of N or topology — even a total funnel sink
+# receives at most the whole mass.  The one multiply, 17*in_sum, is
+# computed via the exact identity 17x DIV 20 = 17*(x DIV 20) +
+# (17*(x MOD 20)) DIV 20, whose intermediates stay < x, so the update is
+# overflow-free for ANY bigint in_sum — raising `scale` toward 1e18 for
+# fixed-point resolution on ~1e12-node graphs stays safe (needed because
+# rank_0 = scale DIV N must be >> 0 for the recurrence to carry signal).
 PR_SCALE = 1_000_000_000_000
 
 
@@ -151,6 +158,10 @@ def pagerank_fixedpoint(
         rank_k+1(v) = (3*scale) DIV (20*N)
                       + (17 * sum_{u->v} (rank_k(u) DIV outdeg(u))) DIV 20
 
+    The damping multiply is evaluated as the exact bigint identity
+    17x DIV 20 = 17*(x DIV 20) + (17*(x MOD 20)) DIV 20 so no
+    intermediate exceeds x itself (see PR_SCALE headroom note).
+
     DIV is truncating integer division (all quantities non-negative, so
     it equals floor).  Dangling-node mass is dropped, not redistributed —
     documented semantics, identical on any engine that replays the same
@@ -193,7 +204,11 @@ def pagerank_fixedpoint(
                 "node",
                 (
                     F.expr(f"CAST(3 * {scale} AS BIGINT) DIV (20 * n_nodes)")
-                    + F.expr("(17 * coalesce(in_sum, CAST(0 AS BIGINT))) DIV 20")
+                    # 17x DIV 20 via the overflow-free split identity
+                    + F.expr(
+                        "17 * (coalesce(in_sum, CAST(0 AS BIGINT)) DIV 20)"
+                        " + (17 * (coalesce(in_sum, CAST(0 AS BIGINT)) % 20)) DIV 20"
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

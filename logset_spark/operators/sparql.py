@@ -35,8 +35,13 @@ patterns):
              SUM/AVG try_cast the string object to double)
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
+            ( . FILTER NOT EXISTS { patterns } )*
+            ( . MINUS { patterns } )*
+            ( . BIND(expr AS ?v) )*
+            ( . VALUES ?v { term ... } )*
+            ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
             ( . OPTIONAL { pattern ( . pattern )* } )* }
-    WHERE { { patterns } UNION { patterns } ( UNION {...} )* }
+    WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
     [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ]
 
     Other query forms: ASK { body } (one boolean row);
@@ -45,16 +50,28 @@ patterns):
     the reference's graph-building shape).
 
     pattern := term term term        term := ?var | bareword | 'literal'
-               (a constant predicate `p+` is the SPARQL 1.1 one-or-more
-                property path, evaluated as a distributed transitive
-                closure of p's edges)
+    A constant predicate may be a PROPERTY PATH expression:
+        path := seq ( '|' seq )*     -- alternation: union of edge sets
+        seq  := atom ( '/' atom )*   -- sequence: edge-set composition
+        atom := pred | pred+ | pred* -- +: one-or-more (distributed
+                                        transitive closure); *: zero-or-
+                                        more (closure plus the identity
+                                        pair for every term in the graph)
+    Path expressions evaluate to DISTINCT endpoint pairs (set
+    semantics); no parentheses or `^` inverse in the subset.
     expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
-               bound(?var), combined with && / || / !
+               bound(?var), combined with && / || / !; BIND bodies may
+               also use CONCAT(...) over ?vars and 'literals'
 
 Terms are plain strings (URIs in this engine are prefixed strings like
 `conv:123`, SURVEY §1.3); no datatype tower — the triples table is
 (subj, pred, obj) strings, so comparisons are string comparisons, which
 matches how the structural triples encode values.
+
+Quoted literals are TOKENIZED OUT before any clause splitting or
+operator rewriting (placeholder substitution, restored at the leaves),
+so literals containing '.', '&&', '||', '!', '{', or '(' are inert text
+— the ADVICE-r02 class of silent misinterpretation cannot occur.
 """
 
 from __future__ import annotations
@@ -70,6 +87,15 @@ _POS = ("subj", "pred", "obj")
 
 def _is_var(t: str) -> bool:
     return t.startswith("?")
+
+
+def _const_term(t: str) -> str:
+    """A constant term written <iri> denotes the raw IRI string (the
+    angle brackets are syntax, not value) — and is never a property
+    path, however many '/'s the IRI contains."""
+    if len(t) > 2 and t.startswith("<") and t.endswith(">"):
+        return t[1:-1]
+    return t
 
 
 @dataclass
@@ -89,9 +115,10 @@ class ParsedQuery:
     optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
-    # WHERE { {A} UNION {B} ... }: pattern-group arms (patterns is then
-    # empty); each arm is a plain BGP (no nested FILTER/OPTIONAL in arms)
-    unions: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # WHERE { {A} UNION {B} ... }: (patterns, filters) arms (patterns is
+    # then empty); arms may carry FILTER but not nested OPTIONAL/UNION
+    unions: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
+        default_factory=list)
     # CONSTRUCT { template } WHERE {...}: template triple patterns whose
     # variables are substituted from each solution (None = SELECT query)
     construct: list[tuple[str, str, str]] | None = None
@@ -99,24 +126,80 @@ class ParsedQuery:
     ask: bool = False
     # DESCRIBE <uri>: every triple with the resource as subject or object
     describe: str | None = None
+    # BIND(expr AS ?v): (raw expr with ?vars, var name) in clause order
+    binds: list[tuple[str, str]] = field(default_factory=list)
+    # VALUES: (var names, rows of term values) inline-data blocks
+    values: list[tuple[list[str], list[tuple[str, ...]]]] = field(
+        default_factory=list)
+    # FILTER NOT EXISTS { patterns } groups (anti-join lowering)
+    not_exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # MINUS { patterns } groups (anti-join on shared vars; no-op if none)
+    minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
 
 
-def _tokenize_terms(s: str) -> list[str]:
+# quoted literals are replaced by \x00<n>\x00 placeholders before ANY
+# structural parsing, so '.', '&&', '{', '(' etc. inside a literal are
+# inert; the placeholder alphabet cannot collide with query text because
+# \x00 is not valid in the subset
+_PLACEHOLDER_RE = re.compile(r"\x00(\d+)\x00")
+
+
+def _protect_literals(s: str) -> tuple[str, list[tuple[str, bool]]]:
+    """Replace 'quoted literals' AND <iri> tokens (IRIs contain '.',
+    '/', '|' — every structural character the parser splits on) with
+    placeholders.  Entries are (inner_text, is_iri).  The <...> match
+    requires a whitespace-free span, so comparison operators like
+    `?x <= 5 && ?y > 2` can never be swallowed."""
+    lits: list[tuple[str, bool]] = []
+
+    def repl(m: re.Match) -> str:
+        if m.group(1) is not None:
+            lits.append((m.group(1), False))
+        else:
+            lits.append((m.group(2)[1:-1], True))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return re.sub(r"'([^']*)'|(<[^<>\s]*>)", repl, s), lits
+
+
+def _restore_quoted(s: str, lits) -> str:
+    """Placeholders back to their original 'quoted' / <bracketed>
+    spelling."""
+    return _PLACEHOLDER_RE.sub(
+        lambda m: (lambda t, iri: f"<{t}>" if iri else f"'{t}'")(
+            *lits[int(m.group(1))]),
+        s,
+    )
+
+
+def _restore_content(s: str, lits) -> str:
+    """Placeholders back to the TERM form: literal content for quoted
+    strings (the value a literal denotes), `<iri>` kept bracketed so
+    downstream lowering can distinguish IRI constants (_const_term)."""
+    return _PLACEHOLDER_RE.sub(
+        lambda m: (lambda t, iri: f"<{t}>" if iri else t)(
+            *lits[int(m.group(1))]),
+        s,
+    )
+
+
+def _tokenize_terms(s: str, lits: list[str] = ()) -> list[str]:
     """Split pattern text on whitespace, keeping 'quoted literals' (which
-    may contain spaces) as single terms."""
-    return [
-        m.group(1) if m.group(1) is not None else m.group(0)
-        for m in re.finditer(r"'([^']*)'|\S+", s)
-    ]
+    may have been protected into placeholders upstream) as single terms."""
+    out = []
+    for m in re.finditer(r"'([^']*)'|\S+", s):
+        tok = m.group(1) if m.group(1) is not None else m.group(0)
+        out.append(_restore_content(tok, lits) if lits else tok)
+    return out
 
 
-def _parse_patterns(body: str) -> list[tuple[str, str, str]]:
+def _parse_patterns(body: str, lits: list[str] = ()) -> list[tuple[str, str, str]]:
     pats = []
     for chunk in body.split("."):
         chunk = chunk.strip()
         if not chunk:
             continue
-        terms = _tokenize_terms(chunk)
+        terms = _tokenize_terms(chunk, lits)
         if len(terms) != 3:
             raise ValueError(f"pattern must have 3 terms: {chunk!r}")
         pats.append(tuple(terms))
@@ -126,17 +209,22 @@ def _parse_patterns(body: str) -> list[tuple[str, str, str]]:
 def parse_sparql(query: str) -> ParsedQuery:
     """Parse the documented SPARQL subset.  Raises ValueError with the
     offending clause on anything outside the subset — silent
-    misinterpretation of a query language is worse than rejection."""
-    q = " ".join(query.split())  # normalize whitespace
+    misinterpretation of a query language is worse than rejection.
+    Quoted literals are protected before any structural parsing."""
+    q, lits = _protect_literals(" ".join(query.split()))
+    return _parse_protected(q, lits)
+
+
+def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     dm = re.match(r"DESCRIBE\s+(\S+)\s*$", q, re.IGNORECASE)
     if dm and not _is_var(dm.group(1)):
         pq = ParsedQuery(select=[], aggs=[], distinct=True, patterns=[],
                          filters=[])
-        pq.describe = dm.group(1)
+        pq.describe = _const_term(_restore_content(dm.group(1), lits))
         return pq
     am = re.match(r"ASK\s*\{(.*)\}\s*$", q, re.IGNORECASE | re.DOTALL)
     if am:
-        inner = parse_sparql(f"SELECT * WHERE {{{am.group(1)}}}")
+        inner = _parse_protected(f"SELECT * WHERE {{{am.group(1)}}}", lits)
         inner.ask = True
         return inner
     cm = re.match(
@@ -144,10 +232,10 @@ def parse_sparql(query: str) -> ParsedQuery:
         re.IGNORECASE | re.DOTALL,
     )
     if cm:
-        template = _parse_patterns(cm.group(1))
+        template = _parse_patterns(cm.group(1), lits)
         if not template:
             raise ValueError("CONSTRUCT template has no triple patterns")
-        inner = parse_sparql(f"SELECT * WHERE {{{cm.group(2)}}}")
+        inner = _parse_protected(f"SELECT * WHERE {{{cm.group(2)}}}", lits)
         inner.construct = template
         return inner
     m = re.match(
@@ -186,37 +274,103 @@ def parse_sparql(query: str) -> ParsedQuery:
     body = m.group(3)
     filters: list[str] = []
     optionals: list[list[tuple[str, str, str]]] = []
+    not_exists: list[list[tuple[str, str, str]]] = []
+    minus: list[list[tuple[str, str, str]]] = []
+    binds: list[tuple[str, str]] = []
+    values: list[tuple[list[str], list[tuple[str, ...]]]] = []
 
-    # pull OPTIONAL { ... } groups out first (no nesting in the subset)
+    # FILTER NOT EXISTS { ... } before plain FILTER (both start FILTER)
+    def _nex(mo: re.Match) -> str:
+        not_exists.append(_parse_patterns(mo.group(1), lits))
+        return " "
+
+    body = re.sub(r"FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}", _nex, body,
+                  flags=re.IGNORECASE)
+
+    def _min(mo: re.Match) -> str:
+        minus.append(_parse_patterns(mo.group(1), lits))
+        return " "
+
+    body = re.sub(r"MINUS\s*\{([^{}]*)\}", _min, body, flags=re.IGNORECASE)
+
+    # OPTIONAL { ... } groups (no nesting in the subset)
     def _opt(mo: re.Match) -> str:
-        optionals.append(_parse_patterns(mo.group(1)))
+        optionals.append(_parse_patterns(mo.group(1), lits))
         return " "
 
     body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _opt, body, flags=re.IGNORECASE)
 
-    # then FILTER(...) clauses (balanced parens not needed for the subset:
-    # match to the ')' that balances the opening one)
-    def _filt(mo: re.Match) -> str:
-        filters.append(mo.group(1).strip())
+    # BIND(expr AS ?v) — expr kept raw (restored spelling) for the lowerer
+    def _bind(mo: re.Match) -> str:
+        binds.append((_restore_quoted(mo.group(1).strip(), lits),
+                      mo.group(2)))
         return " "
 
-    body = re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", _filt, body,
+    body = re.sub(
+        r"BIND\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+\?(\w+)\s*\)",
+        _bind, body, flags=re.IGNORECASE,
+    )
+
+    # VALUES (?a ?b) { (t t) ... }  |  VALUES ?a { t t ... }
+    def _vals_multi(mo: re.Match) -> str:
+        vs = [v[1:] for v in mo.group(1).split()]
+        rows = []
+        for rm in re.finditer(r"\(([^()]*)\)", mo.group(2)):
+            row = tuple(_tokenize_terms(rm.group(1), lits))
+            if len(row) != len(vs):
+                raise ValueError(
+                    f"VALUES row arity {len(row)} != vars {len(vs)}")
+            rows.append(row)
+        if not rows:
+            raise ValueError("empty VALUES block")
+        values.append((vs, rows))
+        return " "
+
+    body = re.sub(
+        r"VALUES\s*\(\s*((?:\?\w+\s*)+)\)\s*\{([^{}]*)\}",
+        _vals_multi, body, flags=re.IGNORECASE,
+    )
+
+    def _vals_one(mo: re.Match) -> str:
+        rows = [(t,) for t in _tokenize_terms(mo.group(2), lits)]
+        if not rows:
+            raise ValueError("empty VALUES block")
+        values.append(([mo.group(1)], rows))
+        return " "
+
+    body = re.sub(r"VALUES\s+\?(\w+)\s*\{([^{}]*)\}", _vals_one, body,
                   flags=re.IGNORECASE)
 
-    # top-level UNION of braced pattern groups: { A } UNION { B } [UNION ...]
-    unions: list[list[tuple[str, str, str]]] = []
+    # FILTER(...) extraction helper (balanced parens not needed for the
+    # subset: match to the ')' that balances the opening one)
+    def _extract_filters(text: str, into: list[str]) -> str:
+        def f(mo: re.Match) -> str:
+            into.append(_restore_quoted(mo.group(1).strip(), lits))
+            return " "
+        return re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", f, text,
+                      flags=re.IGNORECASE)
+
+    # top-level UNION of braced pattern groups: { A } UNION { B } [UNION
+    # ...].  Matched BEFORE global filter extraction so each arm's FILTER
+    # clauses stay ARM-SCOPED (an arm filter applies only to that arm's
+    # solutions — SPARQL group scoping).
+    unions: list[tuple[list[tuple[str, str, str]], list[str]]] = []
     um = re.match(
         r"\s*\{([^{}]*)\}(?:\s+UNION\s+\{([^{}]*)\})+\s*$", body, re.IGNORECASE
     )
     if um:
-        arms = re.findall(r"\{([^{}]*)\}", body)
-        unions = [_parse_patterns(a) for a in arms]
-        if any(not a for a in unions):
-            raise ValueError("empty UNION arm")
+        for a in re.findall(r"\{([^{}]*)\}", body):
+            arm_filters: list[str] = []
+            a = _extract_filters(a, arm_filters)
+            arm_pats = _parse_patterns(a, lits)
+            if not arm_pats:
+                raise ValueError("empty UNION arm")
+            unions.append((arm_pats, arm_filters))
         patterns = []
     else:
-        patterns = _parse_patterns(body)
-        if not patterns:
+        body = _extract_filters(body, filters)
+        patterns = _parse_patterns(body, lits)
+        if not patterns and not values:
             raise ValueError("WHERE clause has no triple patterns")
 
     order_by = []
@@ -233,25 +387,110 @@ def parse_sparql(query: str) -> ParsedQuery:
     return ParsedQuery(
         select=select, aggs=aggs, distinct=distinct, patterns=patterns,
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
-        unions=unions,
+        unions=unions, binds=binds, values=values, not_exists=not_exists,
+        minus=minus,
     )
 
 
 def _filter_to_expr(body: str) -> str:
-    """FILTER body -> Spark SQL boolean expression over bound columns.
+    """FILTER/BIND body -> Spark SQL expression over bound columns.
     Whitelist-rewrites the subset's operators; unknown ?vars simply become
-    missing-column errors at analysis time (loud, not silent)."""
-    e = body
-    e = re.sub(r"regex\s*\(\s*\?(\w+)\s*,\s*('(?:[^']*)')\s*\)",
+    missing-column errors at analysis time (loud, not silent).
+
+    Quoted literals are protected into placeholders FIRST, so the
+    operator rewrites (&&, ||, !) can never touch literal content
+    (ADVICE r02: FILTER(?x = 'a!b') must compare against 'a!b', not
+    'a NOT b'); they are restored last as SQL string literals with
+    single quotes doubled."""
+    e, lits = _protect_literals(body)
+    e = re.sub(r"regex\s*\(\s*\?(\w+)\s*,\s*(\x00\d+\x00)\s*\)",
                r"\1 RLIKE \2", e, flags=re.IGNORECASE)
     e = re.sub(r"bound\s*\(\s*\?(\w+)\s*\)", r"\1 IS NOT NULL", e,
                flags=re.IGNORECASE)
     e = e.replace("&&", " AND ").replace("||", " OR ")
     e = re.sub(r"!(?!=)", " NOT ", e)
-    e = re.sub(r"(?<![!<>=])=(?!=)", "=", e)  # SPARQL '=' is SQL '='
     e = e.replace("!=", "<>")
     e = re.sub(r"\?(\w+)", r"\1", e)
-    return e
+    # both 'literal' content and <iri> constants restore as SQL strings —
+    # the triple table is strings, and an IRI term's VALUE is the IRI
+    return _PLACEHOLDER_RE.sub(
+        lambda m: "'" + lits[int(m.group(1))][0].replace("'", "''") + "'", e
+    )
+
+
+# property-path detection: a constant predicate containing '|' or '/' or
+# a trailing '+'/'*' is a path expression (plain prefixed URIs in this
+# engine use ':' only, so the operator characters are unambiguous)
+def _is_path(pred: str) -> bool:
+    if pred.startswith("<"):  # <iri> form: always a plain predicate
+        return False
+    return not _is_var(pred) and len(pred) > 1 and (
+        "|" in pred or "/" in pred or pred[-1] in "+*"
+    )
+
+
+def _path_edges(triples: DataFrame, path: str) -> DataFrame:
+    """Compile a property-path expression to its endpoint-pair edge set
+    DataFrame[src, dst] (DISTINCT — set semantics).
+
+        alt := seq ('|' seq)*     union of the arms' edge sets
+        seq := atom ('/' atom)*   relational composition (equi-join on
+                                  the midpoint; Catalyst shuffles on it)
+        atom := pred | pred+ | pred*
+
+    `pred+` is the path-doubling distributed transitive closure
+    (O(log diameter) rounds — graph.transitive_closure); `pred*` is the
+    closure UNIONed with the identity pair for every term of the graph
+    (the SPARQL zero-length-path domain: all subjects and objects).
+    Each plain atom stays ONE pushed-down filtered scan."""
+    from .graph import transitive_closure
+
+    def atom_edges(atom: str) -> DataFrame:
+        star = atom.endswith("*")
+        plus = atom.endswith("+")
+        base = atom[:-1] if (star or plus) else atom
+        if not base or _is_var(base):
+            raise ValueError(f"bad property-path atom: {atom!r}")
+        e = triples.where(F.col("pred") == base).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        if not (star or plus):
+            return e
+        closed = transitive_closure(
+            e.select(F.col("src").alias("child"), F.col("dst").alias("parent"))
+        ).select(F.col("node").alias("src"), F.col("ancestor").alias("dst"))
+        if plus:
+            return closed
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        return closed.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).distinct()
+
+    def seq_edges(seq: str) -> DataFrame:
+        steps = [s.strip() for s in seq.split("/")]
+        if any(not s for s in steps):
+            raise ValueError(f"bad property-path sequence: {seq!r}")
+        acc = atom_edges(steps[0])
+        for step in steps[1:]:
+            nxt = atom_edges(step)
+            acc = (
+                acc.select("src", F.col("dst").alias("mid"))
+                .join(nxt.select(F.col("src").alias("mid"), "dst"), "mid")
+                .select("src", "dst")
+            )
+        return acc
+
+    arms = [a.strip() for a in path.split("|")]
+    if any(not a for a in arms):
+        raise ValueError(f"bad property-path alternation: {path!r}")
+    out = seq_edges(arms[0])
+    for arm in arms[1:]:
+        out = out.unionByName(seq_edges(arm))
+    return out.distinct()
 
 
 def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[DataFrame, set[str]]:
@@ -259,22 +498,16 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
     Constants filter (pushed down to the source); a variable repeated
     within the pattern adds an intra-row equality filter.
 
-    SPARQL 1.1 property path `pred+` (one-or-more): the pattern's source
-    is swapped for the transitive closure of that predicate's edge set
-    (path-doubling `transitive_closure`, O(log diameter) rounds) — the
-    rdflib recursive-traversal semantics as a distributed fixpoint."""
+    A constant predicate that is a PROPERTY PATH expression (see
+    _path_edges) swaps the pattern's source for the path's compiled
+    endpoint-pair set — the rdflib recursive-traversal semantics as a
+    distributed plan."""
     pred = pattern[1]
-    if not _is_var(pred) and pred.endswith("+") and len(pred) > 1:
-        from .graph import transitive_closure
-
-        base = pred[:-1]
-        edges = triples.where(F.col("pred") == base).select(
-            F.col("subj").alias("child"), F.col("obj").alias("parent")
-        )
-        triples = transitive_closure(edges).select(
-            F.col("node").alias("subj"),
+    if _is_path(pred):
+        triples = _path_edges(triples, pred).select(
+            F.col("src").alias("subj"),
             F.lit(pred).alias("pred"),
-            F.col("ancestor").alias("obj"),
+            F.col("dst").alias("obj"),
         )
     df = triples
     first_pos_of: dict[str, str] = {}
@@ -286,7 +519,7 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
             else:
                 first_pos_of[v] = pos
         else:
-            df = df.where(F.col(pos) == term)
+            df = df.where(F.col(pos) == _const_term(term))
     cols = [F.col(pos).alias(v) for v, pos in first_pos_of.items()]
     # a pattern with no vars is an existence assertion: one marker row if
     # any triple matches, zero otherwise (limit(1) so the later crossJoin
@@ -340,7 +573,11 @@ def bgp(
     optionals: list[list[tuple[str, str, str]]] = (),
     select: list[str] | None = None,
     distinct: bool = True,
-    unions: list[list[tuple[str, str, str]]] = (),
+    unions: list = (),
+    binds: list[tuple[str, str]] = (),
+    values: list[tuple[list[str], list[tuple[str, ...]]]] = (),
+    not_exists: list[list[tuple[str, str, str]]] = (),
+    minus: list[list[tuple[str, str, str]]] = (),
 ) -> DataFrame:
     """Programmatic BGP evaluation (the parser lowers to this).  Returns
     a DataFrame with one column per selected variable.
@@ -348,14 +585,39 @@ def bgp(
     `unions`: pattern-group arms ({A} UNION {B}); each arm is evaluated
     independently and the solutions concatenated with variables aligned
     by name (vars unbound in an arm become NULL — SPARQL union
-    semantics).  Mutually exclusive with `patterns`."""
+    semantics).  Arms are (patterns, filters) tuples (a bare pattern
+    list is accepted for back-compat).  Mutually exclusive with
+    `patterns`.
+
+    Clause lowering order and plan shape:
+    * VALUES: inline data becomes a literal DataFrame inner-joined on
+      its shared vars with an explicit broadcast hint (it is by
+      construction tiny) — or a crossJoin if it introduces only new
+      vars.
+    * BIND: a select-expression column (projection, no shuffle);
+      evaluated before FILTER so filters can reference bound vars.
+    * FILTER NOT EXISTS { G }: left-anti join on the shared vars (J6
+      lowering); with NO shared vars it degrades to an existence gate —
+      any inner solution empties the result (limit(1) probe, never a
+      full materialization).
+    * MINUS { G }: same anti-join on shared vars, but per SPARQL
+      semantics a MINUS group sharing NO variable removes nothing
+      (no-op).  NULL shared vars never match (anti-join equality), i.e.
+      solutions unbound in a shared var always survive — the documented
+      behavior for this subset.
+    """
     if unions:
         if patterns:
             raise ValueError("patterns and unions are mutually exclusive")
         arm_res = []
         var_order: list[str] = []
         for i, arm in enumerate(unions):
-            df, _ = _join_patterns(triples, arm, start_tag=5000 * (i + 1))
+            arm_pats, arm_filters = (
+                arm if isinstance(arm, tuple) else (arm, [])
+            )
+            df, _ = _join_patterns(triples, arm_pats, start_tag=5000 * (i + 1))
+            for f in arm_filters:
+                df = df.where(F.expr(_filter_to_expr(f)))
             vs = [c for c in df.columns if not c.startswith("_exists_")]
             arm_res.append((df, set(vs)))
             var_order += [v for v in vs if v not in var_order]
@@ -369,8 +631,20 @@ def bgp(
         acc = aligned[0]
         for d in aligned[1:]:
             acc = acc.unionByName(d)
-    else:
+    elif patterns:
         acc, var_order = _join_patterns(triples, patterns)
+    elif values:
+        # VALUES-only WHERE body: the first block seeds the solution set
+        spark = triples.sparkSession
+        vs, rows = values[0]
+        acc = spark.createDataFrame(
+            [tuple(_const_term(x) for x in r) for r in rows],
+            ", ".join(f"{v} string" for v in vs),
+        )
+        var_order = list(vs)
+        values = values[1:]
+    else:
+        raise ValueError("BGP needs patterns, unions, or values")
     for gi, group in enumerate(optionals):
         opt_df, opt_vars = _join_patterns(triples, group, start_tag=1000 * (gi + 1))
         shared = sorted(set(var_order) & set(opt_df.columns))
@@ -379,6 +653,39 @@ def bgp(
         acc = acc.join(opt_df, on=shared, how="left")
         var_order += [v for v in opt_df.columns
                       if v not in var_order and not v.startswith("_exists_")]
+    for vs, rows in values:
+        inline = triples.sparkSession.createDataFrame(
+            [tuple(_const_term(x) for x in r) for r in rows],
+            ", ".join(f"{v} string" for v in vs),
+        )
+        shared = sorted(set(var_order) & set(vs))
+        if shared:
+            acc = acc.join(F.broadcast(inline), on=shared)
+        else:
+            acc = acc.crossJoin(F.broadcast(inline))
+        var_order += [v for v in vs if v not in var_order]
+    for expr, var in binds:
+        acc = acc.withColumn(var, F.expr(_filter_to_expr(expr)))
+        if var not in var_order:
+            var_order.append(var)
+    for gi, group in enumerate(not_exists):
+        inner, _ = _join_patterns(triples, group, start_tag=3000 * (gi + 1))
+        shared = sorted(
+            set(var_order)
+            & {c for c in inner.columns if not c.startswith("_exists_")}
+        )
+        if shared:
+            acc = acc.join(inner, on=shared, how="left_anti")
+        else:
+            acc = acc.join(inner.limit(1), F.lit(True), "left_anti")
+    for gi, group in enumerate(minus):
+        inner, _ = _join_patterns(triples, group, start_tag=7000 * (gi + 1))
+        shared = sorted(
+            set(var_order)
+            & {c for c in inner.columns if not c.startswith("_exists_")}
+        )
+        if shared:  # disjoint-domain MINUS removes nothing (SPARQL)
+            acc = acc.join(inner, on=shared, how="left_anti")
     for f in filters:
         acc = acc.where(F.expr(_filter_to_expr(f)))
     cols = select if select else [v for v in var_order]
@@ -408,7 +715,8 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         # stops at the first solution instead of materializing them all.
         sol = bgp(
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
-            distinct=False, unions=pq.unions,
+            distinct=False, unions=pq.unions, binds=pq.binds,
+            values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
         ).limit(1)
         return sol.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if pq.construct is not None:
@@ -418,10 +726,11 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         # is a SET of triples
         sol = bgp(
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
-            distinct=False, unions=pq.unions,
+            distinct=False, unions=pq.unions, binds=pq.binds,
+            values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
         )
         def _term(t: str):
-            return F.col(t[1:]) if _is_var(t) else F.lit(t)
+            return F.col(t[1:]) if _is_var(t) else F.lit(_const_term(t))
         parts = [
             sol.select(
                 _term(s).alias("subj"), _term(p).alias("pred"),
@@ -447,6 +756,8 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         sol = bgp(
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             select=needed or None, distinct=False, unions=pq.unions,
+            binds=pq.binds, values=pq.values, not_exists=pq.not_exists,
+            minus=pq.minus,
         )
         def _agg_col(a: AggItem):
             if a.var is None:
@@ -465,6 +776,10 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             select=pq.select or None,
             distinct=pq.distinct,
             unions=pq.unions,
+            binds=pq.binds,
+            values=pq.values,
+            not_exists=pq.not_exists,
+            minus=pq.minus,
         )
     if pq.order_by:
         out = out.orderBy(

@@ -2044,6 +2044,187 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_sparql_bind(spark, sf):
+    """SPARQL 1.1 BIND lowering: BIND(expr AS ?v) becomes a Catalyst
+    select-expression column (pure projection, zero shuffle), evaluated
+    before FILTER so filters can reference the bound var.  The literal
+    inside CONCAT rides the placeholder protection — its content never
+    meets the operator rewrites."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn ?label
+           WHERE { ?turn usedTool ?tool . BIND(CONCAT('by:', ?tool) AS ?label) }""",
+    )
+
+
+SQL_SPARQL_BIND = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT subj AS turn, 'by:' || obj AS label
+FROM g WHERE pred = 'usedTool'
+"""
+
+
+def q_sparql_values(spark, sf):
+    """SPARQL 1.1 VALUES lowering: the inline data block becomes a
+    literal DataFrame broadcast-joined on its shared vars — the classic
+    small-dim restriction join, never a per-row IN-list scan of Python."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn ?tool ?cat
+           WHERE { ?turn usedTool ?tool .
+                   VALUES (?tool ?cat) { (tool:error 'fail') (tool:purchase 'buy') } }""",
+    )
+
+
+SQL_SPARQL_VALUES = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT g.subj AS turn, g.obj AS tool, v.cat
+FROM g JOIN (VALUES ('tool:error', 'fail'), ('tool:purchase', 'buy'))
+         AS v(tool, cat) ON g.obj = v.tool
+WHERE g.pred = 'usedTool'
+"""
+
+
+def q_sparql_notexists(spark, sf):
+    """FILTER NOT EXISTS lowering: left-anti join on the shared vars
+    (the J6 primitive applied inside the SPARQL algebra) — turns that
+    never invoked a tool."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn
+           WHERE { ?c hasTurn ?turn . FILTER NOT EXISTS { ?turn usedTool ?t } }""",
+    )
+
+
+SQL_SPARQL_NOTEXISTS = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT obj AS turn FROM g ht
+WHERE ht.pred = 'hasTurn'
+  AND NOT EXISTS (SELECT 1 FROM g ut
+                  WHERE ut.pred = 'usedTool' AND ut.subj = ht.obj)
+"""
+
+
+def q_sparql_minus(spark, sf):
+    """MINUS lowering: anti-join on shared vars (removing nothing when
+    the group shares no variable — SPARQL MINUS scoping, pytest-pinned).
+    Query: every turn except the assistant-role ones."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn
+           WHERE { ?c hasTurn ?turn . MINUS { ?turn hasRole role:assistant } }""",
+    )
+
+
+SQL_SPARQL_MINUS = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT obj AS turn FROM g ht
+WHERE ht.pred = 'hasTurn'
+  AND NOT EXISTS (SELECT 1 FROM g hr
+                  WHERE hr.pred = 'hasRole' AND hr.obj = 'role:assistant'
+                    AND hr.subj = ht.obj)
+"""
+
+
+def q_sparql_altpath(spark, sf):
+    """Property-path ALTERNATION `usedTool|hasRole`: the union of the
+    two predicates' edge sets, each arm one pushed-down filtered scan
+    (on a vertical layout each arm prunes to its own files)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri, "SELECT DISTINCT ?s ?o WHERE { ?s usedTool|hasRole ?o }"
+    )
+
+
+SQL_SPARQL_ALTPATH = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT subj AS s, obj AS o
+FROM g WHERE pred IN ('usedTool', 'hasRole')
+"""
+
+
+def q_sparql_seqpath(spark, sf):
+    """Property-path SEQUENCE `hasTurn/usedTool`: relational composition
+    of the two edge sets — one equi-join on the midpoint turn, the same
+    plan the explicit 2-pattern BGP compiles to, arriving via the path
+    syntax."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri, "SELECT DISTINCT ?conv ?tool WHERE { ?conv hasTurn/usedTool ?tool }"
+    )
+
+
+SQL_SPARQL_SEQPATH = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT a.subj AS conv, b.obj AS tool
+FROM g a JOIN g b ON a.obj = b.subj
+WHERE a.pred = 'hasTurn' AND b.pred = 'usedTool'
+"""
+
+
+def q_sparql_starpath(spark, sf):
+    """Property-path ZERO-OR-MORE `partOf*` over the binary-tree part
+    hierarchy (same fixture as q_sparql_path): the distributed closure
+    UNIONed with the identity pair for every graph term, here joined
+    against the leaf marker so the zero-length pairs surface as
+    (leaf, leaf) rows — the SPARQL zero-length-path semantics the `+`
+    query cannot express."""
+    from .operators.sparql import sparql
+
+    p = _t(spark, sf, "part")
+    base = p.where(F.col("p_partkey").between(2, 255))
+    edges = base.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("partOf").alias("pred"),
+        F.concat(F.lit("p:"), F.expr("p_partkey div 2").cast("string")).alias("obj"),
+    )
+    leaves = base.where(F.col("p_partkey") >= 128).select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("isLeaf").alias("pred"),
+        F.lit("true").alias("obj"),
+    )
+    tri = edges.unionByName(leaves)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?n ?a
+           WHERE { ?n partOf* ?a . ?n isLeaf true }""",
+    )
+
+
+SQL_SPARQL_STARPATH = """
+WITH RECURSIVE
+e AS (SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS node,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS ancestor,
+             p_partkey AS k
+      FROM part WHERE p_partkey BETWEEN 2 AND 255),
+walk(node, ancestor) AS (
+  SELECT node, ancestor FROM e
+  UNION
+  SELECT w.node, e.ancestor FROM walk w JOIN e ON e.node = w.ancestor),
+leaves AS (SELECT node FROM e WHERE k >= 128)
+SELECT DISTINCT w.node AS n, w.ancestor AS a
+FROM walk w JOIN leaves l ON l.node = w.node
+UNION
+SELECT node AS n, node AS a FROM leaves
+"""
+
+
 def q_percent_rank(spark, sf):
     """Relative-rank window family (percent_rank + cume_dist) over each
     event_type's value distribution — the remaining W-kit members after
@@ -2116,13 +2297,30 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 def q_outliers(spark, sf):
     """Per-group z-score outlier detection: per event_type mean/stddev
-    in one aggregation, broadcast back, |z| >= 2.5 flagged.  Decimal-
-    staged mean/std so the aggregates are order-independent; the z-score
-    itself is one float expression on two broadcast scalars per group."""
+    in one aggregation, broadcast back, |z| >= 2.5 flagged.  Both mu and
+    sigma are ONE float expression over decimal-staged exact sums
+    (sum, sum-of-squares, count), so the aggregation is order-
+    independent end-to-end — a native stddev_samp is a float partial
+    aggregate whose result depends on partial-merge order and can flip
+    a borderline |z| between engines (ADVICE r02).  Degenerate groups
+    (n<2 or zero variance) get NULL sigma and are dropped by the
+    predicate on both engines identically."""
     e = _t(spark, sf, "events")
+    d = _dec(F.col("value"))
     stats = e.groupBy("event_type").agg(
-        F.avg(_dec(F.col("value"))).cast("double").alias("mu"),
-        F.stddev_samp(F.col("value")).alias("sigma"),
+        F.count("*").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum((d * d).cast("decimal(38,4)")).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = stats.select(
+        "event_type",
+        mu.alias("mu"),
+        F.when((F.col("n") > 1) & (var > 0), F.sqrt(var)).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
@@ -2138,12 +2336,22 @@ def q_outliers(spark, sf):
 SQL_OUTLIERS = """
 WITH stats AS (
   SELECT event_type,
-         CAST(avg(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mu,
-         stddev_samp(value) AS sigma
-  FROM events GROUP BY event_type)
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS s,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS ss
+  FROM events GROUP BY event_type),
+sig AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mu,
+         CASE WHEN n > 1
+               AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+              THEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+         END AS sigma
+  FROM stats)
 SELECT event_id, e.event_type, round(value, 4) AS value,
        round((value - mu) / sigma, 4) AS zscore
-FROM events e JOIN stats s ON e.event_type = s.event_type
+FROM events e JOIN sig s ON e.event_type = s.event_type
 WHERE abs((value - mu) / sigma) >= 2.5
 """
 
@@ -2544,6 +2752,43 @@ def _csv_fixture() -> str:
 CSV_FIXTURE = _csv_fixture()
 
 
+def _fixture(name: str) -> str:
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", name,
+    )
+    if os.path.exists(here):
+        return here
+    return os.path.join(os.getcwd(), "tests", "fixtures", name)
+
+
+TTL_FIXTURE = _fixture("catalog_entry.ttl")
+TTL_FLAT_FIXTURE = _fixture("catalog_flat.csv")
+
+
+def q_ttl_source(spark, sf):
+    """S1 catalog ingestion the way the reference does it (SURVEY S1 /
+    §3.1): parse the entry .ttl — REAL Turtle now: @prefix bindings,
+    prefixed-name expansion, ';'/',' predicate-object lists, multi-line
+    statements, typed/lang literals — and FOLLOW its catalog links
+    (rdfs:seeAlso) through the 3-file fixture mesh (which contains a
+    cycle) into one distinct triples DataFrame.  The DuckDB oracle reads
+    the committed pre-flattened triple CSV of the same catalogs, so the
+    parser + traversal is value-checked end-to-end."""
+    from .sources.turtle import load_catalog
+
+    return load_catalog(spark, TTL_FIXTURE, follow_links=True)
+
+
+SQL_TTL_SOURCE = f"""
+SELECT DISTINCT subj, pred, obj
+FROM read_csv('{TTL_FLAT_FIXTURE}', header=true, auto_detect=false,
+              delim=',', quote='"', escape='"',
+              columns={{'subj': 'VARCHAR', 'pred': 'VARCHAR',
+                        'obj': 'VARCHAR'}})
+"""
+
+
 def q_csv_source(spark, sf):
     """S-family CSV transcript ingestion (sources/csvsrc.py): explicit
     north-rule schema, PERMISSIVE parse, malformed rows quarantined — the
@@ -2909,7 +3154,8 @@ c{i} AS (
 r{i} AS (
   SELECT nodes.node,
          (3 * 1000000000000) // (20 * nn.n)
-           + (17 * COALESCE(c{i}.s, 0)) // 20 AS rank
+           + 17 * (COALESCE(c{i}.s, 0) // 20)
+           + (17 * (COALESCE(c{i}.s, 0) % 20)) // 20 AS rank
   FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nodes.node)"""
 
 SQL_PAGERANK = (
@@ -3138,7 +3384,86 @@ FROM term GROUP BY doc_id
 # registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: the driver's correctness gate checks only the FIRST
+# 50 entries of this dict (list(REGISTRY)[:50]).  Each round we rotate so
+# queries without a hard CORRECTNESS_r{N} row occupy the driver window.
+# Round-3 rotation (per VERDICT.md item 1):
+#   block A — never driver-checked (new this round, then the 35 round-2
+#             additions past slot 50: SPARQL/graph/quality/corpus suites);
+#   block B — r01-only greens displaced from the r02 window, refreshed
+#             until the window fills at 50;
+#   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
+    # ---- block A: never driver-checked -------------------------------
+    # round-3 additions: real Turtle + catalog links, SPARQL frontend
+    "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
+    "q_sparql_bind": (q_sparql_bind, SQL_SPARQL_BIND),
+    "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
+    "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
+    "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
+    "q_sparql_altpath": (q_sparql_altpath, SQL_SPARQL_ALTPATH),
+    "q_sparql_seqpath": (q_sparql_seqpath, SQL_SPARQL_SEQPATH),
+    "q_sparql_starpath": (q_sparql_starpath, SQL_SPARQL_STARPATH),
+    # KG / SPARQL surface
+    "q_kg_2hop": (q_kg_2hop, SQL_KG_2HOP),
+    "q_sparql_2hop": (q_sparql_2hop, SQL_SPARQL_2HOP),
+    "q_sparql_filter": (q_sparql_filter, SQL_SPARQL_FILTER),
+    "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
+    "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
+    "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
+    "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    # graph analytics
+    "q_closure": (q_closure, SQL_CLOSURE),
+    "q_pagerank": (q_pagerank, SQL_PAGERANK),
+    "q_triangle": (q_triangle, SQL_TRIANGLE),
+    "q_kcore": (q_kcore, SQL_KCORE),
+    # analytics suite
+    "q_percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
+    "q_corr": (q_corr, SQL_CORR),
+    "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "q_outliers": (q_outliers, SQL_OUTLIERS),
+    "q_transitions": (q_transitions, SQL_TRANSITIONS),
+    "q_funnel": (q_funnel, SQL_FUNNEL),
+    "q_retention": (q_retention, SQL_RETENTION),
+    "q_gapfill": (q_gapfill, SQL_GAPFILL),
+    # quality layer
+    "q_profile": (q_profile, SQL_PROFILE),
+    "q_expectations": (q_expectations, SQL_EXPECTATIONS),
+    # corpus/training-data round-2 additions
+    "q_dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
+    "q_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "q_ann_ivf": (q_ann_ivf, None),
+    "q_bigram": (q_bigram, SQL_BIGRAM),
+    "q_tfidf": (q_tfidf, SQL_TFIDF),
+    "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "q_mixture": (q_mixture, SQL_MIXTURE),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "q_rep_filter": (q_rep_filter, SQL_REP_FILTER),
+    "q_substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
+    "q_lm_score": (q_lm_score, SQL_LM_SCORE),
+    "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "q_chunk": (q_chunk, SQL_CHUNK),
+    # ---- block B: r01-only greens, refreshed to fill the window ------
+    "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
+    "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
+    "q_dedup_minhash": (q_dedup_minhash, None),
+    "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
+    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "q_embed_norm": (q_embed_norm, SQL_EMBED_NORM),
+    "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
+    "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "q_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "q_multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    # ---- block C: driver-green in CORRECTNESS_r02.json ---------------
+    "q_ann_lsh": (q_ann_lsh, None),
+    "q_dedup_simhash": (q_dedup_simhash, None),
+    "q_multimodal_features": (q_multimodal_features, None),
     # scans / filters / functions
     "q_scan": (q_scan, SQL_SCAN),
     "q_project": (q_project, SQL_PROJECT),
@@ -3196,59 +3521,4 @@ REGISTRY: dict[str, tuple] = {
     # KG flagship family
     "q_kg_structural": (q_kg_structural, SQL_KG_STRUCTURAL),
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
-    "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
-    "q_kg_2hop": (q_kg_2hop, SQL_KG_2HOP),
-    "q_sparql_2hop": (q_sparql_2hop, SQL_SPARQL_2HOP),
-    "q_sparql_filter": (q_sparql_filter, SQL_SPARQL_FILTER),
-    "q_sparql_optional": (q_sparql_optional, SQL_SPARQL_OPTIONAL),
-    "q_sparql_path": (q_sparql_path, SQL_SPARQL_PATH),
-    "q_sparql_agg": (q_sparql_agg, SQL_SPARQL_AGG),
-    "q_sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
-    "q_percent_rank": (q_percent_rank, SQL_PERCENT_RANK),
-    "q_corr": (q_corr, SQL_CORR),
-    "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
-    "q_outliers": (q_outliers, SQL_OUTLIERS),
-    "q_transitions": (q_transitions, SQL_TRANSITIONS),
-    "q_funnel": (q_funnel, SQL_FUNNEL),
-    "q_retention": (q_retention, SQL_RETENTION),
-    "q_gapfill": (q_gapfill, SQL_GAPFILL),
-    "q_profile": (q_profile, SQL_PROFILE),
-    "q_expectations": (q_expectations, SQL_EXPECTATIONS),
-    "q_closure": (q_closure, SQL_CLOSURE),
-    "q_pagerank": (q_pagerank, SQL_PAGERANK),
-    "q_triangle": (q_triangle, SQL_TRIANGLE),
-    "q_kcore": (q_kcore, SQL_KCORE),
-    # training-data suite
-    "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
-    "q_doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
-    "q_lang_id": (q_lang_id, SQL_LANG_ID),
-    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "q_dedup_ngram": (q_dedup_ngram, SQL_DEDUP_NGRAM),
-    "q_dedup_minhash": (q_dedup_minhash, None),
-    "q_dedup_simhash": (q_dedup_simhash, None),
-    "q_dedup_cluster": (q_dedup_cluster, SQL_DEDUP_CLUSTER),
-    "q_embed_norm": (q_embed_norm, SQL_EMBED_NORM),
-    "q_embed_agg": (q_embed_agg, SQL_EMBED_AGG),
-    "q_embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
-    "q_ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
-    "q_ann_lsh": (q_ann_lsh, None),
-    "q_ann_ivf": (q_ann_ivf, None),
-    "q_token_bpe": (q_token_bpe, SQL_TOKEN_BPE),
-    "q_bigram": (q_bigram, SQL_BIGRAM),
-    "q_doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "q_tfidf": (q_tfidf, SQL_TFIDF),
-    "q_sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
-    "q_mixture": (q_mixture, SQL_MIXTURE),
-    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "q_pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "q_rep_filter": (q_rep_filter, SQL_REP_FILTER),
-    "q_substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
-    "q_lm_score": (q_lm_score, SQL_LM_SCORE),
-    "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
-    "q_chunk": (q_chunk, SQL_CHUNK),
-    "q_dedup_embed": (q_dedup_embed, SQL_DEDUP_EMBED),
-    # multimodal (binary payload + typed metadata; decode stubbed)
-    "q_multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "q_multimodal_features": (q_multimodal_features, None),
-    "q_multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

@@ -1,15 +1,45 @@
-"""Tiny Turtle (.ttl) emitter/parser for golden-file parity only.
+"""Turtle (.ttl) emitter + parser and the catalog loader.
 
 The reference's catalog files are Turtle serialized by rdflib
-(PK:src/graph.py Graph.serialize(format='turtle')).  At scale our graph
-lives in partitioned parquet (tableio.py); Turtle exists here solely so
-toy-scale goldens can be rendered/compared in the reference's own format.
-Deliberately minimal: one `subj pred obj .` statement per line, N-Triples-ish
-subset of Turtle, sorted for determinism.  NOT a general Turtle parser.
+(PK:src/graph.py Graph.serialize(format='turtle')) and its entry point
+parses an entry .ttl PLUS the catalogs it links to into one Graph
+(SURVEY S1 / §3.1).  At scale our graph lives in partitioned parquet
+(tableio.py); Turtle exists at the EDGES of the system — catalog files
+are metadata-scale (KBs), so parsing happens on the driver and the
+resulting triples enter Spark via createDataFrame, after which the
+SPARQL compiler and every triple operator work unchanged.
+
+Emitter: one `subj pred obj .` statement per line, sorted — the
+N-Triples-ish subset of Turtle, deterministic for golden files.
+
+Parser: a real tokenizer-based Turtle subset parser (round 3 — VERDICT
+r02 item 2) covering what actual rdflib-serialized catalogs use:
+
+* `@prefix ns: <iri> .` and SPARQL-style `PREFIX ns: <iri>` directives,
+  `@base <iri> .` / `BASE <iri>`;
+* prefixed names (`logset:ConcreteLog`) expanded against the bound
+  prefixes — an UNBOUND prefix is kept verbatim, because this engine's
+  own URIs are prefixed strings (`conv:123`) with no prefix table;
+* `;` predicate-object lists and `,` object lists, statements spanning
+  any number of physical lines;
+* `a` as a prefixed-name alias for rdf:type (expanded iff `rdf:` is
+  bound, like any other pname);
+* string literals in all four quote forms ("x", 'x', \"\"\"x\"\"\", '''x''')
+  with \\-escapes incl. \\uXXXX/\\UXXXXXXXX; language tags and `^^`
+  datatypes are parsed and DROPPED — the triple table is untyped
+  strings (module docstring contract), the lexical form is the value;
+* numeric / boolean barewords kept in lexical form; `_:label` blank
+  nodes kept verbatim;
+* comments anywhere outside quotes.
+
+Anonymous blank nodes `[...]` and collections `(...)` are OUTSIDE the
+subset and rejected loudly — silent misinterpretation is worse than
+rejection.
 """
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -40,36 +70,290 @@ def to_turtle(triples: pd.DataFrame) -> str:
     return "\n".join(lines) + "\n"
 
 
-_ESCAPE = re.compile(r'\\(u[0-9A-Fa-f]{4}|["\\])')
+_ESCAPE = re.compile(r'\\(U[0-9A-Fa-f]{8}|u[0-9A-Fa-f]{4}|[tbnrf"\'\\])')
+_ESC_CHARS = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+              '"': '"', "'": "'", "\\": "\\"}
 
 
 def _unescape(lit: str) -> str:
     return _ESCAPE.sub(
         lambda m: chr(int(m.group(1)[1:], 16))
-        if m.group(1).startswith("u")
-        else m.group(1),
+        if m.group(1)[0] in "uU"
+        else _ESC_CHARS[m.group(1)],
         lit,
     )
 
 
-_LINE = re.compile(
-    r'^(<(?P<s>[^>]+)>)\s+<(?P<p>[^>]+)>\s+'
-    r'(<(?P<o_uri>[^>]+)>|"(?P<o_lit>(?:[^"\\]|\\.)*)")\s*\.$'
+# tokenizer: strings first (all four quote forms), IRIs, punctuation,
+# then maximal barewords.  Comments run # -> EOL and cannot start inside
+# a string because strings are matched first.
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<str>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
+            | '''(?:[^'\\]|\\.|'(?!''))*'''
+            | "(?:[^"\\\n]|\\.)*"
+            | '(?:[^'\\\n]|\\.)*')
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<punct>\^\^|[;,\[\]()])
+    | (?P<word>[^\s;,\[\]()"'<>]+)
+    """,
+    re.VERBOSE,
 )
 
 
-def from_turtle(text: str) -> pd.DataFrame:
-    """Parse the subset emitted by to_turtle back into a triple frame."""
-    rows = []
-    for line in text.splitlines():
-        line = line.strip()
-        if not line or line.startswith("#"):
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    """-> [(kind, value)]; kind in {str, iri, punct, word, dot}.
+    A bareword's TRAILING dots are statement terminators (so `ex:v1.0`
+    stays whole in `ex:a ex:b ex:v1.0 .` and in `...ex:v1.0.`)."""
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    for m in _TOKEN.finditer(text):
+        if m.start() != pos:
+            raise ValueError(f"unlexable turtle at offset {pos}: "
+                             f"{text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
             continue
-        m = _LINE.match(line)
-        if not m:
-            raise ValueError(f"unparseable turtle line: {line!r}")
-        obj = m.group("o_uri")
-        if obj is None:
-            obj = _unescape(m.group("o_lit"))
-        rows.append((m.group("s"), m.group("p"), obj))
-    return pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+        val = m.group()
+        if kind == "word":
+            n_dots = 0
+            while val.endswith(".") and len(val) > 1:
+                val = val[:-1]
+                n_dots += 1
+            if val == ".":
+                val, n_dots = "", n_dots + 1
+            if val:
+                toks.append(("word", val))
+            toks.extend([("dot", ".")] * n_dots)
+        else:
+            toks.append((kind, val))
+    if pos != len(text):
+        raise ValueError(f"unlexable turtle at offset {pos}: "
+                         f"{text[pos:pos+40]!r}")
+    return toks
+
+
+def _strip_quotes(s: str) -> str:
+    if s.startswith(('"""', "'''")):
+        return s[3:-3]
+    return s[1:-1]
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, value: str | None = None):
+        k, v = self.next()
+        if k != kind or (value is not None and v != value):
+            raise ValueError(
+                f"expected {value or kind}, got {v!r} (token {self.i - 1})")
+        return v
+
+    def _resolve_iri(self, raw: str) -> str:
+        iri = raw[1:-1]
+        if self.base and ":" not in iri:
+            return self.base + iri
+        return iri
+
+    def _expand_pname(self, word: str) -> str:
+        if word.startswith("_:"):
+            return word  # blank node label, verbatim
+        if ":" in word:
+            ns, local = word.split(":", 1)
+            if ns in self.prefixes:
+                return self.prefixes[ns] + local
+            return word  # engine-style prefixed string, no binding
+        return word  # bareword (number / boolean lexical form)
+
+    def term(self, *, verb: bool = False) -> str:
+        k, v = self.next()
+        if k == "iri":
+            return self._resolve_iri(v)
+        if k == "str":
+            if verb:
+                raise ValueError("literal in predicate position")
+            out = _unescape(_strip_quotes(v))
+            nk, nv = self.peek()
+            if nk == "punct" and nv == "^^":  # typed literal: drop the type
+                self.next()
+                dk, dv = self.next()
+                if dk not in ("iri", "word"):
+                    raise ValueError(f"bad datatype after ^^: {dv!r}")
+            elif nk == "word" and nv.startswith("@"):  # language tag: drop
+                self.next()
+            return out
+        if k == "word":
+            if v == "a":
+                return self._expand_pname("rdf:type")
+            if v.startswith("@"):
+                raise ValueError(f"misplaced directive/tag {v!r}")
+            return self._expand_pname(v)
+        if k == "punct" and v in "[(":
+            raise ValueError(
+                "anonymous blank nodes / collections are outside the "
+                "documented Turtle subset")
+        raise ValueError(f"unexpected token {v!r} where a term was expected")
+
+    def directive(self) -> bool:
+        """Consume one @prefix/@base/PREFIX/BASE directive if present."""
+        k, v = self.peek()
+        if k != "word":
+            return False
+        lw = v.lower()
+        if lw in ("@prefix", "prefix"):
+            self.next()
+            ns = self.expect("word")
+            if not ns.endswith(":"):
+                raise ValueError(f"@prefix needs 'ns:', got {ns!r}")
+            k2, iri = self.next()
+            if k2 != "iri":
+                raise ValueError(f"@prefix needs an <iri>, got {iri!r}")
+            self.prefixes[ns[:-1]] = self._resolve_iri(iri)
+            if lw == "@prefix":
+                self.expect("dot")
+            elif self.peek() == ("dot", "."):
+                self.next()  # tolerate SPARQL-style PREFIX with a dot
+            return True
+        if lw in ("@base", "base"):
+            self.next()
+            k2, iri = self.next()
+            if k2 != "iri":
+                raise ValueError(f"@base needs an <iri>, got {iri!r}")
+            self.base = iri[1:-1]
+            if lw == "@base":
+                self.expect("dot")
+            elif self.peek() == ("dot", "."):
+                self.next()
+            return True
+        return False
+
+    def statements(self) -> list[tuple[str, str, str]]:
+        out: list[tuple[str, str, str]] = []
+        while self.peek()[0] is not None:
+            if self.directive():
+                continue
+            subj = self.term()
+            while True:  # predicate-object list
+                pred = self.term(verb=True)
+                while True:  # object list
+                    out.append((subj, pred, self.term()))
+                    if self.peek() == ("punct", ","):
+                        self.next()
+                        continue
+                    break
+                if self.peek() == ("punct", ";"):
+                    self.next()
+                    # tolerate trailing ';' before '.' (rdflib emits it)
+                    if self.peek()[0] == "dot":
+                        self.next()
+                        break
+                    continue
+                self.expect("dot")
+                break
+        return out
+
+
+def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]:
+    """Full-subset parse -> (triples, prefix bindings)."""
+    p = _Parser(_tokenize(text))
+    trips = p.statements()
+    return trips, p.prefixes
+
+
+def from_turtle(text: str) -> pd.DataFrame:
+    """Parse Turtle text into a triple frame (subj, pred, obj strings).
+    Accepts everything the documented subset covers — including the
+    N-Triples-ish output of to_turtle, whose round-trip is a pytest
+    invariant."""
+    trips, _ = parse_turtle(text)
+    return pd.DataFrame(trips, columns=["subj", "pred", "obj"])
+
+
+def load_turtle(spark, path: str):
+    """One .ttl file -> Spark triples DataFrame[subj, pred, obj].
+    Catalog files are metadata-scale, so the parse runs on the driver;
+    the DataFrame then feeds bgp()/sparql() like any triple source."""
+    with open(path, encoding="utf-8") as f:
+        trips, _ = parse_turtle(f.read())
+    return spark.createDataFrame(trips, "subj string, pred string, obj string")
+
+
+# predicates whose object points at another catalog file (SURVEY S1:
+# "parse .ttl files ... following catalog links"; dcat:catalog /
+# rdfs:seeAlso are the link predicates rdflib catalogs actually use).
+# Matching is by verbatim pred OR by its local name (text after the
+# last '#' or '/'), so both prefixed and expanded spellings link.
+LINK_PREDS = ("rdfs:seeAlso", "dcat:catalog", "dcat:dataset")
+
+
+def _localname(pred: str) -> str:
+    return re.split(r"[#/]", pred)[-1].split(":")[-1]
+
+
+def _is_link_pred(pred: str, link_preds) -> bool:
+    locals_ = {_localname(p) for p in link_preds}
+    return pred in link_preds or _localname(pred) in locals_
+
+
+def load_catalog(
+    spark, entry_path: str, follow_links: bool = True,
+    link_preds=LINK_PREDS, max_files: int = 10_000,
+):
+    """Entry .ttl plus (optionally) every catalog it links to, unioned
+    into ONE triples DataFrame — the reference's multi-catalog Graph
+    build (SURVEY §3.1 step 2) as a breadth-first file walk.
+
+    Link objects ending in '.ttl' are resolved relative to the LINKING
+    file's directory ('file://' prefix stripped); http(s) targets and
+    missing files are skipped (recorded in the returned frame is only
+    what parsed).  Each file is visited ONCE (cycle-safe visited set);
+    `max_files` bounds a pathological link mesh."""
+    frames = []
+    seen: set[str] = set()
+    queue = [os.path.abspath(entry_path)]
+    while queue:
+        path = queue.pop(0)
+        if path in seen:
+            continue
+        seen.add(path)
+        if len(seen) > max_files:
+            raise ValueError(f"catalog link mesh exceeds {max_files} files")
+        with open(path, encoding="utf-8") as f:
+            trips, _ = parse_turtle(f.read())
+        frames.append(trips)
+        if not follow_links:
+            break
+        for s, p, o in trips:
+            if not _is_link_pred(p, link_preds):
+                continue
+            tgt = o
+            if tgt.startswith("file://"):
+                tgt = tgt[len("file://"):]
+            if tgt.startswith(("http://", "https://")):
+                continue  # remote catalogs are outside the sandbox
+            if not tgt.endswith(".ttl"):
+                continue
+            cand = tgt if os.path.isabs(tgt) else os.path.join(
+                os.path.dirname(path), tgt)
+            cand = os.path.abspath(cand)
+            if os.path.exists(cand) and cand not in seen:
+                queue.append(cand)
+    rows = [t for f in frames for t in f]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    ).distinct()

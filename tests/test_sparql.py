@@ -315,3 +315,133 @@ def test_random_graphs_and_patterns_match_naive(spark):
         want = sorted({tuple(b[v] for v in out_vars)
                        for b in _naive_bgp(triples, pats)})
         assert got == want, f"case {case}: {pats} over {len(triples)} triples"
+
+
+# ---- round-3 additions: literal protection, BIND/VALUES/NOT EXISTS/ ----
+# ---- MINUS, property-path alternation/sequence/star, arm filters    ----
+
+def test_literal_with_operators_is_inert(spark):
+    """ADVICE r02: '&&', '||', '!', '.' inside a quoted literal must be
+    compared verbatim, not rewritten or split on."""
+    t = spark.createDataFrame(
+        [("s1", "hasText", "a!b"), ("s2", "hasText", "a NOT b"),
+         ("s3", "hasText", "v.1 && v.2")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s hasText ?x . FILTER(?x = 'a!b') }"
+    assert _rows(sparql(t, q)) == [("s1",)]
+    # literal containing '.' and '&&' as a pattern TERM (the '.'-split
+    # and FILTER-rewrite hazards)
+    q2 = "SELECT ?s WHERE { ?s hasText 'v.1 && v.2' }"
+    assert _rows(sparql(t, q2)) == [("s3",)]
+
+
+def test_filter_to_expr_protects_literals():
+    from logset_spark.operators.sparql import _filter_to_expr
+
+    e = _filter_to_expr("?x = 'a!b' && regex(?y, 'gr|se') && !bound(?z)")
+    assert "'a!b'" in e and "'gr|se'" in e and "RLIKE" in e
+    assert "a NOT b" not in e and " OR se" not in e
+
+
+def test_bind_concat(tri):
+    q = """SELECT ?turn ?label
+           WHERE { ?turn usedTool ?tool . BIND(CONCAT('used:', ?tool) AS ?label) }"""
+    got = _rows(sparql(tri, q))
+    assert got == [("turn:a/0", "used:tool:grep"), ("turn:a/1", "used:tool:sed")]
+
+
+def test_bind_then_filter_on_bound_var(tri):
+    q = """SELECT ?turn WHERE { ?turn usedTool ?tool .
+           BIND(CONCAT(?tool, '!') AS ?t2) . FILTER(?t2 = 'tool:sed!') }"""
+    assert _rows(sparql(tri, q)) == [("turn:a/1",)]
+
+
+def test_values_single_var_restricts(tri):
+    q = """SELECT ?turn ?tool WHERE { ?turn usedTool ?tool .
+           VALUES ?tool { tool:grep tool:awk } }"""
+    assert _rows(sparql(tri, q)) == [("turn:a/0", "tool:grep")]
+
+
+def test_values_multi_var(tri):
+    q = """SELECT ?turn ?tool ?tag WHERE { ?turn usedTool ?tool .
+           VALUES (?tool ?tag) { (tool:grep 'searchy') (tool:sed 'edity') } }"""
+    got = _rows(sparql(tri, q))
+    assert got == [("turn:a/0", "tool:grep", "searchy"),
+                   ("turn:a/1", "tool:sed", "edity")]
+
+
+def test_filter_not_exists_shared_var(tri):
+    # turns with a role but no tool
+    q = """SELECT ?turn WHERE { ?c hasTurn ?turn .
+           FILTER NOT EXISTS { ?turn usedTool ?tool } }"""
+    assert _rows(sparql(tri, q)) == [("turn:b/0",)]
+
+
+def test_filter_not_exists_disjoint_gates(tri):
+    # inner shares no var: any match empties the result
+    gate = """SELECT ?c WHERE { ?c hasTurn ?t .
+              FILTER NOT EXISTS { ?x usedTool tool:grep } }"""
+    assert sparql(tri, gate).count() == 0
+    open_ = """SELECT DISTINCT ?c WHERE { ?c hasTurn ?t .
+               FILTER NOT EXISTS { ?x usedTool tool:awk } }"""
+    assert sparql(tri, open_).count() == 2
+
+
+def test_minus_shared_and_disjoint(tri):
+    q = """SELECT ?turn WHERE { ?c hasTurn ?turn .
+           MINUS { ?turn usedTool ?tool } }"""
+    assert _rows(sparql(tri, q)) == [("turn:b/0",)]
+    # SPARQL: MINUS group sharing no variable removes nothing
+    q2 = """SELECT DISTINCT ?c WHERE { ?c hasTurn ?turn .
+            MINUS { ?x usedTool tool:grep } }"""
+    assert sparql(tri, q2).count() == 2
+
+
+def test_path_alternation(tri):
+    q = "SELECT DISTINCT ?s ?o WHERE { ?s usedTool|hasRole ?o }"
+    got = _rows(sparql(tri, q))
+    assert ("turn:a/0", "tool:grep") in got and ("turn:b/0", "role:user") in got
+    assert len(got) == 5
+
+
+def test_path_sequence(tri):
+    # conv -> turn -> tool in one path expression
+    q = "SELECT DISTINCT ?c ?tool WHERE { ?c hasTurn/usedTool ?tool }"
+    assert _rows(sparql(tri, q)) == [("conv:a", "tool:grep"),
+                                     ("conv:a", "tool:sed")]
+
+
+def test_path_star_includes_identity(spark):
+    chain = spark.createDataFrame(
+        [("a", "partOf", "b"), ("b", "partOf", "c")],
+        "subj string, pred string, obj string",
+    )
+    got = _rows(sparql(chain, "SELECT ?n ?x WHERE { ?n partOf* ?x }"))
+    # closure pairs + identity for every graph term
+    assert ("a", "c") in got and ("a", "a") in got and ("c", "c") in got
+    assert len(got) == 6  # a->{a,b,c}, b->{b,c}, c->{c}
+
+
+def test_path_sequence_with_closure_step(spark):
+    chain = spark.createDataFrame(
+        [("x", "in", "a"), ("a", "partOf", "b"), ("b", "partOf", "c")],
+        "subj string, pred string, obj string",
+    )
+    got = _rows(sparql(chain, "SELECT ?n ?x WHERE { ?n in/partOf+ ?x }"))
+    assert got == [("x", "b"), ("x", "c")]
+
+
+def test_union_arm_scoped_filter(tri):
+    q = """SELECT DISTINCT ?t ?tool ?role
+           WHERE { { ?t usedTool ?tool . FILTER(regex(?tool, 'grep')) }
+                   UNION { ?t hasRole ?role } }"""
+    got = _rows(sparql(tri, q))
+    assert ("turn:a/0", "tool:grep", None) in got
+    assert ("turn:a/1", "tool:sed", None) not in got  # filtered in arm 1 only
+    assert ("turn:b/0", None, "role:user") in got
+
+
+def test_values_only_where_body(tri):
+    q = "SELECT ?x WHERE { VALUES ?x { 'v1' 'v2' } }"
+    assert _rows(sparql(tri, q)) == [("v1",), ("v2",)]

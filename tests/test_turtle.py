@@ -1,0 +1,109 @@
+"""Real Turtle parser + catalog-link traversal (sources/turtle.py,
+round 3 — VERDICT r02 items 2 and 6): rdflib-style syntax (@prefix,
+prefixed names, ';'/',' lists, multi-line statements, typed/lang
+literals), the emitter round-trip invariant, cycle-safe multi-catalog
+loading, and SPARQL over a loaded .ttl catalog."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from logset_spark.sources.turtle import (
+    from_turtle, load_catalog, load_turtle, parse_turtle, to_turtle,
+)
+
+FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def test_prefixes_semicolons_commas_multiline():
+    trips, prefixes = parse_turtle(
+        open(os.path.join(FIX, "catalog_entry.ttl")).read()
+    )
+    assert prefixes["logset"] == "http://example.org/logset#"
+    s = "http://example.org/logset#series_smw"
+    # 'a' + ';' list + ',' object list + bareword integer, multi-line
+    assert (s, "rdf:type", "http://example.org/logset#LogSeries") in trips
+    assert (s, "http://example.org/logset#infoType",
+            "http://example.org/logset#fault_info") in trips
+    assert (s, "http://example.org/logset#infoType",
+            "http://example.org/logset#env_info") in trips
+    assert (s, "http://www.w3.org/ns/dcat#byteSize", "12345") in trips
+
+
+def test_literal_hazard_chars_and_typed_lang_literals():
+    trips_a, _ = parse_turtle(open(os.path.join(FIX, "catalog_a.ttl")).read())
+    # '.' '&&' '!' inside a literal are inert; lang tag dropped
+    assert any(o == "ERROR: disk.full && retry!" for _, _, o in trips_a)
+    assert any(o == "Catalog A" for _, _, o in trips_a)
+    trips_b, _ = parse_turtle(open(os.path.join(FIX, "catalog_b.ttl")).read())
+    assert any(o == "42" for _, _, o in trips_b)  # ^^xsd:integer dropped
+
+
+def test_unbound_prefix_kept_verbatim():
+    trips, _ = parse_turtle("conv:1 hasTurn turn:1/0 .")
+    assert trips == [("conv:1", "hasTurn", "turn:1/0")]
+
+
+def test_escapes_and_long_strings():
+    trips, _ = parse_turtle(
+        'ex:a ex:b """line1\nline2 "q" end""" .\n'
+        "ex:a ex:c 'tab\\there' .\n"
+        'ex:a ex:d "u\\u0041" .'
+    )
+    objs = {o for _, _, o in trips}
+    assert 'line1\nline2 "q" end' in objs
+    assert "tab\there" in objs and "uA" in objs
+
+
+def test_rejects_blank_node_brackets_and_collections():
+    with pytest.raises(ValueError):
+        parse_turtle("ex:a ex:b [ ex:c ex:d ] .")
+    with pytest.raises(ValueError):
+        parse_turtle("ex:a ex:b (1 2 3) .")
+
+
+def test_emitter_round_trip():
+    pdf = pd.DataFrame(
+        [("conv:1", "hasTurn", "turn:1/0"),
+         ("turn:1/0", "hasText", 'a "q" b\nc . d && e')],
+        columns=["subj", "pred", "obj"],
+    )
+    back = from_turtle(to_turtle(pdf))
+    assert sorted(map(tuple, back.values.tolist())) == sorted(
+        map(tuple, pdf.values.tolist()))
+
+
+def test_load_turtle_into_spark(spark):
+    df = load_turtle(spark, os.path.join(FIX, "catalog_b.ttl"))
+    assert df.columns == ["subj", "pred", "obj"]
+    assert df.count() == 2
+
+
+def test_load_catalog_follows_links_cycle_safe(spark):
+    # entry links a + b; a links BACK to entry (cycle) — visited set
+    # must terminate and union all three exactly once
+    df = load_catalog(spark, os.path.join(FIX, "catalog_entry.ttl"),
+                      follow_links=True)
+    assert df.count() == 15
+    # without links: only the entry file's 8 triples
+    solo = load_catalog(spark, os.path.join(FIX, "catalog_entry.ttl"),
+                        follow_links=False)
+    assert solo.count() == 8
+
+
+def test_sparql_over_loaded_catalog(spark):
+    from logset_spark.operators.sparql import sparql
+
+    df = load_catalog(spark, os.path.join(FIX, "catalog_entry.ttl"))
+    got = sparql(
+        df,
+        """SELECT DISTINCT ?s
+           WHERE { ?s <http://example.org/logset#partOf> ?c }""",
+    ).collect()
+    assert sorted(r["s"] for r in got) == [
+        "http://example.org/logset#series_console",
+        "http://example.org/logset#series_messages",
+    ]
