@@ -51,8 +51,18 @@ PR_SCALE = 1_000_000_000_000
 SMALL_CLOSURE_EDGES = 250_000
 
 
-def _closure_small(spark, rows: list) -> DataFrame:
-    """Driver BFS over collected (child, parent) pairs -> closure rows."""
+# a small EDGE count does not bound the CLOSURE size: a deep/dense DAG
+# can close to O(V * ancestors) pairs — far more rows than edges.  The
+# driver BFS therefore also caps the pairs it will materialize as Python
+# objects and bails to the distributed loop beyond it (VERDICT r02).
+MAX_SMALL_CLOSURE_PAIRS = 2_000_000
+
+
+def _closure_small(spark, rows: list, max_pairs: int) -> DataFrame | None:
+    """Driver BFS over collected (child, parent) pairs -> closure rows;
+    None if the closure exceeds `max_pairs` (abandon EARLY, before the
+    pair list grows into driver-memory trouble — caller falls through
+    to the distributed path-doubling loop)."""
     parents: dict[str, set[str]] = {}
     for child, parent in rows:
         if child != parent:
@@ -63,6 +73,8 @@ def _closure_small(spark, rows: list) -> DataFrame:
         while frontier:
             for a in frontier:
                 out.append((start, a, dist))
+            if len(out) > max_pairs:
+                return None
             seen |= frontier
             frontier = {
                 g for a in frontier for g in parents.get(a, ()) if g not in seen
@@ -76,6 +88,7 @@ def _closure_small(spark, rows: list) -> DataFrame:
 def transitive_closure(
     edges: DataFrame, max_iter: int = 20,
     small_graph_edges: int = SMALL_CLOSURE_EDGES,
+    max_small_pairs: int = MAX_SMALL_CLOSURE_PAIRS,
 ) -> DataFrame:
     """edges: DataFrame[child:string, parent:string] (a DAG; cycles would
     still terminate — path doubling only adds pairs, and pair count is
@@ -101,7 +114,12 @@ def transitive_closure(
     if small_graph_edges:
         head = edges.select("child", "parent").limit(small_graph_edges + 1).collect()
         if len(head) <= small_graph_edges:
-            return _closure_small(edges.sparkSession, [tuple(r) for r in head])
+            small = _closure_small(
+                edges.sparkSession, [tuple(r) for r in head], max_small_pairs
+            )
+            if small is not None:
+                return small
+            # closure outgrew the driver cap: distributed loop below
     c = (
         edges.select(
             F.col("child").alias("node"),
@@ -280,20 +298,34 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("n_tri"))
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
-    """edges: DataFrame[a:string, b:string] undirected.  Runs exactly
-    `rounds` synchronous peel rounds of the k-core algorithm (drop every
-    node whose degree among surviving nodes is < k, repeat) and returns
-    DataFrame[node, deg] — survivors with their residual degree.
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int | None = None,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """edges: DataFrame[a:string, b:string] undirected.  Synchronous
+    k-core peel (drop every node whose degree among surviving nodes is
+    < k, repeat); returns DataFrame[node, deg] — survivors with their
+    residual degree.
 
-    FIXED round count, not to-convergence: the driver's value-hash gate
-    needs a result reproducible by an oracle replaying the same number
-    of rounds in unrolled SQL, and a fixed-round peel is exactly the
-    k-core once the peel has converged (tests assert convergence on the
-    bench fixture; at true scale you'd run rounds = observed peel depth,
-    which is small — peel depth, unlike diameter, rarely exceeds tens).
+    rounds=None (the production default): peel TO CONVERGENCE — each
+    round starts with a one-row probe (`any node with deg < k left?`,
+    the same cheap scalar crossing the closure loop uses) and stops
+    when no node would drop, so the result is the true k-core at any
+    peel depth; a star-chain adversarial graph is pytest-pinned.
+    Unlike diameter, peel depth is usually tens, but it is UNKNOWN a
+    priori at 100x scale — which is why fixed rounds alone was flagged
+    (VERDICT r02): a too-small count silently returns a superset.
+
+    rounds=<int>: run exactly that many rounds — the oracle-facing mode
+    (the driver's value-hash gate needs a result reproducible by an
+    unrolled-SQL replay of the same number of rounds; q_kcore asserts
+    the fixture converges within its fixed count, so both modes agree
+    there).
+
     Each round is one groupBy (degree count) + one semi-join filter —
-    2 shuffles/round on an ever-shrinking edge set."""
+    2 shuffles/round on an ever-shrinking edge set; the probe in
+    convergence mode adds one scalar job over the (checkpointed,
+    node-scale) degree table."""
     canon = (
         edges.select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
@@ -303,13 +335,21 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     e = canon
-    for _ in range(rounds):
+    to_convergence = rounds is None
+    n_rounds = max_rounds if to_convergence else rounds
+    for _ in range(n_rounds):
         deg = (
             e.select(F.col("u").alias("node"))
             .unionByName(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
         )
+        if to_convergence:
+            # node-scale checkpoint: the probe and the filter below both
+            # consume deg; without it the degree groupBy would run twice
+            deg = deg.localCheckpoint(eager=True)
+            if deg.where(F.col("deg") < k).limit(1).count() == 0:
+                break
         alive = deg.where(F.col("deg") >= k).select("node")
         e = (
             e.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")

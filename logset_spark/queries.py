@@ -3244,7 +3244,11 @@ def q_kcore(spark, sf):
     """k-core of the co-purchase graph (k=15) by 4 fixed synchronous
     peel rounds (operators/graph.py kcore_peel); 4 rounds is past
     convergence on this graph (the peel stabilizes in 3), so the result
-    IS the 15-core.  The oracle unrolls the identical 4 rounds in SQL."""
+    IS the 15-core.  The oracle unrolls the identical 4 rounds in SQL.
+    Fixed-round is the ORACLE-facing mode only: the production default
+    (rounds=None) peels to convergence with a one-row probe per round,
+    so an unknown peel depth at scale cannot silently return a superset
+    (deep-peel adversary pinned in tests/test_graph.py)."""
     from .operators.graph import kcore_peel
 
     return kcore_peel(_copurchase_edges(spark, sf), k=_KCORE_K,

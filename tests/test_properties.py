@@ -587,3 +587,32 @@ def test_global_running_total_matches_window(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """The rows-only q_approx entry earns a quantitative bound: every
+    HLL estimate must land within 3x the default relative standard
+    deviation (rsd=0.05) of the exact distinct count — a cross-engine
+    hash can never check HLL values, but a wrong-by-2x sketch should
+    fail loudly here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logset_spark.queries import REGISTRY, _t
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    fn, _ = REGISTRY["q_approx"]
+    approx = {r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
+              for r in fn(spark, sf).collect()}
+    li = _t(spark, sf, "lineitem")
+    exact = {r["l_returnflag"]: (r["n_parts"], r["n_orders"])
+             for r in li.groupBy("l_returnflag").agg(
+                 F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count_distinct("l_orderkey").alias("n_orders"),
+             ).collect()}
+    assert set(approx) == set(exact)
+    for flag, (ap, ao) in approx.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) <= 0.15 * ep, (flag, ap, ep)
+        assert abs(ao - eo) <= 0.15 * eo, (flag, ao, eo)
