@@ -35,7 +35,7 @@ patterns):
              SUM/AVG try_cast the string object to double)
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
-            ( . FILTER NOT EXISTS { patterns } )*
+            ( . FILTER [NOT] EXISTS { patterns } )*
             ( . MINUS { patterns } )*
             ( . BIND(expr AS ?v) )*
             ( . VALUES ?v { term ... } )*
@@ -53,12 +53,13 @@ patterns):
     A constant predicate may be a PROPERTY PATH expression:
         path := seq ( '|' seq )*     -- alternation: union of edge sets
         seq  := atom ( '/' atom )*   -- sequence: edge-set composition
-        atom := pred | pred+ | pred* -- +: one-or-more (distributed
+        atom := ['^'] pred ['+'|'*'] -- ^: inverse (swapped endpoints);
+                                        +: one-or-more (distributed
                                         transitive closure); *: zero-or-
                                         more (closure plus the identity
                                         pair for every term in the graph)
     Path expressions evaluate to DISTINCT endpoint pairs (set
-    semantics); no parentheses or `^` inverse in the subset.
+    semantics); no parentheses in the subset.
     expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
                bound(?var), combined with && / || / !; BIND bodies may
                also use CONCAT(...) over ?vars and 'literals'
@@ -133,6 +134,8 @@ class ParsedQuery:
         default_factory=list)
     # FILTER NOT EXISTS { patterns } groups (anti-join lowering)
     not_exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # FILTER EXISTS { patterns } groups (semi-join lowering)
+    exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
     # MINUS { patterns } groups (anti-join on shared vars; no-op if none)
     minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
 
@@ -287,6 +290,15 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     body = re.sub(r"FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}", _nex, body,
                   flags=re.IGNORECASE)
 
+    exists: list[list[tuple[str, str, str]]] = []
+
+    def _ex(mo: re.Match) -> str:
+        exists.append(_parse_patterns(mo.group(1), lits))
+        return " "
+
+    body = re.sub(r"FILTER\s+EXISTS\s*\{([^{}]*)\}", _ex, body,
+                  flags=re.IGNORECASE)
+
     def _min(mo: re.Match) -> str:
         minus.append(_parse_patterns(mo.group(1), lits))
         return " "
@@ -388,7 +400,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         select=select, aggs=aggs, distinct=distinct, patterns=patterns,
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
-        minus=minus,
+        minus=minus, exists=exists,
     )
 
 
@@ -425,7 +437,7 @@ def _is_path(pred: str) -> bool:
     if pred.startswith("<"):  # <iri> form: always a plain predicate
         return False
     return not _is_var(pred) and len(pred) > 1 and (
-        "|" in pred or "/" in pred or pred[-1] in "+*"
+        "|" in pred or "/" in pred or pred[-1] in "+*" or pred[0] == "^"
     )
 
 
@@ -446,13 +458,17 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
     from .graph import transitive_closure
 
     def atom_edges(atom: str) -> DataFrame:
+        inverse = atom.startswith("^")
+        if inverse:
+            atom = atom[1:]
         star = atom.endswith("*")
         plus = atom.endswith("+")
         base = atom[:-1] if (star or plus) else atom
-        if not base or _is_var(base):
+        if not base or _is_var(base) or "^" in base:
             raise ValueError(f"bad property-path atom: {atom!r}")
+        spos, opos = ("obj", "subj") if inverse else ("subj", "obj")
         e = triples.where(F.col("pred") == base).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
+            F.col(spos).alias("src"), F.col(opos).alias("dst")
         )
         if not (star or plus):
             return e
@@ -578,6 +594,7 @@ def bgp(
     values: list[tuple[list[str], list[tuple[str, ...]]]] = (),
     not_exists: list[list[tuple[str, str, str]]] = (),
     minus: list[list[tuple[str, str, str]]] = (),
+    exists: list[list[tuple[str, str, str]]] = (),
 ) -> DataFrame:
     """Programmatic BGP evaluation (the parser lowers to this).  Returns
     a DataFrame with one column per selected variable.
@@ -596,6 +613,9 @@ def bgp(
       vars.
     * BIND: a select-expression column (projection, no shuffle);
       evaluated before FILTER so filters can reference bound vars.
+    * FILTER EXISTS { G }: left-semi join on the shared vars (J5
+      lowering); with NO shared vars, an existence gate (kept iff the
+      group matches at all).
     * FILTER NOT EXISTS { G }: left-anti join on the shared vars (J6
       lowering); with NO shared vars it degrades to an existence gate —
       any inner solution empties the result (limit(1) probe, never a
@@ -668,6 +688,16 @@ def bgp(
         acc = acc.withColumn(var, F.expr(_filter_to_expr(expr)))
         if var not in var_order:
             var_order.append(var)
+    for gi, group in enumerate(exists):
+        inner, _ = _join_patterns(triples, group, start_tag=9000 * (gi + 1))
+        shared = sorted(
+            set(var_order)
+            & {c for c in inner.columns if not c.startswith("_exists_")}
+        )
+        if shared:
+            acc = acc.join(inner, on=shared, how="left_semi")
+        else:  # no shared vars: keep all iff the inner group matches
+            acc = acc.join(inner.limit(1), F.lit(True), "left_semi")
     for gi, group in enumerate(not_exists):
         inner, _ = _join_patterns(triples, group, start_tag=3000 * (gi + 1))
         shared = sorted(
@@ -717,6 +747,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             distinct=False, unions=pq.unions, binds=pq.binds,
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
+            exists=pq.exists,
         ).limit(1)
         return sol.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if pq.construct is not None:
@@ -728,6 +759,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             distinct=False, unions=pq.unions, binds=pq.binds,
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
+            exists=pq.exists,
         )
         def _term(t: str):
             return F.col(t[1:]) if _is_var(t) else F.lit(_const_term(t))
@@ -757,7 +789,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             select=needed or None, distinct=False, unions=pq.unions,
             binds=pq.binds, values=pq.values, not_exists=pq.not_exists,
-            minus=pq.minus,
+            minus=pq.minus, exists=pq.exists,
         )
         def _agg_col(a: AggItem):
             if a.var is None:
@@ -780,6 +812,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             values=pq.values,
             not_exists=pq.not_exists,
             minus=pq.minus,
+            exists=pq.exists,
         )
     if pq.order_by:
         out = out.orderBy(

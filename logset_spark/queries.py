@@ -2138,6 +2138,50 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def q_sparql_exists(spark, sf):
+    """Positive FILTER EXISTS lowering: left-semi join on the shared
+    vars (the J5 primitive inside the SPARQL algebra) — turns that did
+    invoke a tool, with their conversation."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?c ?turn
+           WHERE { ?c hasTurn ?turn . FILTER EXISTS { ?turn usedTool ?t } }""",
+    )
+
+
+SQL_SPARQL_EXISTS = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT subj AS c, obj AS turn FROM g ht
+WHERE ht.pred = 'hasTurn'
+  AND EXISTS (SELECT 1 FROM g ut
+              WHERE ut.pred = 'usedTool' AND ut.subj = ht.obj)
+"""
+
+
+def q_sparql_invpath(spark, sf):
+    """Inverse property path `^usedTool/^hasTurn`: tool -> turn -> conv
+    entirely through swapped-endpoint scans composed by one midpoint
+    equi-join — the rdflib `^` path operator as a distributed plan."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        "SELECT DISTINCT ?tool ?conv WHERE { ?tool ^usedTool/^hasTurn ?conv }",
+    )
+
+
+SQL_SPARQL_INVPATH = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT ut.obj AS tool, ht.subj AS conv
+FROM g ut JOIN g ht ON ht.obj = ut.subj
+WHERE ut.pred = 'usedTool' AND ht.pred = 'hasTurn'
+"""
+
+
 def q_sparql_altpath(spark, sf):
     """Property-path ALTERNATION `usedTool|hasRole`: the union of the
     two predicates' edge sets, each arm one pushed-down filtered scan
@@ -3405,6 +3449,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
     "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
+    "q_sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),
+    "q_sparql_invpath": (q_sparql_invpath, SQL_SPARQL_INVPATH),
     "q_sparql_altpath": (q_sparql_altpath, SQL_SPARQL_ALTPATH),
     "q_sparql_seqpath": (q_sparql_seqpath, SQL_SPARQL_SEQPATH),
     "q_sparql_starpath": (q_sparql_starpath, SQL_SPARQL_STARPATH),

@@ -445,3 +445,31 @@ def test_union_arm_scoped_filter(tri):
 def test_values_only_where_body(tri):
     q = "SELECT ?x WHERE { VALUES ?x { 'v1' 'v2' } }"
     assert _rows(sparql(tri, q)) == [("v1",), ("v2",)]
+
+
+def test_filter_exists_semi_join(tri):
+    q = """SELECT ?turn WHERE { ?c hasTurn ?turn .
+           FILTER EXISTS { ?turn usedTool ?tool } }"""
+    assert _rows(sparql(tri, q)) == [("turn:a/0",), ("turn:a/1",)]
+
+
+def test_filter_exists_disjoint_gate(tri):
+    hit = """SELECT DISTINCT ?c WHERE { ?c hasTurn ?t .
+             FILTER EXISTS { ?x usedTool tool:grep } }"""
+    assert sparql(tri, hit).count() == 2
+    miss = """SELECT ?c WHERE { ?c hasTurn ?t .
+              FILTER EXISTS { ?x usedTool tool:awk } }"""
+    assert sparql(tri, miss).count() == 0
+
+
+def test_inverse_path(tri):
+    # ^hasTurn: turn -> conv (swapped endpoints)
+    q = "SELECT ?turn ?c WHERE { ?turn ^hasTurn ?c . ?turn usedTool tool:sed }"
+    assert _rows(sparql(tri, q)) == [("turn:a/1", "conv:a")]
+
+
+def test_inverse_in_sequence(tri):
+    # tool -> turn (inverse) -> conv (inverse): which convs used the tool
+    q = "SELECT DISTINCT ?tool ?c WHERE { ?tool ^usedTool/^hasTurn ?c }"
+    got = _rows(sparql(tri, q))
+    assert got == [("tool:grep", "conv:a"), ("tool:sed", "conv:a")]
