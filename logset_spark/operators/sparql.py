@@ -40,9 +40,9 @@ patterns):
             ( . BIND(expr AS ?v) )*
             ( . VALUES ?v { term ... } )*
             ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
-            ( . OPTIONAL { pattern ( . pattern )* } )* }
+            ( . OPTIONAL { pattern ( . pattern )* [. FILTER(expr)]* } )* }
     WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
-    [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ]
+    [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ] [ OFFSET m ]
 
     Other query forms: ASK { body } (one boolean row);
     CONSTRUCT { template patterns } WHERE { body } (solutions
@@ -61,8 +61,10 @@ patterns):
     Path expressions evaluate to DISTINCT endpoint pairs (set
     semantics); no parentheses in the subset.
     expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
-               bound(?var), combined with && / || / !; BIND bodies may
-               also use CONCAT(...) over ?vars and 'literals'
+               bound(?var), combined with && / || / !; plus the string
+               kit STRLEN/LCASE/UCASE/STRSTARTS/STRENDS/CONTAINS/
+               SUBSTR/REPLACE/STR/CONCAT (lowered to the Spark SQL
+               equivalents) — usable in FILTER and BIND bodies alike
 
 Terms are plain strings (URIs in this engine are prefixed strings like
 `conv:123`, SURVEY §1.3); no datatype tower — the triples table is
@@ -113,9 +115,12 @@ class ParsedQuery:
     distinct: bool
     patterns: list[tuple[str, str, str]]
     filters: list[str]  # raw FILTER bodies (still with ?vars)
-    optionals: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # OPTIONAL groups: (patterns, filters) tuples — the filter applies
+    # INSIDE the group before the left join (SPARQL LeftJoin scoping)
+    optionals: list = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    offset: int | None = None
     # WHERE { {A} UNION {B} ... }: (patterns, filters) arms (patterns is
     # then empty); arms may carry FILTER but not nested OPTIONAL/UNION
     unions: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
@@ -243,7 +248,8 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return inner
     m = re.match(
         r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}"
-        r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?\s*$",
+        r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?"
+        r"(?:\s*OFFSET\s+(\d+))?\s*$",
         q,
         re.IGNORECASE | re.DOTALL,
     )
@@ -305,9 +311,22 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
 
     body = re.sub(r"MINUS\s*\{([^{}]*)\}", _min, body, flags=re.IGNORECASE)
 
-    # OPTIONAL { ... } groups (no nesting in the subset)
+    # FILTER(...) extraction helper (balanced parens not needed for the
+    # subset: match to the ')' that balances the opening one)
+    def _extract_filters(text: str, into: list[str]) -> str:
+        def f(mo: re.Match) -> str:
+            into.append(_restore_quoted(mo.group(1).strip(), lits))
+            return " "
+        return re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", f, text,
+                      flags=re.IGNORECASE)
+
+    # OPTIONAL { ... } groups (no nesting in the subset); a group may
+    # carry its own FILTERs, which stay GROUP-SCOPED (applied before the
+    # left join — SPARQL LeftJoin semantics)
     def _opt(mo: re.Match) -> str:
-        optionals.append(_parse_patterns(mo.group(1), lits))
+        grp_filters: list[str] = []
+        grp_body = _extract_filters(mo.group(1), grp_filters)
+        optionals.append((_parse_patterns(grp_body, lits), grp_filters))
         return " "
 
     body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _opt, body, flags=re.IGNORECASE)
@@ -353,15 +372,6 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     body = re.sub(r"VALUES\s+\?(\w+)\s*\{([^{}]*)\}", _vals_one, body,
                   flags=re.IGNORECASE)
 
-    # FILTER(...) extraction helper (balanced parens not needed for the
-    # subset: match to the ')' that balances the opening one)
-    def _extract_filters(text: str, into: list[str]) -> str:
-        def f(mo: re.Match) -> str:
-            into.append(_restore_quoted(mo.group(1).strip(), lits))
-            return " "
-        return re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", f, text,
-                      flags=re.IGNORECASE)
-
     # top-level UNION of braced pattern groups: { A } UNION { B } [UNION
     # ...].  Matched BEFORE global filter extraction so each arm's FILTER
     # clauses stay ARM-SCOPED (an arm filter applies only to that arm's
@@ -396,12 +406,22 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             order_by.append((toks[i][1:], desc))
             i += 2 if desc else 1
     limit = int(m.group(5)) if m.group(5) else None
+    offset = int(m.group(6)) if m.group(6) else None
     return ParsedQuery(
         select=select, aggs=aggs, distinct=distinct, patterns=patterns,
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
+        offset=offset,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
         minus=minus, exists=exists,
     )
+
+
+_STR_FNS = [
+    ("STRLEN", "length"), ("LCASE", "lower"), ("UCASE", "upper"),
+    ("STRSTARTS", "startswith"), ("STRENDS", "endswith"),
+    ("CONTAINS", "contains"), ("SUBSTR", "substring"),
+    ("REPLACE", "replace"), ("STR", ""),
+]
 
 
 def _filter_to_expr(body: str) -> str:
@@ -419,6 +439,13 @@ def _filter_to_expr(body: str) -> str:
                r"\1 RLIKE \2", e, flags=re.IGNORECASE)
     e = re.sub(r"bound\s*\(\s*\?(\w+)\s*\)", r"\1 IS NOT NULL", e,
                flags=re.IGNORECASE)
+    # SPARQL string-function kit -> Spark SQL equivalents (name-level
+    # rewrites; argument expressions flow through the ?var/literal
+    # rewrites unchanged).  STR() is the identity here — terms are
+    # already strings in this engine.
+    for sparql_fn, sql_fn in _STR_FNS:
+        e = re.sub(rf"\b{sparql_fn}\s*\(", f"{sql_fn}(", e,
+                   flags=re.IGNORECASE)
     e = e.replace("&&", " AND ").replace("||", " OR ")
     e = re.sub(r"!(?!=)", " NOT ", e)
     e = e.replace("!=", "<>")
@@ -666,10 +693,16 @@ def bgp(
     else:
         raise ValueError("BGP needs patterns, unions, or values")
     for gi, group in enumerate(optionals):
-        opt_df, opt_vars = _join_patterns(triples, group, start_tag=1000 * (gi + 1))
+        opt_pats, opt_filters = (
+            group if isinstance(group, tuple) else (group, [])
+        )
+        opt_df, opt_vars = _join_patterns(
+            triples, opt_pats, start_tag=1000 * (gi + 1))
+        for f in opt_filters:  # group-scoped: filter BEFORE the left join
+            opt_df = opt_df.where(F.expr(_filter_to_expr(f)))
         shared = sorted(set(var_order) & set(opt_df.columns))
         if not shared:
-            raise ValueError(f"OPTIONAL group {group} shares no variable")
+            raise ValueError(f"OPTIONAL group {opt_pats} shares no variable")
         acc = acc.join(opt_df, on=shared, how="left")
         var_order += [v for v in opt_df.columns
                       if v not in var_order and not v.startswith("_exists_")]
@@ -818,6 +851,8 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         out = out.orderBy(
             *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in pq.order_by]
         )
+    if pq.offset is not None:
+        out = out.offset(pq.offset)
     if pq.limit is not None:
         out = out.limit(pq.limit)
     return out

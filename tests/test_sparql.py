@@ -156,7 +156,7 @@ def test_parser_round_trip_fields():
     assert pq.distinct and pq.select == ["a", "b"]
     assert pq.patterns == [("?a", "p1", "?b"), ("?b", "p2", "lit val")]
     assert pq.filters == ["?a != 'x'"]
-    assert pq.optionals == [[("?b", "p3", "?c")]]
+    assert pq.optionals == [([("?b", "p3", "?c")], [])]
     assert pq.order_by == [("a", False), ("b", True)] and pq.limit == 7
 
 
@@ -473,3 +473,36 @@ def test_inverse_in_sequence(tri):
     q = "SELECT DISTINCT ?tool ?c WHERE { ?tool ^usedTool/^hasTurn ?c }"
     got = _rows(sparql(tri, q))
     assert got == [("tool:grep", "conv:a"), ("tool:sed", "conv:a")]
+
+
+def test_optional_group_scoped_filter(tri):
+    """A FILTER inside OPTIONAL applies BEFORE the left join (SPARQL
+    LeftJoin scoping): rows whose optional match fails the filter keep
+    the row with NULL, they are not dropped."""
+    q = """SELECT ?turn ?tool WHERE { ?c hasTurn ?turn .
+           OPTIONAL { ?turn usedTool ?tool . FILTER(regex(?tool, 'grep')) } }"""
+    got = _rows(sparql(tri, q))
+    assert got == [("turn:a/0", "tool:grep"),
+                   ("turn:a/1", None), ("turn:b/0", None)]
+
+
+def test_offset_and_limit(tri):
+    base = "SELECT ?t WHERE { ?c hasTurn ?t } ORDER BY ?t"
+    allr = [r[0] for r in sparql(tri, base).collect()]
+    assert [r[0] for r in sparql(tri, base + " LIMIT 2 OFFSET 1").collect()] \
+        == allr[1:3]
+    assert [r[0] for r in sparql(tri, base + " OFFSET 2").collect()] == allr[2:]
+
+
+def test_string_functions_in_filter_and_bind(tri):
+    q = """SELECT ?tool ?up WHERE { ?t usedTool ?tool .
+           BIND(UCASE(?tool) AS ?up) .
+           FILTER(STRSTARTS(?tool, 'tool:g') && STRLEN(?tool) > 5) }"""
+    assert _rows(sparql(tri, q)) == [("tool:grep", "TOOL:GREP")]
+
+
+def test_string_functions_contains_replace(tri):
+    q = """SELECT ?t ?fixed WHERE { ?t usedTool ?tool .
+           BIND(REPLACE(?tool, 'tool:', '') AS ?fixed) .
+           FILTER(CONTAINS(?tool, 'sed')) }"""
+    assert _rows(sparql(tri, q)) == [("turn:a/1", "sed")]
