@@ -123,6 +123,15 @@ def main() -> int:
         .collect()
     }
     ann_recall = round(len(exact_nn & approx_nn) / max(len(exact_nn), 1), 4)
+    from logset_spark.operators.similarity import ivf_topk
+
+    ivf_nn = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(qv, em, k=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    ivf_recall = round(len(exact_nn & ivf_nn) / max(len(exact_nn), 1), 4)
 
     # -- KG pipeline ------------------------------------------------------------
     # The host shows bursty hypervisor CPU steal (8-11% under load;
@@ -160,6 +169,7 @@ def main() -> int:
         "kg_turns_per_sec": round(n_turns / kg_wall, 1),
         "kg_pipeline_walls": [round(w, 3) for w in walls],
         "ann_lsh_recall_at5": ann_recall,
+        "ann_ivf_recall_at5": ivf_recall,
         # ~15s single-level STREAM burst so the recorded bench carries its
         # own host-state context: this machine's DRAM bandwidth drifts >4x
         # between days (BENCH/BASELINE.md probe series), and kg_pipeline is

@@ -30,7 +30,9 @@ patterns):
 
     SELECT [DISTINCT] ?v1 ?v2 | *
            | ?g1 ... (AGG(?v) AS ?name) ...   -- SPARQL 1.1 aggregates:
-             COUNT/MIN/MAX/SUM/AVG over a var, or COUNT(*); plain ?vars
+             COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT over a var, or
+             COUNT(*); GROUP_CONCAT sorts values then joins with ';'
+             (deterministic — SPARQL leaves the order open); plain ?vars
              in the list become the GROUP BY keys (groupBy lowering;
              SUM/AVG try_cast the string object to double)
     WHERE { pattern ( . pattern )*
@@ -42,6 +44,7 @@ patterns):
             ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
             ( . OPTIONAL { pattern ( . pattern )* [. FILTER(expr)]* } )* }
     WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
+    [ HAVING(expr over agg aliases) ]
     [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ] [ OFFSET m ]
 
     Other query forms: ASK { body } (one boolean row);
@@ -121,6 +124,8 @@ class ParsedQuery:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int | None = None
+    # HAVING(expr) over aggregate aliases (aggregate queries only)
+    having: str | None = None
     # WHERE { {A} UNION {B} ... }: (patterns, filters) arms (patterns is
     # then empty); arms may carry FILTER but not nested OPTIONAL/UNION
     unions: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
@@ -248,6 +253,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return inner
     m = re.match(
         r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}"
+        r"(?:\s*HAVING\s*\(((?:[^()]|\([^()]*\))*)\))?"
         r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?"
         r"(?:\s*OFFSET\s+(\d+))?\s*$",
         q,
@@ -268,7 +274,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return " "
 
     sel_raw = re.sub(
-        r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
+        r"\(\s*(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT)\s*\(\s*(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
         _agg, sel_raw, flags=re.IGNORECASE,
     ).strip()
     if sel_raw == "*":
@@ -395,22 +401,23 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         if not patterns and not values:
             raise ValueError("WHERE clause has no triple patterns")
 
+    having = _restore_quoted(m.group(4).strip(), lits) if m.group(4) else None
     order_by = []
-    if m.group(4):
-        toks = m.group(4).split()
+    if m.group(5):
+        toks = m.group(5).split()
         i = 0
         while i < len(toks):
             if not _is_var(toks[i]):
-                raise ValueError(f"ORDER BY expects ?vars: {m.group(4)!r}")
+                raise ValueError(f"ORDER BY expects ?vars: {m.group(5)!r}")
             desc = i + 1 < len(toks) and toks[i + 1].upper() == "DESC"
             order_by.append((toks[i][1:], desc))
             i += 2 if desc else 1
-    limit = int(m.group(5)) if m.group(5) else None
-    offset = int(m.group(6)) if m.group(6) else None
+    limit = int(m.group(6)) if m.group(6) else None
+    offset = int(m.group(7)) if m.group(7) else None
     return ParsedQuery(
         select=select, aggs=aggs, distinct=distinct, patterns=patterns,
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
-        offset=offset,
+        offset=offset, having=having,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
         minus=minus, exists=exists,
     )
@@ -828,11 +835,23 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             if a.var is None:
                 return F.count(F.lit(1)).alias(a.alias)
             col = F.col(a.var)
+            if a.func == "GROUP_CONCAT":
+                # SPARQL leaves GROUP_CONCAT order unspecified; this
+                # engine SORTS the values first so the result is
+                # deterministic (and therefore oracle-checkable).
+                # Fixed ';' separator — SEPARATOR= is outside the subset.
+                return F.array_join(
+                    F.array_sort(F.collect_list(col)), ";"
+                ).alias(a.alias)
             if a.func in ("SUM", "AVG"):
                 col = col.cast("double")
             return getattr(F, a.func.lower())(col).alias(a.alias)
         out = sol.groupBy(*pq.select).agg(*[_agg_col(a) for a in pq.aggs])
+        if pq.having:
+            out = out.where(F.expr(_filter_to_expr(pq.having)))
     else:
+        if pq.having:
+            raise ValueError("HAVING requires an aggregate SELECT list")
         out = bgp(
             triples,
             pq.patterns,

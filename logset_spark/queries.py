@@ -2138,6 +2138,48 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def q_sparql_having(spark, sf):
+    """SPARQL HAVING lowering: the aggregate query's post-groupBy filter
+    over its aggregate aliases — tools used by more than 400 turns."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?tool (COUNT(?turn) AS ?n_uses)
+           WHERE { ?turn usedTool ?tool } HAVING(?n_uses > 400)""",
+    )
+
+
+SQL_SPARQL_HAVING = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT obj AS tool, count(*) AS n_uses
+FROM g WHERE pred = 'usedTool' GROUP BY obj HAVING count(*) > 400
+"""
+
+
+def q_sparql_groupconcat(spark, sf):
+    """GROUP_CONCAT aggregate: per-conversation tool list, SORTED before
+    joining so the string is deterministic (SPARQL leaves the order
+    unspecified; a sorted implementation is conforming AND oracle-
+    checkable — DuckDB replays it with string_agg(... ORDER BY))."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?turn (GROUP_CONCAT(?o) AS ?preds)
+           WHERE { ?turn usedTool ?o }""",
+    )
+
+
+SQL_SPARQL_GROUPCONCAT = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT subj AS turn, string_agg(obj, ';' ORDER BY obj) AS preds
+FROM g WHERE pred = 'usedTool' GROUP BY subj
+"""
+
+
 def q_sparql_exists(spark, sf):
     """Positive FILTER EXISTS lowering: left-semi join on the shared
     vars (the J5 primitive inside the SPARQL algebra) — turns that did
@@ -3449,6 +3491,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
     "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
+    "q_sparql_having": (q_sparql_having, SQL_SPARQL_HAVING),
+    "q_sparql_groupconcat": (q_sparql_groupconcat, SQL_SPARQL_GROUPCONCAT),
     "q_sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),
     "q_sparql_invpath": (q_sparql_invpath, SQL_SPARQL_INVPATH),
     "q_sparql_altpath": (q_sparql_altpath, SQL_SPARQL_ALTPATH),

@@ -506,3 +506,21 @@ def test_string_functions_contains_replace(tri):
            BIND(REPLACE(?tool, 'tool:', '') AS ?fixed) .
            FILTER(CONTAINS(?tool, 'sed')) }"""
     assert _rows(sparql(tri, q)) == [("turn:a/1", "sed")]
+
+
+def test_having_filters_groups(tri):
+    q = """SELECT ?conv (COUNT(?turn) AS ?n) WHERE { ?conv hasTurn ?turn }
+           HAVING(?n > 1)"""
+    assert _rows(sparql(tri, q)) == [("conv:a", 2)]
+
+
+def test_having_rejected_without_aggregates(tri):
+    with pytest.raises(ValueError):
+        sparql(tri, "SELECT ?a WHERE { ?a hasTurn ?b } HAVING(?a > 1)")
+
+
+def test_group_concat_sorted_deterministic(tri):
+    q = """SELECT ?conv (GROUP_CONCAT(?turn) AS ?turns)
+           WHERE { ?conv hasTurn ?turn }"""
+    got = _rows(sparql(tri, q))
+    assert got == [("conv:a", "turn:a/0;turn:a/1"), ("conv:b", "turn:b/0")]
