@@ -552,6 +552,9 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
     _path_edges) swaps the pattern's source for the path's compiled
     endpoint-pair set — the rdflib recursive-traversal semantics as a
     distributed plan."""
+    if pattern[1] == "a":  # SPARQL keyword: rdf:type (matches the
+        # Turtle parser's 'a' handling, so loaded catalogs query naturally)
+        pattern = (pattern[0], "rdf:type", pattern[2])
     pred = pattern[1]
     if _is_path(pred):
         triples = _path_edges(triples, pred).select(
@@ -801,11 +804,13 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
             exists=pq.exists,
         )
-        def _term(t: str):
+        def _term(t: str, verb: bool = False):
+            if verb and t == "a":
+                return F.lit("rdf:type")
             return F.col(t[1:]) if _is_var(t) else F.lit(_const_term(t))
         parts = [
             sol.select(
-                _term(s).alias("subj"), _term(p).alias("pred"),
+                _term(s).alias("subj"), _term(p, verb=True).alias("pred"),
                 _term(o).alias("obj"),
             )
             for s, p, o in pq.construct

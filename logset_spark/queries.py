@@ -2044,6 +2044,29 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_ttl_sink(spark, sf):
+    """S3 Turtle serialize sink, DISTRIBUTED (sources/turtle.py
+    save_turtle): the whole structural triple set is written as .ttl
+    text shards via pure native column expressions (zero Python in the
+    row path), then read back through the native-regex shard loader —
+    the oracle is the ORIGINAL triple set, so the write→parse cycle is
+    value-checked end-to-end (a lost escape, broken framing, or
+    URI/literal misclassification hash-mismatches)."""
+    import tempfile
+
+    from .sources.turtle import load_turtle_dir, save_turtle
+
+    tri = q_kg_structural(spark, sf).distinct()
+    out = tempfile.mkdtemp(prefix="logset_ttl_sink_q_") + "/ttl"
+    save_turtle(tri, out)
+    return load_turtle_dir(spark, out)
+
+
+SQL_TTL_SINK = f"""
+SELECT DISTINCT subj, pred, obj FROM ({SQL_KG_STRUCTURAL}) g
+"""
+
+
 def q_sparql_bind(spark, sf):
     """SPARQL 1.1 BIND lowering: BIND(expr AS ?v) becomes a Catalyst
     select-expression column (pure projection, zero shuffle), evaluated
@@ -3487,6 +3510,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
+    "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),
     "q_sparql_bind": (q_sparql_bind, SQL_SPARQL_BIND),
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),

@@ -293,6 +293,106 @@ def load_turtle(spark, path: str):
     return spark.createDataFrame(trips, "subj string, pred string, obj string")
 
 
+def save_turtle(triples, path: str, mode: str = "overwrite") -> None:
+    """DISTRIBUTED Turtle sink: write a triples DataFrame as .ttl text —
+    the reference's Graph.serialize(format='turtle') recast as a
+    partitioned text write (one N-Triples-ish statement per line, the
+    same subset to_turtle emits and parse_turtle round-trips).
+
+    Formatting is pure native column expressions (regexp_replace /
+    concat / when) — zero Python in the row path, so the sink scales
+    like any other projection+write.  Escapes cover backslash, quote,
+    and \\n \\r \\t; any OTHER control character (C0, DEL, NEL, line/para
+    separators) would silently break the one-statement-per-line framing,
+    so rows containing one are REJECTED LOUDLY up front (counted with a
+    cheap limit(1) probe) rather than written corrupt.
+
+    Output is `part-*.txt` shards under `path` (plus _SUCCESS) — the
+    distributed analogue of one .ttl file; load back with
+    load_turtle_dir or any Turtle parser, order-insensitively (an RDF
+    graph is a set of statements)."""
+    from pyspark.sql import functions as F
+
+    def term(col):
+        is_uri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
+        esc = F.regexp_replace(col, r"\\", r"\\\\")
+        esc = F.regexp_replace(esc, '"', '\\\\"')
+        esc = F.regexp_replace(esc, "\n", r"\\n")
+        esc = F.regexp_replace(esc, "\r", r"\\r")
+        esc = F.regexp_replace(esc, "\t", r"\\t")
+        return F.when(is_uri, F.concat(F.lit("<"), col, F.lit(">"))) \
+            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+
+    bad = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+           "\\x{0085}\\x{2028}\\x{2029}]")
+    n_bad = (
+        triples.where(
+            F.col("subj").rlike(bad) | F.col("pred").rlike(bad)
+            | F.col("obj").rlike(bad)
+        )
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise ValueError(
+            "triples contain control characters outside the Turtle "
+            "sink's escape subset (\\\\ \\\" \\n \\r \\t) — refusing to "
+            "write a corrupt catalog")
+    lines = triples.select(
+        F.concat(
+            term(F.col("subj")), F.lit(" "),
+            F.lit("<"), F.col("pred"), F.lit("> "),
+            term(F.col("obj")), F.lit(" ."),
+        ).alias("value")
+    )
+    lines.write.mode(mode).text(path)
+
+
+def load_turtle_dir(spark, path: str):
+    """Read a save_turtle output directory (or any directory of .ttl
+    text shards) back into a triples DataFrame.  Each shard parses
+    independently (the sink emits self-contained single-line
+    statements), so the parse runs DISTRIBUTED via mapPartitions-style
+    text scan + per-line regex — but here driver-side parsing is
+    unnecessary: the line grammar is regular, so three native
+    regexp_extracts recover the terms and one more pass unescapes
+    literals.  Zero Python in the row path, same as the sink."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    line = (
+        r'^(?:<([^>]*)>|"((?:[^"\\]|\\.)*)")\s+<([^>]*)>\s+'
+        r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)")\s*\.$'
+    )
+
+    def unescape(col):
+        # single-pass-equivalent: protect escaped backslashes into a
+        # sentinel FIRST (so `\\n` = literal backslash + n is not
+        # misread as a newline escape), decode the simple escapes, then
+        # restore the sentinel.  \x00 cannot occur in data — the sink
+        # refuses control characters at write time.
+        esc = F.regexp_replace(col, r"\\\\", "\x00")
+        esc = F.regexp_replace(esc, r"\\t", "\t")
+        esc = F.regexp_replace(esc, r"\\r", "\r")
+        esc = F.regexp_replace(esc, r"\\n", "\n")
+        esc = F.regexp_replace(esc, r'\\"', '"')
+        return F.regexp_replace(esc, "\x00", r"\\")
+
+    parsed = raw.select(
+        *[F.regexp_extract("value", line, i).alias(f"g{i}")
+          for i in range(1, 6)],
+        F.col("value"),
+    )
+    ok = parsed.where(F.length(F.col("g3")) > 0)
+    return ok.select(
+        F.when(F.length("g1") > 0, F.col("g1"))
+        .otherwise(unescape(F.col("g2"))).alias("subj"),
+        F.col("g3").alias("pred"),
+        F.when(F.length("g4") > 0, F.col("g4"))
+        .otherwise(unescape(F.col("g5"))).alias("obj"),
+    )
+
+
 # predicates whose object points at another catalog file (SURVEY S1:
 # "parse .ttl files ... following catalog links"; dcat:catalog /
 # rdfs:seeAlso are the link predicates rdflib catalogs actually use).

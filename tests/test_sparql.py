@@ -524,3 +524,14 @@ def test_group_concat_sorted_deterministic(tri):
            WHERE { ?conv hasTurn ?turn }"""
     got = _rows(sparql(tri, q))
     assert got == [("conv:a", "turn:a/0;turn:a/1"), ("conv:b", "turn:b/0")]
+
+
+def test_a_keyword_is_rdf_type(spark):
+    t = spark.createDataFrame(
+        [("x", "rdf:type", "Widget"), ("y", "rdf:type", "Gadget"),
+         ("x", "hasName", "ecks")],
+        "subj string, pred string, obj string",
+    )
+    assert _rows(sparql(t, "SELECT ?s WHERE { ?s a Widget }")) == [("x",)]
+    got = _rows(sparql(t, "CONSTRUCT { ?s a Thing } WHERE { ?s a ?t }"))
+    assert got == [("x", "rdf:type", "Thing"), ("y", "rdf:type", "Thing")]
