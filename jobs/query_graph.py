@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--query", help="SPARQL query text")
     p.add_argument("--query-file", help="file containing the query")
     p.add_argument("--out", help="write full result parquet here instead of printing")
+    p.add_argument("--out-ttl", help="write the result as Turtle text shards"
+                                     " (CONSTRUCT/DESCRIBE results, or any"
+                                     " subj/pred/obj-shaped result)")
     p.add_argument("--show", type=int, default=20, help="max rows to print without --out")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -55,7 +58,17 @@ def main(argv=None) -> int:
         triples = TableIO(root=args.warehouse).read(spark, "triples")
     result = sparql(triples, query)
 
-    if args.out:
+    if args.out_ttl:
+        from logset_spark.sources.turtle import save_turtle
+
+        if result.columns != ["subj", "pred", "obj"]:
+            p.error("--out-ttl needs a (subj, pred, obj) result "
+                    "(CONSTRUCT / DESCRIBE queries)")
+        save_turtle(result, args.out_ttl)
+        n = spark.read.text(args.out_ttl).count()
+        print(json.dumps({"rows": n, "out_ttl": args.out_ttl,
+                          "columns": result.columns}))
+    elif args.out:
         result.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"rows": n, "out": args.out,
