@@ -1,0 +1,63 @@
+"""Incremental KG build via Structured Streaming — run via spark-submit
+(the streaming twin of build_graph.py's manifest-driven batch resume;
+SURVEY §2.10 X1):
+
+    zip -r kgpipe.zip logset_spark
+    spark-submit --py-files kgpipe.zip jobs/stream_graph.py \
+        --input /path/transcripts_dir --out /path/wh_stream
+
+Each invocation drains EXACTLY the transcript parquet files not yet
+recorded in the stream checkpoint (trigger(availableNow=True)), extracts
+per-turn structural triples with the same URI minting as the batch
+pipeline, appends them to the output parquet, then exits — so a cron of
+this job is an at-least-once incremental ingest with no manual file
+bookkeeping.  Re-running with nothing new appended processes zero files.
+
+Prints ONE JSON line: rows appended this run + total rows in the sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Incremental streaming KG build")
+    p.add_argument("--input", required=True, help="transcript parquet dir (growing)")
+    p.add_argument("--out", required=True, help="output root (triples + checkpoint)")
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from logset_spark.session import get_spark
+    from logset_spark.streaming.incremental import (
+        run_available_now, stream_transcripts, structural_triples_stream,
+    )
+
+    spark = get_spark("stream_graph", cpus=args.cpus)
+    sink = f"{args.out}/triples_stream"
+    checkpoint = f"{args.out}/_checkpoint"
+
+    try:
+        before = spark.read.parquet(sink).count()
+    except Exception:  # noqa: BLE001 - first run: sink does not exist yet
+        before = 0
+
+    triples = structural_triples_stream(
+        stream_transcripts(spark, args.input)
+    ).select("subj", "pred", "obj", "conv_id")
+    run_available_now(triples, checkpoint, sink)
+
+    after = spark.read.parquet(sink).count()
+    print(json.dumps({
+        "rows_appended": after - before,
+        "rows_total": after,
+        "sink": sink,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

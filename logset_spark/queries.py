@@ -945,6 +945,41 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_dedup_incremental(spark, sf):
+    """Cross-corpus incremental dedup — the shape every recurring crawl
+    pipeline needs: dedup the INCOMING batch against the EXISTING corpus
+    (here: doc_id%3==0 plays the existing corpus, the rest the incoming
+    batch), by content hash.  One left-anti join on md5(text): at 100 TB
+    the existing side is a pre-materialized fingerprint table
+    (fingerprint-bucketed, so the anti-join co-locates) — never a
+    re-scan of old text.  Incoming batch also self-dedups (keep min
+    doc_id per fingerprint) so the output is insertable as-is."""
+    d = _t(spark, sf, "documents")
+    existing = d.where(F.col("doc_id") % 3 == 0).select(
+        F.md5("text").alias("fingerprint")
+    ).distinct()
+    incoming = d.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("fingerprint")
+    )
+    fresh = incoming.join(existing, "fingerprint", "left_anti")
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_in_batch"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH existing AS (
+  SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id % 3 = 0),
+incoming AS (
+  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id % 3 <> 0)
+SELECT fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_in_batch
+FROM incoming
+WHERE fingerprint NOT IN (SELECT fingerprint FROM existing)
+GROUP BY fingerprint
+"""
+
+
 _NGRAM_BANDS = 4  # min-hash bands for candidate blocking (both engines)
 
 
@@ -3511,6 +3546,7 @@ REGISTRY: dict[str, tuple] = {
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),
+    "q_dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "q_sparql_bind": (q_sparql_bind, SQL_SPARQL_BIND),
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
