@@ -106,9 +106,10 @@ def _const_term(t: str) -> str:
 
 @dataclass
 class AggItem:
-    func: str  # COUNT/MIN/MAX/SUM/AVG
+    func: str  # COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT
     var: str | None  # None = COUNT(*)
     alias: str
+    distinct: bool = False  # COUNT(DISTINCT ?v) etc.
 
 
 @dataclass
@@ -267,14 +268,18 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
 
     def _agg(mo: re.Match) -> str:
         func = mo.group(1).upper()
-        var = None if mo.group(2) == "*" else mo.group(2)[1:]
+        dist = mo.group(2) is not None
+        var = None if mo.group(3) == "*" else mo.group(3)[1:]
         if var is None and func != "COUNT":
             raise ValueError(f"{func}(*) is not in the subset (COUNT(*) only)")
-        aggs.append(AggItem(func, var, mo.group(3)[1:]))
+        if var is None and dist:
+            raise ValueError("COUNT(DISTINCT *) is not in the subset")
+        aggs.append(AggItem(func, var, mo.group(4)[1:], distinct=dist))
         return " "
 
     sel_raw = re.sub(
-        r"\(\s*(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT)\s*\(\s*(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
+        r"\(\s*(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT)\s*\(\s*"
+        r"(DISTINCT\s+)?(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
         _agg, sel_raw, flags=re.IGNORECASE,
     ).strip()
     if sel_raw == "*":
@@ -840,6 +845,16 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             if a.var is None:
                 return F.count(F.lit(1)).alias(a.alias)
             col = F.col(a.var)
+            if a.distinct:
+                if a.func == "GROUP_CONCAT":
+                    return F.array_join(
+                        F.array_sort(F.collect_set(col)), ";"
+                    ).alias(a.alias)
+                inner = (f"CAST({a.var} AS DOUBLE)"
+                         if a.func in ("SUM", "AVG") else a.var)
+                return F.expr(
+                    f"{a.func.lower()}(DISTINCT {inner})"
+                ).alias(a.alias)
             if a.func == "GROUP_CONCAT":
                 # SPARQL leaves GROUP_CONCAT order unspecified; this
                 # engine SORTS the values first so the result is

@@ -2196,6 +2196,30 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def q_sparql_count_distinct(spark, sf):
+    """DISTINCT inside SPARQL set functions: per conversation, the
+    number of DISTINCT tools its turns used — COUNT(DISTINCT ?v)
+    lowered to the Catalyst distinct aggregate (partial sets merged
+    across partitions, no pre-distinct of the solution multiset)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?conv (COUNT(DISTINCT ?tool) AS ?n_tools)
+           WHERE { ?conv hasTurn ?turn . ?turn usedTool ?tool }""",
+    )
+
+
+SQL_SPARQL_COUNT_DISTINCT = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT ht.subj AS conv, count(DISTINCT ut.obj) AS n_tools
+FROM g ht JOIN g ut ON ut.subj = ht.obj
+WHERE ht.pred = 'hasTurn' AND ut.pred = 'usedTool'
+GROUP BY ht.subj
+"""
+
+
 def q_sparql_having(spark, sf):
     """SPARQL HAVING lowering: the aggregate query's post-groupBy filter
     over its aggregate aliases — tools used by more than 400 turns."""
@@ -3551,6 +3575,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
     "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
+    "q_sparql_count_distinct": (q_sparql_count_distinct,
+                                SQL_SPARQL_COUNT_DISTINCT),
     "q_sparql_having": (q_sparql_having, SQL_SPARQL_HAVING),
     "q_sparql_groupconcat": (q_sparql_groupconcat, SQL_SPARQL_GROUPCONCAT),
     "q_sparql_exists": (q_sparql_exists, SQL_SPARQL_EXISTS),

@@ -535,3 +535,16 @@ def test_a_keyword_is_rdf_type(spark):
     assert _rows(sparql(t, "SELECT ?s WHERE { ?s a Widget }")) == [("x",)]
     got = _rows(sparql(t, "CONSTRUCT { ?s a Thing } WHERE { ?s a ?t }"))
     assert got == [("x", "rdf:type", "Thing"), ("y", "rdf:type", "Thing")]
+
+
+def test_count_distinct_aggregate(spark):
+    t = spark.createDataFrame(
+        [("t1", "usedTool", "grep"), ("t2", "usedTool", "grep"),
+         ("t3", "usedTool", "sed")],
+        "subj string, pred string, obj string",
+    )
+    q = """SELECT (COUNT(DISTINCT ?tool) AS ?n) WHERE { ?t usedTool ?tool }"""
+    assert _rows(sparql(t, q)) == [(2,)]
+    q2 = """SELECT (GROUP_CONCAT(DISTINCT ?tool) AS ?ts)
+            WHERE { ?t usedTool ?tool }"""
+    assert _rows(sparql(t, q2)) == [("grep;sed",)]
