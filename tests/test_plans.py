@@ -277,3 +277,63 @@ def test_turtle_sink_plan_has_no_exchange(spark, tmp_path):
     proj = df.select(F.concat("subj", F.lit(" "), "pred").alias("value"))
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_sparql_values_lowers_to_broadcast_join(spark):
+    """VALUES inline data must arrive as a broadcast join of the tiny
+    literal table — never a shuffle of the big side."""
+    from logset_spark.operators.sparql import sparql
+
+    tri = spark.createDataFrame(
+        [("t1", "usedTool", "grep")], "subj string, pred string, obj string"
+    )
+    df = sparql(tri, """SELECT ?t ?tool WHERE { ?t usedTool ?tool .
+                        VALUES ?tool { grep sed } }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sparql_not_exists_lowers_to_left_anti(spark):
+    from logset_spark.operators.sparql import sparql
+
+    tri = spark.createDataFrame(
+        [("c", "hasTurn", "t1"), ("t1", "usedTool", "grep")],
+        "subj string, pred string, obj string",
+    )
+    df = sparql(tri, """SELECT ?turn WHERE { ?c hasTurn ?turn .
+                        FILTER NOT EXISTS { ?turn usedTool ?x } }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_sparql_exists_lowers_to_left_semi(spark):
+    from logset_spark.operators.sparql import sparql
+
+    tri = spark.createDataFrame(
+        [("c", "hasTurn", "t1"), ("t1", "usedTool", "grep")],
+        "subj string, pred string, obj string",
+    )
+    df = sparql(tri, """SELECT ?turn WHERE { ?c hasTurn ?turn .
+                        FILTER EXISTS { ?turn usedTool ?x } }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_sparql_altpath_prunes_vertical_partitions(spark, tmp_path):
+    """Each arm of a path alternation is a constant-pred scan: on the
+    vertical (pred-partitioned) layout both arms must show partition
+    filters, so only the two predicates' files are read."""
+    from logset_spark.operators.sparql import sparql, write_vertical, read_vertical
+
+    tri = spark.createDataFrame(
+        [("t1", "usedTool", "grep"), ("t1", "hasRole", "tool"),
+         ("c", "hasTurn", "t1")],
+        "subj string, pred string, obj string",
+    )
+    path = str(tmp_path / "vtri")
+    write_vertical(tri, path)
+    stored = read_vertical(spark, path)
+    df = sparql(stored, "SELECT ?s ?o WHERE { ?s usedTool|hasRole ?o }")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "usedTool" in plan and "hasRole" in plan
