@@ -548,3 +548,112 @@ def test_count_distinct_aggregate(spark):
     q2 = """SELECT (GROUP_CONCAT(DISTINCT ?tool) AS ?ts)
             WHERE { ?t usedTool ?tool }"""
     assert _rows(sparql(t, q2)) == [("grep;sed",)]
+
+
+def test_random_filters_and_negation_match_naive(spark):
+    """Randomized semantics sweep for the round-3 algebra: random small
+    graphs x random (pattern, FILTER, OPTIONAL, NOT EXISTS / MINUS /
+    EXISTS) combinations, checked against a naive Python evaluation of
+    the same SPARQL algebra.  Catches scoping and NULL-semantics bugs
+    the hand-picked cases miss."""
+    import random as rnd
+
+    from logset_spark.operators.sparql import bgp
+
+    rng = rnd.Random(77)
+    subjects = [f"s{i}" for i in range(5)]
+    preds = ["p1", "p2", "p3"]
+
+    def naive(triples, base, opt, neg, neg_kind, flt):
+        # base/opt/neg: single patterns; flt: (var, op, const) or None
+        def match(pattern, binding):
+            out = []
+            for t in triples:
+                b = dict(binding)
+                ok = True
+                for term, val in zip(pattern, t):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in b and b[v] != val:
+                            ok = False
+                            break
+                        b[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    out.append(b)
+            return out
+
+        sols = [b2 for b in [{}] for b2 in match(base, b)]
+        if opt is not None:
+            ext = []
+            for b in sols:
+                sub = match(opt, b)
+                ext.extend(sub if sub else [b])
+            sols = ext
+        if neg is not None:
+            inner = [b2 for b in [{}] for b2 in match(neg, b)]
+            inner_vars = {t[1:] for t in neg if t.startswith("?")}
+            kept = []
+            for b in sols:
+                shared = [v for v in b if v in inner_vars]
+                if neg_kind == "minus" and not shared:
+                    kept.append(b)  # disjoint MINUS removes nothing
+                    continue
+                hit = any(all(b.get(v) == i.get(v) for v in shared)
+                          for i in inner) if (shared or neg_kind != "minus") \
+                    else False
+                if not shared and neg_kind in ("not_exists", "exists"):
+                    hit = bool(inner)
+                if neg_kind == "exists":
+                    if hit:
+                        kept.append(b)
+                elif not hit:
+                    kept.append(b)
+            sols = kept
+        if flt is not None:
+            v, op, c = flt
+            def keep(b):
+                x = b.get(v)
+                if x is None:
+                    return False  # NULL comparison -> not kept (both engines)
+                return (x == c) if op == "=" else (x != c)
+            sols = [b for b in sols if keep(b)]
+        return sols
+
+    for case in range(12):
+        triples = sorted({
+            (rng.choice(subjects), rng.choice(preds), rng.choice(subjects))
+            for _ in range(rng.randint(6, 16))
+        })
+        df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+        base = ("?a", rng.choice(preds), "?b")
+        opt = ("?b", rng.choice(preds), "?c") if rng.random() < 0.6 else None
+        neg_kind = rng.choice(["not_exists", "minus", "exists", None])
+        neg = ("?b", rng.choice(preds), "?d") if neg_kind else None
+        flt = ("b", rng.choice(["=", "!="]), rng.choice(subjects)) \
+            if rng.random() < 0.5 else None
+
+        kw = {}
+        if opt is not None:
+            kw["optionals"] = [[opt]]
+        if neg_kind == "not_exists":
+            kw["not_exists"] = [[neg]]
+        elif neg_kind == "minus":
+            kw["minus"] = [[neg]]
+        elif neg_kind == "exists":
+            kw["exists"] = [[neg]]
+        if flt is not None:
+            v, op, c = flt
+            kw["filters"] = [f"?{v} {'=' if op == '=' else '!='} '{c}'"]
+        out_vars = ["a", "b"] + (["c"] if opt is not None else [])
+        got = _rows(bgp(df, [base], select=out_vars, **kw))
+        want = sorted(
+            {tuple(b.get(v) for v in out_vars)
+             for b in naive(triples, base, opt, neg, neg_kind, flt)},
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        assert got == want, (
+            f"case {case}: base={base} opt={opt} neg={neg_kind}:{neg} "
+            f"flt={flt}\n got={got}\nwant={want}")
