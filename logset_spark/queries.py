@@ -2196,6 +2196,53 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def q_sparql_ask(spark, sf):
+    """ASK query form through the compiler: limit(1) existence probe ->
+    ONE boolean row (the scan stops at the first solution, never
+    materializing the solution set).  Both an existing and a
+    non-existing pattern are probed and unioned so the oracle checks
+    true AND false."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    yes = sparql(tri, "ASK { ?t usedTool tool:error }")
+    no = sparql(tri, "ASK { ?t usedTool tool:nonexistent }")
+    return (
+        yes.select(F.lit("has_error_tool").alias("probe"), "ask")
+        .unionByName(
+            no.select(F.lit("has_fake_tool").alias("probe"), "ask"))
+    )
+
+
+SQL_SPARQL_ASK = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT 'has_error_tool' AS probe,
+       EXISTS(SELECT 1 FROM g WHERE pred = 'usedTool'
+                AND obj = 'tool:error') AS ask
+UNION ALL
+SELECT 'has_fake_tool',
+       EXISTS(SELECT 1 FROM g WHERE pred = 'usedTool'
+                AND obj = 'tool:nonexistent')
+"""
+
+
+def q_sparql_describe(spark, sf):
+    """DESCRIBE query form: the concise neighborhood of a resource —
+    subject-of UNION object-of, both pushed-down scans (rdflib's
+    Graph.triples((uri,*,*)) + ((*,*,uri)) shape)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(tri, "DESCRIBE role:tool")
+
+
+SQL_SPARQL_DESCRIBE = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT subj, pred, obj FROM g
+WHERE subj = 'role:tool' OR obj = 'role:tool'
+"""
+
+
 def q_sparql_count_distinct(spark, sf):
     """DISTINCT inside SPARQL set functions: per conversation, the
     number of DISTINCT tools its turns used — COUNT(DISTINCT ?v)
@@ -3575,6 +3622,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
     "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
+    "q_sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
+    "q_sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "q_sparql_count_distinct": (q_sparql_count_distinct,
                                 SQL_SPARQL_COUNT_DISTINCT),
     "q_sparql_having": (q_sparql_having, SQL_SPARQL_HAVING),
