@@ -224,9 +224,84 @@ def parse_sparql(query: str) -> ParsedQuery:
     """Parse the documented SPARQL subset.  Raises ValueError with the
     offending clause on anything outside the subset — silent
     misinterpretation of a query language is worse than rejection.
-    Quoted literals are protected before any structural parsing."""
+    Quoted literals are protected before any structural parsing.
+
+    Leading `PREFIX ns: <iri>` headers (SPARQL 1.1) are honored:
+    constant `ns:local` TERMS in triple patterns, VALUES blocks,
+    CONSTRUCT templates, and DESCRIBE targets expand to the full IRI —
+    so queries against catalogs loaded with the same prefixes read
+    naturally.  (FILTER/BIND bodies take full `<iri>`s or 'literals';
+    prefix expansion inside expressions is outside the subset.)  An
+    unbound prefix stays verbatim — this engine's own URIs are
+    prefixed strings with no prefix table."""
     q, lits = _protect_literals(" ".join(query.split()))
-    return _parse_protected(q, lits)
+    prefixes: dict[str, str] = {}
+    # strip leading PREFIX headers one at a time (<iri> is already a
+    # placeholder at this point — _protect_literals ran first)
+    while True:
+        m = re.match(r"\s*PREFIX\s+(\w*):\s*\x00(\d+)\x00\s*", q,
+                     re.IGNORECASE)
+        if not m:
+            break
+        inner, is_iri = lits[int(m.group(2))]
+        if not is_iri:
+            raise ValueError("PREFIX needs an <iri>")
+        prefixes[m.group(1)] = inner
+        q = q[m.end():]
+    pq = _parse_protected(q, lits)
+    if prefixes:
+        _expand_prefixes(pq, prefixes)
+    return pq
+
+
+def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
+    """Expand bound `ns:local` constants in every TERM position of the
+    parsed query, in place."""
+
+    def x(t: str) -> str:
+        if _is_var(t) or t.startswith(("<", "_:")):
+            return t
+        if ":" in t:
+            head, local = t.split(":", 1)
+            # path operators keep their structure: expand each atom
+            if _is_path(t):
+                def x_atom(a: str) -> str:
+                    inv = a.startswith("^")
+                    core = a[1:] if inv else a
+                    suf = core[-1] if core and core[-1] in "+*" else ""
+                    base = core[:-1] if suf else core
+                    out = x(base) if ":" in base else base
+                    return ("^" if inv else "") + out + suf
+                return "|".join(
+                    "/".join(x_atom(a) for a in seq.split("/"))
+                    for seq in t.split("|")
+                )
+            if head in prefixes:
+                # expanded IRIs contain '/' etc.: wrap in <> so the
+                # lowering treats them as plain constants, never paths
+                return f"<{prefixes[head]}{local}>"
+        return t
+
+    def xp(pats):
+        return [(x(a), x(b), x(c)) for a, b, c in pats]
+
+    pq.patterns = xp(pq.patterns)
+    pq.optionals = [
+        (xp(g[0]), g[1]) if isinstance(g, tuple) else xp(g)
+        for g in pq.optionals
+    ]
+    pq.unions = [(xp(arm), fl) for arm, fl in pq.unions]
+    pq.not_exists = [xp(g) for g in pq.not_exists]
+    pq.exists = [xp(g) for g in pq.exists]
+    pq.minus = [xp(g) for g in pq.minus]
+    pq.values = [
+        (vs, [tuple(x(v) for v in row) for row in rows])
+        for vs, rows in pq.values
+    ]
+    if pq.construct is not None:
+        pq.construct = xp(pq.construct)
+    if pq.describe is not None:
+        pq.describe = _const_term(x(pq.describe))
 
 
 def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
@@ -472,12 +547,30 @@ def _filter_to_expr(body: str) -> str:
 # property-path detection: a constant predicate containing '|' or '/' or
 # a trailing '+'/'*' is a path expression (plain prefixed URIs in this
 # engine use ':' only, so the operator characters are unambiguous)
+def _mask_iris(s: str) -> str:
+    """Replace <...> spans with a neutral char so path-operator checks
+    and splits never fire on characters INSIDE an IRI."""
+    return re.sub(r"<[^<>]*>", lambda m: "" * len(m.group()), s)
+
+
+def _split_outside_iris(s: str, sep: str) -> list[str]:
+    masked = _mask_iris(s)
+    parts, start = [], 0
+    for i, ch in enumerate(masked):
+        if ch == sep:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def _is_path(pred: str) -> bool:
-    if pred.startswith("<"):  # <iri> form: always a plain predicate
+    if _is_var(pred) or len(pred) <= 1:
         return False
-    return not _is_var(pred) and len(pred) > 1 and (
-        "|" in pred or "/" in pred or pred[-1] in "+*" or pred[0] == "^"
-    )
+    m = _mask_iris(pred)
+    if set(m) <= {""}:  # the whole term is one <iri>: plain predicate
+        return False
+    return "|" in m or "/" in m or m[-1] in "+*" or m[0] == "^"
 
 
 def _path_edges(triples: DataFrame, path: str) -> DataFrame:
@@ -503,6 +596,7 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
         star = atom.endswith("*")
         plus = atom.endswith("+")
         base = atom[:-1] if (star or plus) else atom
+        base = _const_term(base)  # <iri> atoms denote the raw IRI
         if not base or _is_var(base) or "^" in base:
             raise ValueError(f"bad property-path atom: {atom!r}")
         spos, opos = ("obj", "subj") if inverse else ("subj", "obj")
@@ -526,7 +620,7 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
         ).distinct()
 
     def seq_edges(seq: str) -> DataFrame:
-        steps = [s.strip() for s in seq.split("/")]
+        steps = [s.strip() for s in _split_outside_iris(seq, "/")]
         if any(not s for s in steps):
             raise ValueError(f"bad property-path sequence: {seq!r}")
         acc = atom_edges(steps[0])
@@ -539,7 +633,7 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
             )
         return acc
 
-    arms = [a.strip() for a in path.split("|")]
+    arms = [a.strip() for a in _split_outside_iris(path, "|")]
     if any(not a for a in arms):
         raise ValueError(f"bad property-path alternation: {path!r}")
     out = seq_edges(arms[0])
@@ -577,7 +671,12 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
             else:
                 first_pos_of[v] = pos
         else:
-            df = df.where(F.col(pos) == _const_term(term))
+            # a path-expression pred compares against its own verbatim
+            # string (the lit the compiled edge source carries); plain
+            # constants strip their <iri> brackets
+            cmp = term if (pos == "pred" and _is_path(term)) \
+                else _const_term(term)
+            df = df.where(F.col(pos) == cmp)
     cols = [F.col(pos).alias(v) for v, pos in first_pos_of.items()]
     # a pattern with no vars is an existence assertion: one marker row if
     # any triple matches, zero otherwise (limit(1) so the later crossJoin

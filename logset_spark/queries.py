@@ -2196,6 +2196,47 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def _fixture(name: str) -> str:
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", name,
+    )
+    if os.path.exists(here):
+        return here
+    return os.path.join(os.getcwd(), "tests", "fixtures", name)
+
+
+TTL_FIXTURE = _fixture("catalog_entry.ttl")
+TTL_FLAT_FIXTURE = _fixture("catalog_flat.csv")
+
+
+def q_sparql_prefix(spark, sf):
+    """SPARQL 1.1 PREFIX headers over a REAL loaded catalog: the query
+    is written with prefixed names (logset:partOf), expanded against the
+    header binding to the full IRIs the Turtle loader produced — the
+    end-to-end shape of a user querying an rdflib-serialized catalog.
+    The oracle reads the committed pre-flattened triple CSV."""
+    from .operators.sparql import sparql
+    from .sources.turtle import load_catalog
+
+    tri = load_catalog(spark, TTL_FIXTURE, follow_links=True)
+    return sparql(
+        tri,
+        """PREFIX logset: <http://example.org/logset#>
+           SELECT DISTINCT ?s ?c WHERE { ?s logset:partOf ?c }""",
+    )
+
+
+SQL_SPARQL_PREFIX = f"""
+SELECT DISTINCT subj AS s, obj AS c
+FROM read_csv('{TTL_FLAT_FIXTURE}', header=true, auto_detect=false,
+              delim=',', quote='"', escape='"',
+              columns={{'subj': 'VARCHAR', 'pred': 'VARCHAR',
+                        'obj': 'VARCHAR'}})
+WHERE pred = 'http://example.org/logset#partOf'
+"""
+
+
 def q_sparql_ask(spark, sf):
     """ASK query form through the compiler: limit(1) existence probe ->
     ONE boolean row (the scan stops at the first solution, never
@@ -2967,20 +3008,6 @@ def _csv_fixture() -> str:
 CSV_FIXTURE = _csv_fixture()
 
 
-def _fixture(name: str) -> str:
-    here = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests", "fixtures", name,
-    )
-    if os.path.exists(here):
-        return here
-    return os.path.join(os.getcwd(), "tests", "fixtures", name)
-
-
-TTL_FIXTURE = _fixture("catalog_entry.ttl")
-TTL_FLAT_FIXTURE = _fixture("catalog_flat.csv")
-
-
 def q_ttl_source(spark, sf):
     """S1 catalog ingestion the way the reference does it (SURVEY S1 /
     §3.1): parse the entry .ttl — REAL Turtle now: @prefix bindings,
@@ -3622,6 +3649,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
     "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
+    "q_sparql_prefix": (q_sparql_prefix, SQL_SPARQL_PREFIX),
     "q_sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
     "q_sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "q_sparql_count_distinct": (q_sparql_count_distinct,

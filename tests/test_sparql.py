@@ -657,3 +657,54 @@ def test_random_filters_and_negation_match_naive(spark):
         assert got == want, (
             f"case {case}: base={base} opt={opt} neg={neg_kind}:{neg} "
             f"flt={flt}\n got={got}\nwant={want}")
+
+
+def test_prefix_headers_expand_terms(spark):
+    t = spark.createDataFrame(
+        [("http://ex.org/s1", "http://ex.org/knows", "http://ex.org/s2"),
+         ("http://ex.org/s2", "http://ex.org/knows", "http://ex.org/s3")],
+        "subj string, pred string, obj string",
+    )
+    q = """PREFIX ex: <http://ex.org/>
+           SELECT ?a ?b WHERE { ?a ex:knows ?b . VALUES ?a { ex:s1 } }"""
+    assert _rows(sparql(t, q)) == [("http://ex.org/s1", "http://ex.org/s2")]
+    # property path with prefixed atoms
+    q2 = """PREFIX ex: <http://ex.org/>
+            SELECT ?a ?c WHERE { ?a ex:knows/ex:knows ?c }"""
+    assert _rows(sparql(t, q2)) == [("http://ex.org/s1", "http://ex.org/s3")]
+    # closure path
+    q3 = """PREFIX ex: <http://ex.org/>
+            SELECT ?a ?c WHERE { ?a ex:knows+ ?c . VALUES ?a { ex:s1 } }"""
+    assert _rows(sparql(t, q3)) == [
+        ("http://ex.org/s1", "http://ex.org/s2"),
+        ("http://ex.org/s1", "http://ex.org/s3"),
+    ]
+    # CONSTRUCT template + DESCRIBE target expansion
+    q4 = """PREFIX ex: <http://ex.org/>
+            CONSTRUCT { ?a ex:met ?b } WHERE { ?a ex:knows ?b }"""
+    got = _rows(sparql(t, q4))
+    assert ("http://ex.org/s1", "http://ex.org/met", "http://ex.org/s2") in got
+    q5 = "PREFIX ex: <http://ex.org/> DESCRIBE ex:s2"
+    assert len(_rows(sparql(t, q5))) == 2
+    # unbound prefix stays verbatim (engine-style prefixed strings)
+    t2 = spark.createDataFrame(
+        [("conv:a", "hasTurn", "turn:a/0")],
+        "subj string, pred string, obj string",
+    )
+    q6 = """PREFIX ex: <http://ex.org/>
+            SELECT ?t WHERE { conv:a hasTurn ?t }"""
+    assert _rows(sparql(t2, q6)) == [("turn:a/0",)]
+
+
+def test_prefix_over_loaded_catalog(spark):
+    import os
+
+    from logset_spark.sources.turtle import load_catalog
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    df = load_catalog(spark, os.path.join(fix, "catalog_entry.ttl"))
+    q = """PREFIX logset: <http://example.org/logset#>
+           SELECT ?s WHERE { ?s logset:partOf ?c }"""
+    got = sorted(r["s"] for r in sparql(df, q).collect())
+    assert got == ["http://example.org/logset#series_console",
+                   "http://example.org/logset#series_messages"]
