@@ -337,3 +337,19 @@ def test_sparql_altpath_prunes_vertical_partitions(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "usedTool" in plan and "hasRole" in plan
+
+
+def test_sparql_order_limit_uses_take_ordered(spark):
+    """ORDER BY + LIMIT through the SPARQL compiler must plan as
+    TakeOrderedAndProject (per-partition top-k + merge), never a global
+    sort followed by a limit."""
+    from logset_spark.operators.sparql import sparql
+
+    tri = spark.createDataFrame(
+        [(f"t{i}", "usedTool", f"tool{i % 3}") for i in range(20)],
+        "subj string, pred string, obj string",
+    )
+    df = sparql(tri, "SELECT ?t ?tool WHERE { ?t usedTool ?tool } "
+                     "ORDER BY ?tool DESC LIMIT 2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
