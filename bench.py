@@ -89,7 +89,12 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     t_total = time.monotonic()
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # 3 reps by default: the host's hypervisor bandwidth ceiling now
+    # oscillates FASTER than one pipeline run (probes 0.97 -> 5.2 -> 65.5
+    # GB/s within minutes, BENCH/BASELINE.md round-3 section), so min-
+    # over-reps needs enough draws to catch a healthy window — with 3,
+    # round 3 scored 62.8s against same-day single-run walls of ~155s.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     # -- headline queries ------------------------------------------------------
     # Same statistic as the pipeline below and scripts/scaling_bench.py:
