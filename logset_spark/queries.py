@@ -1710,6 +1710,63 @@ FROM events
 """
 
 
+def q_time_travel(spark, sf):
+    """S3-S5 snapshot isolation, oracle-checked: events-as-transcript rows
+    go through SnapshotTableIO (sources/snapshots.py — the Iceberg-
+    semantics emulation: immutable commits, manifest-pointed snapshots,
+    atomic pointer advance).  Commit v1 = the full table; commit v2 =
+    a dynamic partition-overwrite that edits ONLY the earliest ts_day.
+    The query reads BOTH versions back (time travel) and unions them
+    under a `snap` tag: v1 must be byte-identical to the original rows
+    (immutability — the overwrite cannot leak backwards) and v2 must be
+    exactly 'original with the min day edited'.  Oracle replays the edit
+    as a CASE expression — metadata games must never change data."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTableIO
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("etype"),
+    )
+    # bounded 1-row driver agg picks the overwrite day deterministically
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_time_travel_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotTableIO(root=root, n_buckets=8)
+    v1 = store.commit(e)
+    upd = e.filter(F.to_date("ts") == F.lit(d0)).withColumn(
+        "etype", F.lit("edited")
+    )
+    v2 = store.commit(upd)  # repoints every bucket of day d0, nothing else
+    cols = ["conv_id", "turn_idx", "ts", "etype"]
+    return (
+        store.read(spark, version=v1).select(F.lit("v1").alias("snap"), *cols)
+        .unionAll(
+            store.read(spark, version=v2).select(F.lit("v2").alias("snap"), *cols)
+        )
+    )
+
+
+SQL_TIME_TRAVEL = """
+WITH base AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id AS INT) AS turn_idx, ts, event_type AS etype
+    FROM events
+)
+SELECT 'v1' AS snap, conv_id, turn_idx, ts, etype FROM base
+UNION ALL
+SELECT 'v2' AS snap, conv_id, turn_idx, ts,
+       CASE WHEN CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM base)
+            THEN 'edited' ELSE etype END AS etype
+FROM base
+"""
+
+
 def bucketed_tables(spark, sf):
     """Write orders + customer as Spark BUCKETED tables (bucketBy 8 on
     the join key, sortBy within buckets) and return them re-read from
@@ -3701,6 +3758,7 @@ REGISTRY: dict[str, tuple] = {
     "q_lm_score": (q_lm_score, SQL_LM_SCORE),
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_chunk": (q_chunk, SQL_CHUNK),
+    "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     # ---- block B: r01-only greens, refreshed to fill the window ------
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -1,0 +1,129 @@
+"""SnapshotTableIO — Iceberg-semantics tests: immutable commits,
+time travel, dynamic partition overwrite, append, rollback, expiry."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from logset_spark.sources.snapshots import SnapshotTableIO
+
+
+@pytest.fixture()
+def store():
+    root = tempfile.mkdtemp(prefix="logset_snap_")
+    yield SnapshotTableIO(root=root, n_buckets=4)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts string, etype string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _base_rows():
+    # two days x several convs so both partitions levels get exercised
+    return [
+        (f"c{i}", t, f"2024-03-0{1 + i % 2} 0{t}:00:00", "msg")
+        for i in range(6)
+        for t in range(3)
+    ]
+
+
+def test_roundtrip_and_versioning(spark, store):
+    df = _frame(spark, _base_rows())
+    v = store.commit(df)
+    assert v == 1 and store.current_version() == 1
+    back = store.read(spark)
+    assert back.count() == df.count()
+    # layout columns came back as partition columns
+    assert {"ts_day", "conv_bucket"} <= set(back.columns)
+    assert "commit" not in back.columns
+
+
+def test_time_travel_after_partition_overwrite(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    # overwrite ONLY day 2024-03-02: every bucket of that day is present
+    # in the update, so the day is exactly replaced
+    upd = df.filter(F.to_date("ts") == "2024-03-02") \
+            .withColumn("etype", F.lit("edited"))
+    v2 = store.commit(upd)
+    assert v2 == 2
+    # v1 is untouched (immutable files)
+    v1_read = store.read(spark, version=1)
+    assert v1_read.filter(F.col("etype") == "edited").count() == 0
+    assert v1_read.count() == df.count()
+    # latest sees the overwrite, day-1 rows survive
+    latest = store.read(spark)
+    assert latest.count() == df.count()
+    assert latest.filter(F.col("etype") == "edited").count() == upd.count()
+    assert latest.filter(
+        (F.col("ts_day") == "2024-03-01") & (F.col("etype") != "msg")
+    ).count() == 0
+
+
+def test_append_mode_accumulates(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    extra = df.limit(4).withColumn("etype", F.lit("extra"))
+    store.commit(extra, mode="append")
+    latest = store.read(spark)
+    assert latest.count() == df.count() + 4
+    # time travel still sees only the original rows
+    assert store.read(spark, version=1).count() == df.count()
+
+
+def test_rollback_is_nondestructive(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    store.commit(df.withColumn("etype", F.lit("v2")))
+    v3 = store.rollback(1)
+    assert v3 == 3
+    assert store.read(spark).filter(F.col("etype") == "v2").count() == 0
+    # the rolled-over version is still readable
+    assert store.read(spark, version=2) \
+                .filter(F.col("etype") == "v2").count() == df.count()
+    ops = {r["version"]: r["operation"]
+           for r in store.history(spark).collect()}
+    assert ops == {1: "overwrite_partitions", 2: "overwrite_partitions",
+                   3: "rollback_to_1"}
+
+
+def test_expire_gc_and_retained_reads(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                        # v1 (commit 1)
+    store.commit(df.withColumn("etype", F.lit("v2")))       # v2 (commit 2)
+    removed = store.expire_snapshots(keep_from=2)
+    # v1's commit files are referenced by NO retained snapshot -> GC'd
+    assert removed == [1]
+    assert not os.path.isdir(os.path.join(store.root, "data", "commit=1"))
+    # latest still reads fine
+    assert store.read(spark).count() == df.count()
+    # expired version now raises loudly instead of returning wrong data
+    with pytest.raises(ValueError, match="expired"):
+        store.read(spark, version=1)
+
+
+def test_expire_keeps_shared_commits(spark, store):
+    """Append chains share commits across snapshots: expiring v1 must NOT
+    GC commit 1 while v2 (append) still references its files."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                        # v1
+    store.commit(df.limit(2), mode="append")                # v2 references c1+c2
+    removed = store.expire_snapshots(keep_from=2)
+    assert removed == []
+    assert store.read(spark).count() == df.count() + 2
+
+
+def test_partition_pruning_survives_time_travel(spark, store):
+    """A ts_day filter over a snapshot read must prune to that day's
+    directories (partition columns are recovered via basePath)."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    plan = store.read(spark).filter(F.col("ts_day") == "2024-03-01") \
+                ._jdf.queryExecution().executedPlan().toString()
+    assert "ts_day=2024-03-01" in plan or "PartitionFilters" in plan
