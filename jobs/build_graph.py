@@ -35,11 +35,17 @@ def main(argv=None) -> int:
                    help="before starting, drop stage-1 checkpoints left by "
                         "OTHER run_ids under this warehouse (crashed/abandoned "
                         "runs); forfeits resume for those run_ids")
+    p.add_argument("--snapshots", action="store_true",
+                   help="land triples as a snapshot-versioned (Iceberg-"
+                        "semantics) table: immutable commits, time travel "
+                        "across runs, atomic publish; query with "
+                        "query_graph --as-of N")
     args = p.parse_args(argv)
 
     from logset_spark.pipeline import build_graph
     from logset_spark.session import get_spark
     from logset_spark.sources import synth
+    from logset_spark.sources.snapshots import SnapshotTriplesIO
     from logset_spark.sources.tableio import TableIO
 
     spark = get_spark("build_graph", cpus=args.cpus)
@@ -52,7 +58,8 @@ def main(argv=None) -> int:
         transcripts = spark.read.parquet(args.input)
         dictionary = spark.read.parquet(args.dict_path)
 
-    io = TableIO(args.out, n_buckets=args.buckets, n_write_salts=args.write_salts)
+    io_cls = SnapshotTriplesIO if args.snapshots else TableIO
+    io = io_cls(args.out, n_buckets=args.buckets, n_write_salts=args.write_salts)
     timings: dict = {}
     result = build_graph(
         spark, transcripts, dictionary, io,
@@ -60,6 +67,8 @@ def main(argv=None) -> int:
         timings=timings, gc_stale_checkpoints=args.gc_stale_checkpoints,
     )
     result["stage_s"] = timings
+    if args.snapshots:
+        result["snapshot_version"] = io.store.current_version()
     print(json.dumps(result))
     return 0
 

@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                                      " (CONSTRUCT/DESCRIBE results, or any"
                                      " subj/pred/obj-shaped result)")
     p.add_argument("--show", type=int, default=20, help="max rows to print without --out")
+    p.add_argument("--as-of", type=int, default=None, dest="as_of",
+                   help="time-travel: query the triples snapshot at this "
+                        "version (warehouse built with build_graph "
+                        "--snapshots; default = latest)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -52,10 +56,22 @@ def main(argv=None) -> int:
 
     spark = get_spark("query_graph", cpus=args.cpus)
     if args.catalog:
+        if args.as_of is not None:
+            p.error("--as-of needs a --warehouse built with --snapshots")
         triples = load_catalog(spark, args.catalog,
                                follow_links=args.follow_links)
     else:
-        triples = TableIO(root=args.warehouse).read(spark, "triples")
+        import os
+
+        if os.path.isdir(os.path.join(args.warehouse, "triples", "_meta")):
+            from logset_spark.sources.snapshots import SnapshotTriplesIO
+
+            store = SnapshotTriplesIO(root=args.warehouse).store
+            triples = store.read(spark, version=args.as_of)
+        elif args.as_of is not None:
+            p.error("--as-of needs a --warehouse built with --snapshots")
+        else:
+            triples = TableIO(root=args.warehouse).read(spark, "triples")
     result = sparql(triples, query)
 
     if args.out_ttl:

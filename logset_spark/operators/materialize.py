@@ -68,17 +68,17 @@ def sink_partitions(
     it writes, bumping their mtime, so "dirs touched since run start" =
     "partitions THIS run landed" even on a reused warehouse whose sink
     holds partitions from earlier manifest-less writers."""
-    out = []
-    for d in glob.glob(f"{io.path(name)}/ts_day=*/conv_bucket=*"):
+    out = set()
+    for d in io.partition_dirs(name):
         bucket_dir, day_dir = d, os.path.dirname(d)
         day = os.path.basename(day_dir).split("=", 1)[1]
         if day.startswith("__"):  # null-ts pseudo-partition (global sameAs
             continue              # rows) — regenerated idempotently, not
         if since_mtime is not None and os.path.getmtime(d) < since_mtime:
             continue
-        out.append(
-            (day, int(os.path.basename(bucket_dir).split("=", 1)[1]))
-        )
+        # a snapshot store may map one logical partition to SEVERAL
+        # physical dirs (append commits) — set semantics dedup them
+        out.add((day, int(os.path.basename(bucket_dir).split("=", 1)[1])))
     return sorted(out)
 
 
@@ -187,15 +187,17 @@ def partition_row_counts(io: TableIO, name: str = TRIPLES) -> list[tuple[str, in
     `.partitions` metadata table."""
     import pyarrow.parquet as pq
 
-    out = []
-    for d in glob.glob(f"{io.path(name)}/ts_day=*/conv_bucket=*"):
+    acc: dict[tuple[str, int], int] = {}
+    for d in io.partition_dirs(name):
         day = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
         bucket = int(os.path.basename(d).split("=", 1)[1])
         n = 0
         for f in glob.glob(f"{d}/*.parquet"):
             n += pq.ParquetFile(f).metadata.num_rows
-        out.append((day, bucket, n))
-    return sorted(out)
+        # append-commit snapshots split one logical partition over
+        # several physical dirs — sum them
+        acc[(day, bucket)] = acc.get((day, bucket), 0) + n
+    return sorted((d, b, n) for (d, b), n in acc.items())
 
 
 def filter_to_pending(

@@ -44,9 +44,8 @@ import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from .tableio import DEFAULT_BUCKETS, with_layout
+from .tableio import DEFAULT_BUCKETS, TableIO
 
 
 def _key(day: str, bucket: str) -> str:
@@ -59,6 +58,7 @@ class SnapshotTableIO:
 
     root: str
     n_buckets: int = DEFAULT_BUCKETS
+    n_write_salts: int = 1  # hot-partition writer spread, as in TableIO
 
     # ---- metadata plumbing -------------------------------------------------
 
@@ -120,7 +120,13 @@ class SnapshotTableIO:
                     out.append((day, b_dir.split("=", 1)[1]))
         return out
 
-    def commit(self, df: DataFrame, mode: str = "overwrite_partitions") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite_partitions",
+        finisher=None,
+        pre_sort=None,
+    ) -> int:
         """Write `df` as a new immutable commit and publish the snapshot.
 
         mode="overwrite_partitions": Iceberg dynamic overwrite — partitions
@@ -129,18 +135,30 @@ class SnapshotTableIO:
         mode="append": this commit's files are ADDED to each partition's
             file set (Iceberg fast-append).
 
+        `finisher`/`pre_sort` are TableIO.prepare's plan hooks (exchange-
+        fused dedup, post-sort wide-column reconstruction) so the KG
+        pipeline's single-exchange write plan carries over unchanged when
+        the triples sink is snapshot-versioned.
+
         Returns the new version number."""
         if mode not in ("overwrite_partitions", "append"):
             raise ValueError(f"unknown commit mode {mode!r}")
         parent = self.current_version()
         version = parent + 1
+        commit_dir = os.path.join(self._data, f"commit={version}")
+        if os.path.isdir(commit_dir):
+            # a crashed earlier attempt wrote data but never published —
+            # unreachable from every snapshot (the pointer never moved), so
+            # clearing it is safe and makes resume re-runs possible
+            shutil.rmtree(commit_dir)
+        prepared = TableIO(
+            root=self.root, n_buckets=self.n_buckets,
+            n_write_salts=self.n_write_salts,
+        ).prepare(df, finisher=finisher, pre_sort=pre_sort)
         (
-            with_layout(df, self.n_buckets)
-            .repartition(F.col("ts_day"), F.col("conv_bucket"))
-            .sortWithinPartitions("ts_day", "conv_bucket", "conv_id", "turn_idx")
-            .write.mode("errorifexists")
+            prepared.write.mode("errorifexists")
             .partitionBy("ts_day", "conv_bucket")
-            .parquet(os.path.join(self._data, f"commit={version}"))
+            .parquet(commit_dir)
         )
         mapping: dict[str, list[int]] = (
             dict(self._load_snapshot(parent)["mapping"]) if parent else {}
@@ -175,20 +193,27 @@ class SnapshotTableIO:
 
     # ---- read path ---------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the table as of `version` (default: latest).  Hands Spark
-        the snapshot's partition directories with a shared basePath so
-        ts_day/conv_bucket come back as partition columns and partition
-        pruning still works; the transient commit= level is dropped."""
+    def partition_dirs(self, version: int | None = None) -> list[str]:
+        """Physical (ts_day, conv_bucket) leaf dirs constituting a snapshot
+        (default: latest) — the manifest answer to TableIO.partition_dirs.
+        One logical partition may map to several dirs (append commits)."""
         v = self.current_version() if version is None else version
         snap = self._load_snapshot(v)
-        paths = [
+        return [
             os.path.join(self._data, f"commit={c}",
                          f"ts_day={day}", f"conv_bucket={bucket}")
             for k, commits in sorted(snap["mapping"].items())
             for c in commits
             for day, bucket in [k.split("|", 1)]
         ]
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the table as of `version` (default: latest).  Hands Spark
+        the snapshot's partition directories with a shared basePath so
+        ts_day/conv_bucket come back as partition columns and partition
+        pruning still works; the transient commit= level is dropped."""
+        v = self.current_version() if version is None else version
+        paths = self.partition_dirs(v)
         if not paths:
             raise ValueError(f"snapshot v{v} is empty")
         return (
@@ -240,3 +265,62 @@ class SnapshotTableIO:
                     shutil.rmtree(os.path.join(self._data, d))
                     removed.append(c)
         return removed
+
+
+@dataclass
+class SnapshotTriplesIO(TableIO):
+    """TableIO whose `triples` table is snapshot-versioned — the Iceberg-
+    shaped drop-in sink the north rule describes ("the materialized graph
+    lands as partitioned Iceberg triple tables").
+
+    Control tables (manifest, lineage, stage checkpoints) stay plain
+    parquet through the base class; only the triples sink is routed
+    through SnapshotTableIO, so the whole KG pipeline (build_graph) runs
+    UNCHANGED against it:
+
+    * each `write(..., "triples")` becomes an immutable commit + atomic
+      snapshot publish — a run that crashes mid-write leaves the previous
+      snapshot readable (its commit dir is unpublished garbage, cleared on
+      the resume's next commit);
+    * dynamic partition overwrite keeps its resume semantics at the
+      METADATA level (repointing, never deleting), so every earlier run's
+      graph stays queryable via time travel (`read_version`);
+    * `partition_dirs("triples")` answers from the current snapshot's
+      manifest, which keeps mark_done/lineage row counts correct even
+      though superseded files remain on disk.
+    """
+
+    snapshot_table: str = "triples"
+
+    @property
+    def store(self) -> SnapshotTableIO:
+        return SnapshotTableIO(
+            root=self.path(self.snapshot_table),
+            n_buckets=self.n_buckets,
+            n_write_salts=self.n_write_salts,
+        )
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              finisher=None, pre_sort=None) -> None:
+        if name != self.snapshot_table:
+            return super().write(df, name, mode, finisher=finisher,
+                                 pre_sort=pre_sort)
+        cmode = "append" if mode == "append" else "overwrite_partitions"
+        self.store.commit(df, mode=cmode, finisher=finisher,
+                          pre_sort=pre_sort)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if name != self.snapshot_table:
+            return super().read(spark, name)
+        return self.store.read(spark)
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time-travel read of the triples table (VERSION AS OF)."""
+        return self.store.read(spark, version=version)
+
+    def partition_dirs(self, name: str) -> list[str]:
+        if name != self.snapshot_table:
+            return super().partition_dirs(name)
+        if self.store.current_version() == 0:
+            return []
+        return self.store.partition_dirs()

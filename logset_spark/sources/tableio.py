@@ -140,6 +140,17 @@ class TableIO:
             return spark.table(self.path(name))
         return spark.read.parquet(self.path(name))
 
+    def partition_dirs(self, name: str) -> list[str]:
+        """Physical (ts_day=*, conv_bucket=*) leaf directories that make up
+        the CURRENT state of a partitioned table — the FS stand-in for
+        Iceberg's `.partitions` metadata table.  Manifest/lineage helpers
+        key off this instead of globbing directly so a snapshot-versioned
+        store (sources/snapshots.py) can answer from its manifest: there
+        the current state is a subset of the files on disk."""
+        import glob
+
+        return sorted(glob.glob(f"{self.path(name)}/ts_day=*/conv_bucket=*"))
+
     def remove(self, name: str, spark: SparkSession | None = None) -> None:
         """Drop a table/directory (checkpoint GC).  The parquet catalog is
         a filesystem tree; iceberg needs a catalog DROP through a session."""

@@ -127,3 +127,79 @@ def test_partition_pruning_survives_time_travel(spark, store):
     plan = store.read(spark).filter(F.col("ts_day") == "2024-03-01") \
                 ._jdf.queryExecution().executedPlan().toString()
     assert "ts_day=2024-03-01" in plan or "PartitionFilters" in plan
+
+
+# ---- SnapshotTriplesIO: the pipeline's Iceberg-shaped triples sink ------
+
+def _synth_frames(spark, n_convs=8):
+    from logset_spark.sources import synth
+
+    tdf = spark.createDataFrame(
+        synth.transcripts_pdf(n_convs=n_convs), schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(
+        synth.entity_dictionary_pdf(), schema=synth.DICT_SCHEMA)
+    return tdf, ddf
+
+
+def test_pipeline_on_snapshot_sink_matches_plain(spark, tmp_path):
+    """build_graph against SnapshotTriplesIO must emit the exact triple
+    set the plain TableIO sink emits — snapshotting is metadata, never
+    data — and each run must be time-travelable afterwards."""
+    from logset_spark.pipeline import build_graph
+    from logset_spark.sources.snapshots import SnapshotTriplesIO
+    from logset_spark.sources.tableio import TableIO
+
+    tdf, ddf = _synth_frames(spark)
+    io_plain = TableIO(str(tmp_path / "wh_plain"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io_plain, run_id="p1")
+    io_snap = SnapshotTriplesIO(str(tmp_path / "wh_snap"), n_buckets=4)
+    res = build_graph(spark, tdf, ddf, io_snap, run_id="s1")
+    assert res["triples"] > 0
+
+    cols = ["subj", "pred", "obj"]
+    plain = io_plain.read(spark, "triples").select(cols)
+    snap = io_snap.read(spark, "triples").select(cols)
+    assert plain.exceptAll(snap).count() == 0
+    assert snap.exceptAll(plain).count() == 0
+
+    v1 = io_snap.store.current_version()
+    assert v1 >= 1
+
+    # second run over EXTENDED input -> new snapshot; the old version
+    # still answers with run-1's graph (time travel across runs)
+    tdf2, _ = _synth_frames(spark, n_convs=12)
+    res2 = build_graph(spark, tdf2, ddf, io_snap, run_id="s2")
+    assert res2["triples"] > res["triples"]
+    v2 = io_snap.store.current_version()
+    assert v2 > v1
+    old = io_snap.read_version(spark, v1).select(cols)
+    assert old.exceptAll(plain).count() == 0
+    assert old.exceptAll(snap.select(cols)).count() == 0
+    latest = io_snap.read(spark, "triples").select(cols)
+    assert latest.count() > old.count()
+
+
+def test_snapshot_sink_resume_skips_done_run(spark, tmp_path):
+    """Same run_id re-run on the snapshot sink -> manifest short-circuit,
+    no new snapshot version published."""
+    from logset_spark.pipeline import build_graph
+    from logset_spark.sources.snapshots import SnapshotTriplesIO
+
+    tdf, ddf = _synth_frames(spark)
+    io = SnapshotTriplesIO(str(tmp_path / "wh"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io, run_id="r1")
+    v = io.store.current_version()
+    res = build_graph(spark, tdf, ddf, io, run_id="r1")
+    assert res["skipped"] is True
+    assert io.store.current_version() == v
+
+
+def test_crashed_commit_dir_is_cleared_on_retry(spark, store):
+    """An unpublished commit dir (crash between write and publish) must
+    not block the next commit — it is unreachable garbage."""
+    df = _frame(spark, _base_rows())
+    # simulate the crash: data written for v1 but pointer never moved
+    os.makedirs(os.path.join(store.root, "data", "commit=1", "ts_day=2024-03-01"))
+    v = store.commit(df)
+    assert v == 1
+    assert store.read(spark).count() == df.count()
