@@ -1,0 +1,59 @@
+"""Snapshot-table maintenance job — the Iceberg table-services surface
+(rewriteDataFiles / expireSnapshots / history) for a warehouse built with
+`build_graph.py --snapshots`:
+
+    spark-submit --py-files kgpipe.zip jobs/maintain_table.py \
+        --warehouse /path/wh --compact --expire-keep-from 3
+
+Run it on a schedule next to an incremental/append producer: appends
+fragment logical partitions into per-commit file sets; --compact rewrites
+only the fragmented slice into one fresh commit (row-preserving, older
+snapshots untouched), and --expire-keep-from reclaims files no retained
+snapshot references.  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Maintain a snapshot triples table")
+    p.add_argument("--warehouse", required=True,
+                   help="warehouse root (build_graph --out, built with --snapshots)")
+    p.add_argument("--compact", action="store_true",
+                   help="rewrite partitions fragmented across >= --min-commits "
+                        "commits into one fresh commit")
+    p.add_argument("--min-commits", type=int, default=2)
+    p.add_argument("--expire-keep-from", type=int, default=None,
+                   help="drop snapshot metadata older than this version and GC "
+                        "commit dirs no retained snapshot references")
+    p.add_argument("--history", action="store_true",
+                   help="include the snapshot history table in the output")
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from logset_spark.session import get_spark
+    from logset_spark.sources.snapshots import SnapshotTriplesIO
+
+    spark = get_spark("maintain_table", cpus=args.cpus)
+    store = SnapshotTriplesIO(root=args.warehouse).store
+    out: dict = {"warehouse": args.warehouse,
+                 "version_before": store.current_version()}
+    if args.compact:
+        out["compacted_to_version"] = store.compact(
+            spark, min_commits=args.min_commits)
+    if args.expire_keep_from is not None:
+        out["removed_commits"] = store.expire_snapshots(args.expire_keep_from)
+    out["version_after"] = store.current_version()
+    if args.history:
+        out["history"] = [r.asDict() for r in store.history(spark).collect()]
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

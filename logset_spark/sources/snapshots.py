@@ -238,6 +238,63 @@ class SnapshotTableIO:
 
     # ---- maintenance -------------------------------------------------------
 
+    def compact(self, spark: SparkSession, min_commits: int = 2) -> int | None:
+        """Iceberg rewriteDataFiles: logical partitions whose current file
+        set spans >= `min_commits` commits (append-chain fragmentation —
+        the streaming small-file problem) are rewritten into ONE fresh
+        commit and the snapshot repointed.  Strictly row-preserving: no
+        dedup, no reorder semantics — compaction is physical maintenance.
+        Unfragmented partitions keep their existing files untouched, so
+        the rewrite cost is proportional to the fragmented slice, not the
+        table.  Older snapshots still read the pre-compaction files until
+        `expire_snapshots` reclaims them.  Returns the new version, or
+        None when nothing is fragmented."""
+        current = self.current_version()
+        if current == 0:
+            return None
+        snap = self._load_snapshot(current)
+        targets = {k: v for k, v in snap["mapping"].items()
+                   if len(v) >= min_commits}
+        if not targets:
+            return None
+        version = current + 1
+        commit_dir = os.path.join(self._data, f"commit={version}")
+        if os.path.isdir(commit_dir):  # crashed earlier attempt
+            shutil.rmtree(commit_dir)
+        paths = [
+            os.path.join(self._data, f"commit={c}",
+                         f"ts_day={day}", f"conv_bucket={bucket}")
+            for k, commits in sorted(targets.items())
+            for c in commits
+            for day, bucket in [k.split("|", 1)]
+        ]
+        df = (
+            spark.read.option("basePath", self._data)
+            .parquet(*paths)
+            .drop("commit")
+        )
+        # rows already carry their layout columns from the read; restore
+        # the within-partition clustering when the sort keys survived into
+        # this table's schema
+        out = df.repartition("ts_day", "conv_bucket")
+        sort_keys = [c for c in ("conv_id", "turn_idx") if c in df.columns]
+        out = out.sortWithinPartitions("ts_day", "conv_bucket", *sort_keys)
+        (
+            out.write.mode("errorifexists")
+            .partitionBy("ts_day", "conv_bucket")
+            .parquet(commit_dir)
+        )
+        mapping = dict(snap["mapping"])
+        for k in targets:
+            mapping[k] = [version]
+        self._publish({
+            "version": version,
+            "parent": current,
+            "operation": f"compact_{len(targets)}_partitions",
+            "mapping": mapping,
+        })
+        return version
+
     def expire_snapshots(self, keep_from: int) -> list[int]:
         """Drop snapshot metadata older than `keep_from` and GC commit
         directories no retained snapshot references (Iceberg

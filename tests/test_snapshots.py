@@ -203,3 +203,46 @@ def test_crashed_commit_dir_is_cleared_on_retry(spark, store):
     v = store.commit(df)
     assert v == 1
     assert store.read(spark).count() == df.count()
+
+
+def test_compact_merges_append_chains(spark, store):
+    """Three appends fragment each logical partition across three
+    commits; compact() must rewrite them into one fresh commit with the
+    row set EXACTLY preserved, leave older snapshots readable, and let
+    expire_snapshots reclaim the superseded files."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                   # v1
+    store.commit(df.limit(5), mode="append")           # v2
+    store.commit(df.limit(3), mode="append")           # v3
+    before = store.read(spark)
+    n_before = before.count()
+    assert n_before == df.count() + 8
+    frag_dirs = len(store.partition_dirs())
+
+    v4 = store.compact(spark)
+    assert v4 == 4
+    after = store.read(spark)
+    assert after.count() == n_before
+    # row-set identity, not just counts
+    cols = ["conv_id", "turn_idx", "ts", "etype"]
+    assert before.select(cols).exceptAll(after.select(cols)).count() == 0
+    assert after.select(cols).exceptAll(before.select(cols)).count() == 0
+    # every fragmented partition now maps to exactly one dir
+    assert len(store.partition_dirs()) < frag_dirs
+    snap = store._load_snapshot(4)
+    assert all(len(v) == 1 for v in snap["mapping"].values())
+    # pre-compaction snapshot still answers
+    assert store.read(spark, version=3).count() == n_before
+    # expiring everything below v4 GCs the superseded append commits;
+    # commit 1 SURVIVES because partitions the appends never touched
+    # were not fragmented and still reference its files
+    removed = store.expire_snapshots(keep_from=4)
+    assert removed == [2, 3]
+    assert store.read(spark).count() == n_before
+
+
+def test_compact_noop_when_unfragmented(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    assert store.compact(spark) is None
+    assert store.current_version() == 1
