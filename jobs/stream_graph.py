@@ -27,26 +27,58 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Incremental streaming KG build")
     p.add_argument("--input", required=True, help="transcript parquet dir (growing)")
     p.add_argument("--out", required=True, help="output root (triples + checkpoint)")
+    p.add_argument("--snapshots", action="store_true",
+                   help="land each micro-batch as an atomic snapshot commit "
+                        "(exactly-once via batch-id commit dedup; time travel "
+                        "with query_graph --as-of; compaction via "
+                        "maintain_table.py)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
     from logset_spark.session import get_spark
     from logset_spark.streaming.incremental import (
-        run_available_now, stream_transcripts, structural_triples_stream,
+        run_available_now, run_available_now_snapshot, stream_transcripts,
+        structural_triples_stream,
     )
 
     spark = get_spark("stream_graph", cpus=args.cpus)
     sink = f"{args.out}/triples_stream"
     checkpoint = f"{args.out}/_checkpoint"
 
+    stream = structural_triples_stream(stream_transcripts(spark, args.input))
+    if args.snapshots:
+        from logset_spark.sources.snapshots import SnapshotTableIO
+
+        store = SnapshotTableIO(root=f"{args.out}/triples")
+
+        def _count() -> int:
+            try:
+                return store.read(spark).count()
+            except ValueError:  # empty table (no snapshot yet)
+                return 0
+
+        before = _count()
+        # snapshot layout needs (conv_id, ts) for bucketing/day partition
+        run_available_now_snapshot(
+            stream.select("subj", "pred", "obj", "conv_id", "turn_idx", "ts"),
+            checkpoint, store,
+        )
+        after = _count()
+        print(json.dumps({
+            "rows_appended": after - before,
+            "rows_total": after,
+            "sink": f"{args.out}/triples",
+            "snapshot_version": store.current_version(),
+        }))
+        spark.stop()
+        return 0
+
     try:
         before = spark.read.parquet(sink).count()
     except Exception:  # noqa: BLE001 - first run: sink does not exist yet
         before = 0
 
-    triples = structural_triples_stream(
-        stream_transcripts(spark, args.input)
-    ).select("subj", "pred", "obj", "conv_id")
+    triples = stream.select("subj", "pred", "obj", "conv_id")
     run_available_now(triples, checkpoint, sink)
 
     after = spark.read.parquet(sink).count()

@@ -126,6 +126,7 @@ class SnapshotTableIO:
         mode: str = "overwrite_partitions",
         finisher=None,
         pre_sort=None,
+        batch_id: int | None = None,
     ) -> int:
         """Write `df` as a new immutable commit and publish the snapshot.
 
@@ -139,6 +140,11 @@ class SnapshotTableIO:
         fused dedup, post-sort wide-column reconstruction) so the KG
         pipeline's single-exchange write plan carries over unchanged when
         the triples sink is snapshot-versioned.
+
+        `batch_id` stamps the snapshot with a streaming micro-batch id —
+        the exactly-once handshake for foreachBatch sinks (see
+        `last_batch_id`; same device as Iceberg's commit dedup on
+        spark.sql.streaming checkpoint batchId).
 
         Returns the new version number."""
         if mode not in ("overwrite_partitions", "append"):
@@ -169,13 +175,31 @@ class SnapshotTableIO:
                 mapping[k] = mapping[k] + [version]
             else:
                 mapping[k] = [version]
-        self._publish({
+        snap = {
             "version": version,
             "parent": parent,
             "operation": mode,
             "mapping": mapping,
-        })
+        }
+        if batch_id is not None:
+            snap["batch_id"] = batch_id
+        self._publish(snap)
         return version
+
+    def last_batch_id(self) -> int | None:
+        """Highest streaming micro-batch id any retained snapshot was
+        stamped with (None = no streaming commits).  Metadata-scale scan:
+        one tiny JSON per retained snapshot."""
+        best = None
+        if not os.path.isdir(self._meta):
+            return None
+        for fname in os.listdir(self._meta):
+            if fname.startswith("v") and fname.endswith(".json"):
+                with open(os.path.join(self._meta, fname)) as f:
+                    b = json.load(f).get("batch_id")
+                if b is not None and (best is None or b > best):
+                    best = b
+        return best
 
     def rollback(self, to_version: int) -> int:
         """Publish a NEW snapshot whose file set equals `to_version`'s.

@@ -225,6 +225,41 @@ def followed_by_stream(
     )
 
 
+def snapshot_batch_sink(store):
+    """foreachBatch closure committing each micro-batch as an APPEND
+    snapshot, stamped with the batch id — EXACTLY-ONCE on an
+    at-least-once runtime: Structured Streaming replays a micro-batch
+    (same batch_id) when a crash lands between the sink call and the
+    checkpoint offset commit, and the replay is skipped because the
+    snapshot metadata already records that id (the same commit-dedup
+    handshake Iceberg's streaming sink uses).  A crash mid-commit leaves
+    an unpublished commit dir, which the replay's commit clears."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already durably committed
+        store.commit(batch_df, mode="append", batch_id=batch_id)
+
+    return _sink
+
+
+def run_available_now_snapshot(
+    stream_df: DataFrame, checkpoint: str, store
+) -> None:
+    """Drain-and-stop ingest landing every micro-batch as an atomic,
+    time-travelable snapshot commit (the streaming producer for
+    SnapshotTableIO; compaction via jobs/maintain_table.py heals the
+    per-batch small-file fragmentation this accumulates)."""
+    q = (
+        stream_df.writeStream.foreachBatch(snapshot_batch_sink(store))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame, checkpoint: str, out_path: str, mode: str = "append"
 ) -> None:

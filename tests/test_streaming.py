@@ -191,3 +191,47 @@ def test_followed_by_stream_redelivery_no_self_loop(spark, tmp_path):
     assert all(s != o for s, o in edges)
     assert ("turn:c/0", "turn:c/1") in edges
     assert ("turn:c/1", "turn:c/2") in edges            # bridge still works
+
+
+def test_snapshot_stream_ingest_exactly_once(spark, tmp_path):
+    """Micro-batches land as append snapshot commits; the result matches
+    the batch extraction, a no-new-data drain publishes nothing, and a
+    replayed batch id is skipped (exactly-once over at-least-once)."""
+    from logset_spark.sources.snapshots import SnapshotTableIO
+
+    path, batch_df = _write_input(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    store = SnapshotTableIO(root=str(tmp_path / "snap"), n_buckets=4)
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "ts"]
+
+    stream = st.structural_triples_stream(
+        st.stream_transcripts(spark, path)).select(cols)
+    st.run_available_now_snapshot(stream, ckpt, store)
+    v1 = store.current_version()
+    assert v1 >= 1
+    got = store.read(spark).select("subj", "pred", "obj")
+    expect = (
+        extract.structural_triples(batch_df)
+        .where(F.col("pred") != "followedBy")
+        .select("subj", "pred", "obj")
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+    # drain again with nothing new -> no snapshot published
+    stream2 = st.structural_triples_stream(
+        st.stream_transcripts(spark, path)).select(cols)
+    st.run_available_now_snapshot(stream2, ckpt, store)
+    assert store.current_version() == v1
+
+    # a replayed micro-batch (same batch_id after a simulated crash
+    # between sink and checkpoint commit) must be a no-op
+    last = store.last_batch_id()
+    assert last is not None
+    sink = st.snapshot_batch_sink(store)
+    sink(store.read(spark).select(cols).limit(7), last)
+    assert store.current_version() == v1
+    # ...while a genuinely new batch id commits
+    sink(store.read(spark).select(cols).limit(7), last + 1)
+    assert store.current_version() == v1 + 1
+    assert store.last_batch_id() == last + 1
