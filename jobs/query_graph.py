@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                    help="time-travel: query the triples snapshot at this "
                         "version (warehouse built with build_graph "
                         "--snapshots; default = latest)")
+    p.add_argument("--changed-since", type=int, default=None,
+                   dest="changed_since",
+                   help="incremental scan: query ONLY triples added after "
+                        "this snapshot version (reads just the new commits' "
+                        "files — the polling-consumer mode)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -55,9 +60,11 @@ def main(argv=None) -> int:
     from logset_spark.sources.turtle import load_catalog
 
     spark = get_spark("query_graph", cpus=args.cpus)
+    snap_flags = args.as_of is not None or args.changed_since is not None
     if args.catalog:
-        if args.as_of is not None:
-            p.error("--as-of needs a --warehouse built with --snapshots")
+        if snap_flags:
+            p.error("--as-of/--changed-since need a --warehouse built "
+                    "with --snapshots")
         triples = load_catalog(spark, args.catalog,
                                follow_links=args.follow_links)
     else:
@@ -67,9 +74,14 @@ def main(argv=None) -> int:
             from logset_spark.sources.snapshots import SnapshotTriplesIO
 
             store = SnapshotTriplesIO(root=args.warehouse).store
-            triples = store.read(spark, version=args.as_of)
-        elif args.as_of is not None:
-            p.error("--as-of needs a --warehouse built with --snapshots")
+            if args.changed_since is not None:
+                triples = store.incremental_read(
+                    spark, args.changed_since, to_version=args.as_of)
+            else:
+                triples = store.read(spark, version=args.as_of)
+        elif snap_flags:
+            p.error("--as-of/--changed-since need a --warehouse built "
+                    "with --snapshots")
         else:
             triples = TableIO(root=args.warehouse).read(spark, "triples")
     result = sparql(triples, query)

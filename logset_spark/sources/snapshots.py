@@ -246,6 +246,56 @@ class SnapshotTableIO:
             .drop("commit")
         )
 
+    def incremental_read(
+        self, spark: SparkSession, from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots (Iceberg's incremental append
+        scan — the CDC primitive downstream consumers poll instead of
+        rescanning the table): the union of the file sets the versions in
+        (from_version, to_version] wrote, for versions whose operation
+        added data.  An append contributes exactly its new rows; a
+        dynamic overwrite contributes its replacement rows (rewriting a
+        partition IS the change); compactions and rollbacks contribute
+        nothing (a rewrite of old rows is not new data — Iceberg likewise
+        skips replace operations).  Commit dirs are immutable, so this
+        stays exact even when a LATER compaction folded the appended
+        files into a new commit.  Cost is proportional to what changed,
+        never to the table — the property that makes a 100 TB table
+        consumable by an every-5-minutes reader.  `from_version=0` = all
+        rows ever added up to `to_version`.
+
+        Needs the in-range snapshot metadata (and commit dirs) to still
+        be retained: scanning across an expired boundary raises instead
+        of silently under-reporting changes."""
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(
+                f"from_version {from_version} is newer than {to_v}"
+            )
+        paths = []
+        for v in range(from_version + 1, to_v + 1):
+            op = self._load_snapshot(v)["operation"]  # raises if expired
+            if op in ("append", "overwrite_partitions"):
+                commit_dir = os.path.join(self._data, f"commit={v}")
+                if not os.path.isdir(commit_dir):
+                    raise ValueError(
+                        f"commit {v} was expired; incremental read from "
+                        f"{from_version} is no longer answerable"
+                    )
+                paths.extend(
+                    os.path.join(commit_dir, f"ts_day={day}",
+                                 f"conv_bucket={bucket}")
+                    for day, bucket in self._written_partitions(v)
+                )
+        if not paths:
+            return self.read(spark, to_v).limit(0)
+        return (
+            spark.read.option("basePath", self._data)
+            .parquet(*paths)
+            .drop("commit")
+        )
+
     def history(self, spark: SparkSession) -> DataFrame:
         """One row per retained snapshot: version, parent, operation,
         n_partitions — the `table.history()` metadata surface."""

@@ -246,3 +246,48 @@ def test_compact_noop_when_unfragmented(spark, store):
     store.commit(df)
     assert store.compact(spark) is None
     assert store.current_version() == 1
+
+
+def test_incremental_read_appends_and_overwrites(spark, store):
+    """incremental_read(from, to) returns exactly the rows commits newer
+    than `from` added: appended files only, full replacement for an
+    overwritten partition, nothing for untouched partitions, and an
+    empty frame when nothing changed."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                        # v1
+    extra = df.limit(4).withColumn("etype", F.lit("extra"))
+    store.commit(extra, mode="append")                      # v2
+    inc = store.incremental_read(spark, 1, 2)
+    assert inc.count() == 4
+    assert inc.filter(F.col("etype") != "extra").count() == 0
+
+    upd = df.filter(F.to_date("ts") == "2024-03-02") \
+            .withColumn("etype", F.lit("edited"))
+    store.commit(upd)                                       # v3 overwrite
+    inc13 = store.incremental_read(spark, 1)
+    # = v2's 4 appended rows on day 1 + day 2's replacement (appends to
+    # day-2 partitions were superseded by the overwrite)
+    day1_extra = inc13.filter(F.col("etype") == "extra").count()
+    assert inc13.filter(F.col("etype") == "edited").count() == upd.count()
+    assert day1_extra + upd.count() == inc13.count()
+    # nothing changed between a version and itself
+    assert store.incremental_read(spark, 3, 3).count() == 0
+
+
+def test_incremental_read_skips_compaction(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                        # v1
+    store.commit(df.limit(3), mode="append")                # v2
+    store.compact(spark)                                    # v3 rewrite
+    # the compaction rewrote v1+v2 rows, but none of them are NEW
+    assert store.incremental_read(spark, 2).count() == 0
+    # ...and v2's appended rows still count as changes since v1 even
+    # though the compaction folded their partition into a new commit
+    # (immutable commit dirs keep the per-version added set exact)
+    assert store.incremental_read(spark, 1, 3).count() == 3
+    store.commit(df.limit(2), mode="append")                # v4
+    assert store.incremental_read(spark, 2).count() == 2
+    # expiring the in-range metadata makes the scan raise, not lie
+    store.expire_snapshots(keep_from=4)
+    with pytest.raises(ValueError, match="expired"):
+        store.incremental_read(spark, 2)
