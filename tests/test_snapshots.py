@@ -291,3 +291,38 @@ def test_incremental_read_skips_compaction(spark, store):
     store.expire_snapshots(keep_from=4)
     with pytest.raises(ValueError, match="expired"):
         store.incremental_read(spark, 2)
+
+
+def test_crash_mid_materialize_leaves_previous_snapshot_readable(spark, tmp_path):
+    """Atomic-commit semantics under the pipeline: a run that dies while
+    WRITING its triples commit leaves the table at the previous version
+    for every reader; the retry clears the orphaned commit dir and
+    publishes normally, converging to the uninterrupted result."""
+    from logset_spark.pipeline import build_graph
+    from logset_spark.sources.snapshots import SnapshotTriplesIO
+
+    tdf, ddf = _synth_frames(spark)
+    io = SnapshotTriplesIO(str(tmp_path / "wh"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io, run_id="a")
+    v1 = io.store.current_version()
+    v1_rows = io.read(spark, "triples").count()
+
+    # run "b" crashes mid-write: a half-written commit dir exists but the
+    # version pointer never moved
+    torn = os.path.join(io.store._data, f"commit={v1 + 1}",
+                        "ts_day=2024-01-01", "conv_bucket=0")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "w") as f:
+        f.write("not parquet")
+    assert io.store.current_version() == v1
+    assert io.read(spark, "triples").count() == v1_rows  # readers unharmed
+
+    # retry of run "b" (same input) publishes over the torn dir; the
+    # overwrite must converge to exactly run-a's graph (idempotent
+    # replay, no duplicates, no leakage from the torn files)
+    build_graph(spark, tdf, ddf, io, run_id="b")
+    assert io.store.current_version() > v1
+    got = io.read(spark, "triples").select("subj", "pred", "obj")
+    want = io.read_version(spark, v1).select("subj", "pred", "obj")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
