@@ -180,11 +180,45 @@ class SnapshotTableIO:
             "parent": parent,
             "operation": mode,
             "mapping": mapping,
+            # the commit's DATA columns (partition cols excluded): schema
+            # evolution bookkeeping, so reads can decide from metadata
+            # alone whether a parquet schema merge is needed
+            "columns": [
+                c for c in prepared.schema.fieldNames()
+                if c not in ("ts_day", "conv_bucket")
+            ],
         }
         if batch_id is not None:
             snap["batch_id"] = batch_id
         self._publish(snap)
         return version
+
+    def _commit_columns(self, commits: set[int]) -> list[list[str]]:
+        """Distinct data-column lists across a set of commits, from
+        snapshot metadata only.  A commit predating the schema-evolution
+        bookkeeping (no "columns" key) reports None and forces the
+        conservative merge path."""
+        seen: list[list[str] | None] = []
+        for c in sorted(commits):
+            path = self._snap_path(c)
+            if os.path.exists(path):
+                with open(path) as f:
+                    cols = json.load(f).get("columns")
+            else:
+                # the commit's own snapshot metadata was expired while a
+                # later retained snapshot still references its files —
+                # schema unknown, degrade to the conservative merge
+                cols = None
+            if cols not in seen:
+                seen.append(cols)
+        return seen
+
+    def _needs_merge(self, commits: set[int]) -> bool:
+        """True when a read spanning `commits` must merge parquet schemas:
+        the recorded column lists differ, or any spanned commit's schema
+        is unknown (expired metadata) alongside others."""
+        variants = self._commit_columns(commits)
+        return len(variants) > 1 or (None in variants and len(commits) > 1)
 
     def last_batch_id(self) -> int | None:
         """Highest streaming micro-batch id any retained snapshot was
@@ -235,16 +269,24 @@ class SnapshotTableIO:
         """Read the table as of `version` (default: latest).  Hands Spark
         the snapshot's partition directories with a shared basePath so
         ts_day/conv_bucket come back as partition columns and partition
-        pruning still works; the transient commit= level is dropped."""
+        pruning still works; the transient commit= level is dropped.
+
+        Schema evolution (Iceberg add-column): when the snapshot's
+        constituent commits recorded DIFFERENT data columns, the read
+        merges parquet schemas — rows from pre-evolution commits surface
+        the new columns as null.  The decision comes from snapshot
+        metadata alone; the common single-schema case never pays the
+        footer-scan cost of mergeSchema."""
         v = self.current_version() if version is None else version
+        snap = self._load_snapshot(v)
         paths = self.partition_dirs(v)
         if not paths:
             raise ValueError(f"snapshot v{v} is empty")
-        return (
-            spark.read.option("basePath", self._data)
-            .parquet(*paths)
-            .drop("commit")
-        )
+        commits = {c for cl in snap["mapping"].values() for c in cl}
+        reader = spark.read.option("basePath", self._data)
+        if self._needs_merge(commits):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths).drop("commit")
 
     def incremental_read(
         self, spark: SparkSession, from_version: int,
@@ -274,6 +316,7 @@ class SnapshotTableIO:
                 f"from_version {from_version} is newer than {to_v}"
             )
         paths = []
+        data_commits = set()
         for v in range(from_version + 1, to_v + 1):
             op = self._load_snapshot(v)["operation"]  # raises if expired
             if op in ("append", "overwrite_partitions"):
@@ -283,6 +326,7 @@ class SnapshotTableIO:
                         f"commit {v} was expired; incremental read from "
                         f"{from_version} is no longer answerable"
                     )
+                data_commits.add(v)
                 paths.extend(
                     os.path.join(commit_dir, f"ts_day={day}",
                                  f"conv_bucket={bucket}")
@@ -290,11 +334,10 @@ class SnapshotTableIO:
                 )
         if not paths:
             return self.read(spark, to_v).limit(0)
-        return (
-            spark.read.option("basePath", self._data)
-            .parquet(*paths)
-            .drop("commit")
-        )
+        reader = spark.read.option("basePath", self._data)
+        if self._needs_merge(data_commits):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths).drop("commit")
 
     def history(self, spark: SparkSession) -> DataFrame:
         """One row per retained snapshot: version, parent, operation,
@@ -342,11 +385,11 @@ class SnapshotTableIO:
             for c in commits
             for day, bucket in [k.split("|", 1)]
         ]
-        df = (
-            spark.read.option("basePath", self._data)
-            .parquet(*paths)
-            .drop("commit")
-        )
+        reader = spark.read.option("basePath", self._data)
+        frag_commits = {c for v in targets.values() for c in v}
+        if self._needs_merge(frag_commits):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths).drop("commit")
         # rows already carry their layout columns from the read; restore
         # the within-partition clustering when the sort keys survived into
         # this table's schema
@@ -366,6 +409,8 @@ class SnapshotTableIO:
             "parent": current,
             "operation": f"compact_{len(targets)}_partitions",
             "mapping": mapping,
+            "columns": [c for c in df.schema.fieldNames()
+                        if c not in ("ts_day", "conv_bucket")],
         })
         return version
 

@@ -326,3 +326,29 @@ def test_crash_mid_materialize_leaves_previous_snapshot_readable(spark, tmp_path
     want = io.read_version(spark, v1).select("subj", "pred", "obj")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_schema_evolution_add_column(spark, store):
+    """Iceberg add-column: a later commit carries a new column; reads
+    spanning both schemas merge (old rows -> null), single-schema reads
+    never pay the merge, and time travel sees the old schema."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                        # v1: 4 cols
+    evolved = df.limit(4).withColumn("etype", F.lit("extra")) \
+                .withColumn("score", F.lit(0.5))
+    store.commit(evolved, mode="append")                    # v2: +score
+    latest = store.read(spark)
+    assert "score" in latest.columns
+    assert latest.filter(F.col("score").isNotNull()).count() == 4
+    assert latest.count() == df.count() + 4
+    # time travel: the pre-evolution snapshot has the old schema
+    assert "score" not in store.read(spark, version=1).columns
+    # incremental scan across the boundary sees only the evolved rows
+    inc = store.incremental_read(spark, 1)
+    assert inc.count() == 4 and "score" in inc.columns
+    # compaction across the schema boundary preserves the merged schema
+    v3 = store.compact(spark)
+    assert v3 == 3
+    after = store.read(spark)
+    assert after.count() == df.count() + 4
+    assert after.filter(F.col("score").isNotNull()).count() == 4
