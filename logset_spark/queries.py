@@ -1752,6 +1752,57 @@ def q_time_travel(spark, sf):
     )
 
 
+def q_merge_upsert(spark, sf):
+    """Copy-on-write MERGE INTO, oracle-checked: commit the events-as-
+    transcript table, then merge_upsert (sources/snapshots.py) a change
+    set that UPDATES every key with event_id % 7 == 0 (etype ->
+    'patched') and INSERTS brand-new keys (turn_idx shifted by 10^7).
+    Only the touched partitions are rewritten (partition-pruned read +
+    broadcast anti-join + one overwrite commit).  Oracle = CASE for the
+    updates UNION ALL the inserts — MERGE must behave exactly like the
+    declarative rewrite."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTableIO
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("etype"),
+    )
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_merge_upsert_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotTableIO(root=root, n_buckets=8)
+    store.commit(e)
+    upd = e.filter(F.col("turn_idx") % 7 == 0).withColumn(
+        "etype", F.lit("patched")
+    )
+    ins = e.filter(F.col("turn_idx") % 13 == 0).withColumn(
+        "turn_idx", (F.col("turn_idx") + F.lit(10_000_000)).cast("int")
+    ).withColumn("etype", F.lit("inserted"))
+    store.merge_upsert(spark, upd.unionByName(ins), keys=["conv_id", "turn_idx"])
+    return store.read(spark).select("conv_id", "turn_idx", "ts", "etype")
+
+
+SQL_MERGE_UPSERT = """
+WITH base AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id AS INT) AS turn_idx, ts, event_type AS etype
+    FROM events
+)
+SELECT conv_id, turn_idx, ts,
+       CASE WHEN turn_idx % 7 = 0 THEN 'patched' ELSE etype END AS etype
+FROM base
+UNION ALL
+SELECT conv_id, CAST(turn_idx + 10000000 AS INT) AS turn_idx, ts,
+       'inserted' AS etype
+FROM base WHERE turn_idx % 13 = 0
+"""
+
+
 SQL_TIME_TRAVEL = """
 WITH base AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -3759,6 +3810,7 @@ REGISTRY: dict[str, tuple] = {
     "q_seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "q_chunk": (q_chunk, SQL_CHUNK),
     "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
+    "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     # ---- block B: r01-only greens, refreshed to fill the window ------
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -220,6 +220,67 @@ class SnapshotTableIO:
         variants = self._commit_columns(commits)
         return len(variants) > 1 or (None in variants and len(commits) > 1)
 
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """Copy-on-write MERGE (Iceberg MERGE INTO, partition-granular):
+        rows in `updates` REPLACE current rows with equal `keys`; new keys
+        INSERT.  Only the partitions the updates land in are read and
+        rewritten — the partition-pruned read + anti-join + one
+        overwrite-partitions commit is exactly Iceberg's copy-on-write
+        plan, so cost scales with the touched slice, never the table.
+
+        Constraint (same as any partition-granular CoW without a global
+        index): a key's partition columns must be stable across the merge
+        — an update that moves a row's (ts day, conv bucket) leaves the
+        old copy in its old partition.  The transcript vocabulary's keys
+        (conv_id, turn_idx) are partition-stable by construction.
+
+        Empty-table case: degenerates to a plain insert commit."""
+        if self.current_version() == 0:
+            return self.commit(updates)
+        # touched partitions: bounded by days x buckets, driver-tiny
+        from pyspark.sql import functions as F
+
+        from .tableio import with_layout
+
+        touched = {
+            (str(r["ts_day"]), str(r["conv_bucket"]))
+            for r in with_layout(updates, self.n_buckets)
+            .select("ts_day", "conv_bucket").distinct().collect()
+        }
+        snap = self._load_snapshot(self.current_version())
+        paths = [
+            os.path.join(self._data, f"commit={c}",
+                         f"ts_day={day}", f"conv_bucket={bucket}")
+            for k, commits in sorted(snap["mapping"].items())
+            for day, bucket in [k.split("|", 1)]
+            if (day, bucket) in touched
+            for c in commits
+        ]
+        data_cols = [c for c in updates.columns
+                     if c not in ("ts_day", "conv_bucket")]
+        if paths:
+            reader = spark.read.option("basePath", self._data)
+            commits = {
+                c for k, cl in snap["mapping"].items()
+                if tuple(k.split("|", 1)) in touched
+                for c in cl
+            }
+            if self._needs_merge(commits):
+                reader = reader.option("mergeSchema", "true")
+            current = reader.parquet(*paths).select(*data_cols)
+            # keep current rows whose key is NOT updated; updates are the
+            # small side of the anti join -> broadcast
+            kept = current.join(
+                F.broadcast(updates.select(*keys).distinct()),
+                on=keys, how="left_anti",
+            )
+            merged = kept.unionByName(updates.select(*data_cols))
+        else:
+            merged = updates.select(*data_cols)
+        return self.commit(merged)
+
     def last_batch_id(self) -> int | None:
         """Highest streaming micro-batch id any retained snapshot was
         stamped with (None = no streaming commits).  Metadata-scale scan:

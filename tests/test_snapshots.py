@@ -352,3 +352,38 @@ def test_schema_evolution_add_column(spark, store):
     after = store.read(spark)
     assert after.count() == df.count() + 4
     assert after.filter(F.col("score").isNotNull()).count() == 4
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, store):
+    """CoW MERGE: updates replace matching keys, inserts land as new
+    rows, and partitions with no touched keys keep their ORIGINAL commit
+    files (the rewrite is partition-pruned)."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)                                        # v1
+    # touch ONLY day 2024-03-01 (convs with even index): update one key,
+    # insert one new key on that day
+    upd = _frame(spark, [("c0", 1, "2024-03-01 01:00:00", "patched"),
+                         ("c0", 99, "2024-03-01 05:00:00", "new")])
+    v2 = store.merge_upsert(spark, upd, keys=["conv_id", "turn_idx"])
+    assert v2 == 2
+    latest = store.read(spark)
+    assert latest.count() == df.count() + 1
+    assert latest.filter(
+        (F.col("conv_id") == "c0") & (F.col("turn_idx") == 1)
+    ).select("etype").first()["etype"] == "patched"
+    assert latest.filter(F.col("etype") == "new").count() == 1
+    # untouched day-2 partitions still point at commit 1
+    mapping = store._load_snapshot(2)["mapping"]
+    day2 = {k: v for k, v in mapping.items() if k.startswith("2024-03-02")}
+    assert day2 and all(v == [1] for v in day2.values())
+    # time travel: pre-merge version unchanged
+    assert store.read(spark, version=1).count() == df.count()
+    assert store.read(spark, version=1) \
+                .filter(F.col("etype") != "msg").count() == 0
+
+
+def test_merge_upsert_on_empty_table_is_insert(spark, store):
+    df = _frame(spark, _base_rows())
+    v = store.merge_upsert(spark, df, keys=["conv_id", "turn_idx"])
+    assert v == 1
+    assert store.read(spark).count() == df.count()
