@@ -298,6 +298,112 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("n_tri"))
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """edges: DataFrame[a:string, b:string], undirected (duplicates /
+    self-loops tolerated).  Returns DataFrame[node:string, label:string]
+    after exactly `n_iter` SYNCHRONOUS label-propagation rounds —
+    community detection in the GraphFrames style, recast as pure
+    DataFrame algebra.
+
+    Every node starts labeled with its own id; each round it adopts the
+    label that is most frequent among its neighbors, ties broken by the
+    LEXICOGRAPHICALLY SMALLEST label.  Synchronous rounds + a total
+    tie-break order make the whole trajectory deterministic — the same
+    discipline as pagerank_fixedpoint: asynchronous LPA (and any
+    random tie-break) can never pass a cross-engine value-hash, while
+    this recurrence is exactly replayable by unrolled SQL (SQL_LPA).
+    Fixed iterations rather than convergence is also semantics, not a
+    shortcut: synchronous LPA may 2-cycle on bipartite structures, so
+    "run k rounds" is the only portable stopping rule.
+
+    Plan shape per round: ONE shuffle — the (node, label) frequency
+    groupBy; the argmax is a second agg on the same keys' prefix (no
+    window, no sort), and the neighbor join ships only the node-scale
+    label table.  localCheckpoint per round truncates lineage."""
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        canon.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            canon.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        cnt = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax(c) with min-label tie-break == min over (-c, label):
+        # struct ordering is lexicographic on fields, no window needed
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("s")
+            )
+            .select("node", F.col("s.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """edges: DataFrame[src:string, dst:string], DIRECTED; sources:
+    DataFrame[node:string].  Returns DataFrame[node:string, dist:int] —
+    minimum hop distance from ANY source, for every reachable node
+    (sources themselves at dist 0).
+
+    Multi-source frontier BFS: each round expands only the NEW frontier
+    (one equi-join on src), drops already-settled nodes with a left-anti
+    join, and stops on a one-row probe when the frontier empties — so
+    the loop runs exactly eccentricity(sources) rounds and each round's
+    work is proportional to the frontier, not the graph.  In hop-BFS a
+    node's first discovery IS its minimum distance (all edges weight 1),
+    so settled nodes never need relaxing — that's what keeps rounds
+    monotone-shrinking on hierarchy-shaped graphs.  localCheckpoint per
+    round truncates the iterative-plan lineage (SURVEY §4).
+
+    `max_iter` bounds the loop on adversarially deep graphs (a path
+    graph runs O(V) rounds — at that shape prefer transitive_closure's
+    path doubling, which this module also ships)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    dist = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
 def kcore_peel(
     edges: DataFrame, k: int, rounds: int | None = None,
     max_rounds: int = 10_000,

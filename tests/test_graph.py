@@ -208,3 +208,114 @@ def test_closure_small_bails_to_distributed_on_pair_blowup(spark):
     assert top[("c0", f"c{n}")] == n
     # and _closure_small itself reports the bail as None
     assert G._closure_small(spark, edges, max_pairs=1_000) is None
+
+
+def _py_lpa(edges: list[tuple[str, str]], n_iter: int) -> dict[str, str]:
+    """Synchronous LPA, min-label tie-break — independent replay."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v, nbrs in adj.items():
+            cnt: dict[str, int] = {}
+            for u in nbrs:
+                cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+            nxt[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        labels = nxt
+    return labels
+
+
+def test_label_prop_matches_python_replay(spark):
+    from logset_spark.operators.graph import label_propagation
+
+    rng = random.Random(23)
+    # two dense clusters + one bridge: LPA should separate them
+    edges = set()
+    for base in ("x", "y"):
+        nodes = [f"{base}{i}" for i in range(10)]
+        for _ in range(40):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+    edges.add(("x0", "y0"))
+    edges = sorted(edges)
+    df = spark.createDataFrame(edges, "a string, b string")
+    for n_iter in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+        assert got == _py_lpa(edges, n_iter), f"n_iter={n_iter}"
+
+
+def test_label_prop_separates_communities(spark):
+    from logset_spark.operators.graph import label_propagation
+
+    # two 5-cliques joined by a single bridge edge
+    edges = []
+    for base in ("a", "b"):
+        nodes = [f"{base}{i}" for i in range(5)]
+        edges += [(u, v) for u in nodes for v in nodes if u < v]
+    edges.append(("a0", "b0"))
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=3).collect()}
+    a_labels = {got[f"a{i}"] for i in range(5)}
+    b_labels = {got[f"b{i}"] for i in range(1, 5)}  # b0 touches the bridge
+    assert len(a_labels) == 1
+    assert len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def _py_bfs(
+    edges: list[tuple[str, str]], sources: list[str]
+) -> dict[str, int]:
+    out_adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        out_adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in sources}
+    frontier = list(sources)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for w in out_adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_matches_python_bfs(spark):
+    from logset_spark.operators.graph import bfs_distances
+
+    rng = random.Random(31)
+    nodes = [f"v{i}" for i in range(40)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sources = spark.createDataFrame([("v0",), ("v7",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, sources).collect()}
+    assert got == _py_bfs(edges, ["v0", "v7"])
+
+
+def test_bfs_distances_stops_at_eccentricity_and_caps(spark):
+    from logset_spark.operators.graph import bfs_distances
+
+    # directed chain: only nodes within max_iter hops get settled
+    edges = [(f"c{i}", f"c{i + 1}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    src = spark.createDataFrame([("c0",)], "node string")
+    full = {r["node"]: r["dist"] for r in bfs_distances(df, src).collect()}
+    assert full == {f"c{i}": i for i in range(31)}
+    capped = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, src, max_iter=5).collect()
+    }
+    assert capped == {f"c{i}": i for i in range(6)}
