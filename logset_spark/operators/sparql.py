@@ -42,10 +42,19 @@ patterns):
             ( . BIND(expr AS ?v) )*
             ( . VALUES ?v { term ... } )*
             ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
-            ( . OPTIONAL { pattern ( . pattern )* [. FILTER(expr)]* } )* }
+            ( . OPTIONAL { pattern ( . pattern )* [. FILTER(expr)]* } )*
+            ( . { SELECT ... WHERE { patterns ... } ... } )* }
     WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
     [ HAVING(expr over agg aliases) ]
     [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ] [ OFFSET m ]
+
+    Subqueries ({ SELECT ... }, one nesting level): the inner query —
+    a plain BGP body plus FILTER/aggregates/DISTINCT/ORDER/LIMIT — is
+    compiled to its own plan and inner-joined into the enclosing group
+    on the variables its SELECT list shares with it (crossJoin if
+    none); joined before OPTIONAL/BIND/FILTER so those can reference
+    subquery vars.  The canonical use is an aggregate-per-group
+    restriction (tools used >= N times, latest turn per conv).
 
     Other query forms: ASK { body } (one boolean row);
     CONSTRUCT { template patterns } WHERE { body } (solutions
@@ -56,17 +65,25 @@ patterns):
     A constant predicate may be a PROPERTY PATH expression:
         path := seq ( '|' seq )*     -- alternation: union of edge sets
         seq  := atom ( '/' atom )*   -- sequence: edge-set composition
-        atom := ['^'] pred ['+'|'*'] -- ^: inverse (swapped endpoints);
-                                        +: one-or-more (distributed
-                                        transitive closure); *: zero-or-
-                                        more (closure plus the identity
-                                        pair for every term in the graph)
+        atom := ['^'] pred ['+'|'*'|'?'] -- ^: inverse (swapped
+                                        endpoints); +: one-or-more
+                                        (distributed transitive
+                                        closure); *: zero-or-more
+                                        (closure plus the identity pair
+                                        for every term in the graph);
+                                        ?: zero-or-one (edges plus the
+                                        identity pairs)
     Path expressions evaluate to DISTINCT endpoint pairs (set
     semantics); no parentheses in the subset.
+    A constant predicate may also be a NEGATED PROPERTY SET
+    `!p` / `!(p1|p2|...)`: one scan keeping triples whose predicate is
+    NOT any member (still a pushed-down filter; forward members only —
+    `a` means rdf:type; `^p` members are outside the subset).
     expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
                bound(?var), combined with && / || / !; plus the string
                kit STRLEN/LCASE/UCASE/STRSTARTS/STRENDS/CONTAINS/
-               SUBSTR/REPLACE/STR/CONCAT (lowered to the Spark SQL
+               SUBSTR/REPLACE/STR/CONCAT and the conditionals
+               IF(c, t, f) / COALESCE(x, ...) (lowered to the Spark SQL
                equivalents) — usable in FILTER and BIND bodies alike
 
 Terms are plain strings (URIs in this engine are prefixed strings like
@@ -89,6 +106,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _POS = ("subj", "pred", "obj")
+
+# expression-body matcher fragment allowing parentheses nested TWO deep
+# (enough for IF(COALESCE(?x, 'd') = 'v', 'a', 'b') — the documented
+# conditional kit; deeper nesting fails loudly as an unparsed clause)
+_NEST2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))"
 
 
 def _is_var(t: str) -> bool:
@@ -149,6 +171,9 @@ class ParsedQuery:
     exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
     # MINUS { patterns } groups (anti-join on shared vars; no-op if none)
     minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # { SELECT ... } subqueries (one nesting level): each is evaluated
+    # independently and joined into the outer group on shared vars
+    subqueries: list["ParsedQuery"] = field(default_factory=list)
 
 
 # quoted literals are replaced by \x00<n>\x00 placeholders before ANY
@@ -261,6 +286,16 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
     def x(t: str) -> str:
         if _is_var(t) or t.startswith(("<", "_:")):
             return t
+        if t.startswith("!"):  # negated property set: expand each member
+            inner = t[1:]
+            parens = inner.startswith("(") and inner.endswith(")")
+            if parens:
+                inner = inner[1:-1]
+            ex = "|".join(
+                x(a.strip()) if ":" in a else a.strip()
+                for a in _split_outside_iris(inner, "|")
+            )
+            return ("!(" + ex + ")") if parens else ("!" + ex)
         if ":" in t:
             head, local = t.split(":", 1)
             # path operators keep their structure: expand each atom
@@ -268,7 +303,7 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
                 def x_atom(a: str) -> str:
                     inv = a.startswith("^")
                     core = a[1:] if inv else a
-                    suf = core[-1] if core and core[-1] in "+*" else ""
+                    suf = core[-1] if core and core[-1] in "+*?" else ""
                     base = core[:-1] if suf else core
                     out = x(base) if ":" in base else base
                     return ("^" if inv else "") + out + suf
@@ -302,6 +337,8 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
         pq.construct = xp(pq.construct)
     if pq.describe is not None:
         pq.describe = _const_term(x(pq.describe))
+    for sub in pq.subqueries:
+        _expand_prefixes(sub, prefixes)
 
 
 def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
@@ -329,7 +366,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return inner
     m = re.match(
         r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}"
-        r"(?:\s*HAVING\s*\(((?:[^()]|\([^()]*\))*)\))?"
+        rf"(?:\s*HAVING\s*\(({_NEST2}*)\))?"
         r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?"
         r"(?:\s*OFFSET\s+(\d+))?\s*$",
         q,
@@ -367,6 +404,23 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             raise ValueError(f"SELECT list must be ?vars or aggregates: {sel_raw!r}")
 
     body = m.group(3)
+
+    # { SELECT ... } subqueries FIRST (their nested braces must never
+    # reach the group matchers below).  One nesting level: the subquery
+    # body is a plain BGP + FILTER + aggregates/solution modifiers —
+    # no OPTIONAL/UNION/nested subqueries inside (their extra braces
+    # fail this match and the leftover text errors loudly downstream).
+    subqueries: list[ParsedQuery] = []
+
+    def _subq(mo: re.Match) -> str:
+        subqueries.append(_parse_protected(mo.group(1).strip(), lits))
+        return " "
+
+    body = re.sub(
+        r"\{\s*(SELECT\s+(?:[^{}]|\{[^{}]*\})*?)\}",
+        _subq, body, flags=re.IGNORECASE | re.DOTALL,
+    )
+
     filters: list[str] = []
     optionals: list[list[tuple[str, str, str]]] = []
     not_exists: list[list[tuple[str, str, str]]] = []
@@ -403,7 +457,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         def f(mo: re.Match) -> str:
             into.append(_restore_quoted(mo.group(1).strip(), lits))
             return " "
-        return re.sub(r"FILTER\s*\(((?:[^()]|\([^()]*\))*)\)", f, text,
+        return re.sub(rf"FILTER\s*\(({_NEST2}*)\)", f, text,
                       flags=re.IGNORECASE)
 
     # OPTIONAL { ... } groups (no nesting in the subset); a group may
@@ -424,7 +478,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return " "
 
     body = re.sub(
-        r"BIND\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+\?(\w+)\s*\)",
+        rf"BIND\s*\(({_NEST2}*?)\s+AS\s+\?(\w+)\s*\)",
         _bind, body, flags=re.IGNORECASE,
     )
 
@@ -478,7 +532,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     else:
         body = _extract_filters(body, filters)
         patterns = _parse_patterns(body, lits)
-        if not patterns and not values:
+        if not patterns and not values and not subqueries:
             raise ValueError("WHERE clause has no triple patterns")
 
     having = _restore_quoted(m.group(4).strip(), lits) if m.group(4) else None
@@ -499,7 +553,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
         offset=offset, having=having,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
-        minus=minus, exists=exists,
+        minus=minus, exists=exists, subqueries=subqueries,
     )
 
 
@@ -570,7 +624,7 @@ def _is_path(pred: str) -> bool:
     m = _mask_iris(pred)
     if set(m) <= {""}:  # the whole term is one <iri>: plain predicate
         return False
-    return "|" in m or "/" in m or m[-1] in "+*" or m[0] == "^"
+    return "|" in m or "/" in m or m[-1] in "+*?" or m[0] == "^"
 
 
 def _path_edges(triples: DataFrame, path: str) -> DataFrame:
@@ -589,13 +643,23 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
     Each plain atom stays ONE pushed-down filtered scan."""
     from .graph import transitive_closure
 
+    def identity_pairs() -> DataFrame:
+        # the SPARQL zero-length-path domain: every term of the graph
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+
     def atom_edges(atom: str) -> DataFrame:
         inverse = atom.startswith("^")
         if inverse:
             atom = atom[1:]
         star = atom.endswith("*")
         plus = atom.endswith("+")
-        base = atom[:-1] if (star or plus) else atom
+        opt = atom.endswith("?")  # zero-or-one: edges + identity pairs
+        base = atom[:-1] if (star or plus or opt) else atom
         base = _const_term(base)  # <iri> atoms denote the raw IRI
         if not base or _is_var(base) or "^" in base:
             raise ValueError(f"bad property-path atom: {atom!r}")
@@ -603,21 +667,16 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
         e = triples.where(F.col("pred") == base).select(
             F.col(spos).alias("src"), F.col(opos).alias("dst")
         )
-        if not (star or plus):
+        if not (star or plus or opt):
             return e
+        if opt:
+            return e.unionByName(identity_pairs()).distinct()
         closed = transitive_closure(
             e.select(F.col("src").alias("child"), F.col("dst").alias("parent"))
         ).select(F.col("node").alias("src"), F.col("ancestor").alias("dst"))
         if plus:
             return closed
-        nodes = (
-            triples.select(F.col("subj").alias("n"))
-            .unionByName(triples.select(F.col("obj").alias("n")))
-            .distinct()
-        )
-        return closed.unionByName(
-            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-        ).distinct()
+        return closed.unionByName(identity_pairs()).distinct()
 
     def seq_edges(seq: str) -> DataFrame:
         steps = [s.strip() for s in _split_outside_iris(seq, "/")]
@@ -642,6 +701,22 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
     return out.distinct()
 
 
+def _negated_preds(pred: str) -> list[str]:
+    """`!p` / `!(p1|p2|...)` -> the excluded predicate list.  Members
+    must be plain forward predicates (`a` = rdf:type allowed); inverse
+    or path members raise — silent misinterpretation is worse than
+    rejection."""
+    inner = pred[1:]
+    if inner.startswith("(") and inner.endswith(")"):
+        inner = inner[1:-1]
+    out = []
+    for p in (s.strip() for s in _split_outside_iris(inner, "|")):
+        if not p or _is_var(p) or p.startswith(("^", "!")) or _is_path(p):
+            raise ValueError(f"bad negated property set: {pred!r}")
+        out.append("rdf:type" if p == "a" else _const_term(p))
+    return out
+
+
 def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[DataFrame, set[str]]:
     """One pattern -> one filtered scan projecting its variables.
     Constants filter (pushed down to the source); a variable repeated
@@ -655,15 +730,27 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
         # Turtle parser's 'a' handling, so loaded catalogs query naturally)
         pattern = (pattern[0], "rdf:type", pattern[2])
     pred = pattern[1]
-    if _is_path(pred):
+    negset = None
+    if not _is_var(pred) and pred.startswith("!"):
+        # negated property set !p / !(p1|p2|...): one scan whose pred
+        # filter is NOT IN — still a pushed-down predicate (checked
+        # before _is_path, whose '|' test would misroute the term).
+        # The pred position binds no variable; forward members only
+        # (^p inside a negated set is outside the subset).
+        negset = _negated_preds(pred)
+    elif _is_path(pred):
         triples = _path_edges(triples, pred).select(
             F.col("src").alias("subj"),
             F.lit(pred).alias("pred"),
             F.col("dst").alias("obj"),
         )
-    df = triples
+    df = triples if negset is None else triples.where(
+        ~F.col("pred").isin(negset)
+    )
     first_pos_of: dict[str, str] = {}
     for pos, term in zip(_POS, pattern):
+        if negset is not None and pos == "pred":
+            continue  # the NOT IN filter above is the whole constraint
         if _is_var(term):
             v = term[1:]
             if v in first_pos_of:
@@ -736,6 +823,7 @@ def bgp(
     not_exists: list[list[tuple[str, str, str]]] = (),
     minus: list[list[tuple[str, str, str]]] = (),
     exists: list[list[tuple[str, str, str]]] = (),
+    subselects: list[DataFrame] = (),
 ) -> DataFrame:
     """Programmatic BGP evaluation (the parser lowers to this).  Returns
     a DataFrame with one column per selected variable.
@@ -804,8 +892,23 @@ def bgp(
         )
         var_order = list(vs)
         values = values[1:]
+    elif subselects:
+        # subquery-only WHERE body: the first subquery seeds the
+        # solution set (the rest join below like any other group)
+        acc = subselects[0]
+        var_order = list(acc.columns)
+        subselects = subselects[1:]
     else:
-        raise ValueError("BGP needs patterns, unions, or values")
+        raise ValueError("BGP needs patterns, unions, values, or a subquery")
+    # { SELECT ... } subqueries: SPARQL joins the subquery's projected
+    # solutions with the enclosing group — an inner equi-join on the
+    # shared vars (Catalyst picks broadcast for a small aggregate side),
+    # a crossJoin when the subquery introduces only new vars.  Joined
+    # BEFORE OPTIONAL/BIND/FILTER so those can reference subquery vars.
+    for sub in subselects:
+        shared = sorted(set(var_order) & set(sub.columns))
+        acc = acc.join(sub, on=shared) if shared else acc.crossJoin(sub)
+        var_order += [v for v in sub.columns if v not in var_order]
     for gi, group in enumerate(optionals):
         opt_pats, opt_filters = (
             group if isinstance(group, tuple) else (group, [])
@@ -873,7 +976,14 @@ def bgp(
 def sparql(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame."""
-    pq = parse_sparql(query)
+    return _eval_parsed(triples, parse_sparql(query))
+
+
+def _eval_parsed(triples: DataFrame, pq: ParsedQuery) -> DataFrame:
+    """Lower one ParsedQuery to a DataFrame plan; recurses for
+    { SELECT ... } subqueries (each becomes an independent plan joined
+    into the outer group by bgp on shared vars)."""
+    subs = [_eval_parsed(triples, s) for s in pq.subqueries]
     if pq.describe is not None:
         # DESCRIBE <uri>: the resource's concise neighborhood — both
         # pushed-down scans, unioned (rdflib's Graph.triples((uri,*,*))
@@ -894,7 +1004,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             distinct=False, unions=pq.unions, binds=pq.binds,
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
-            exists=pq.exists,
+            exists=pq.exists, subselects=subs,
         ).limit(1)
         return sol.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if pq.construct is not None:
@@ -906,7 +1016,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             distinct=False, unions=pq.unions, binds=pq.binds,
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
-            exists=pq.exists,
+            exists=pq.exists, subselects=subs,
         )
         def _term(t: str, verb: bool = False):
             if verb and t == "a":
@@ -938,7 +1048,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             select=needed or None, distinct=False, unions=pq.unions,
             binds=pq.binds, values=pq.values, not_exists=pq.not_exists,
-            minus=pq.minus, exists=pq.exists,
+            minus=pq.minus, exists=pq.exists, subselects=subs,
         )
         def _agg_col(a: AggItem):
             if a.var is None:
@@ -983,7 +1093,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             values=pq.values,
             not_exists=pq.not_exists,
             minus=pq.minus,
-            exists=pq.exists,
+            exists=pq.exists, subselects=subs,
         )
     if pq.order_by:
         out = out.orderBy(

@@ -2304,6 +2304,126 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def q_sparql_negprop(spark, sf):
+    """SPARQL negated property set !(p1|p2|...): ONE scan whose pred
+    filter is NOT IN — still a pushed-down predicate, never a union of
+    per-predicate scans.  Query: every edge that is not conversation
+    plumbing (hasTurn/partOf/followedBy) — i.e. the per-turn attribute
+    triples."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?s ?o
+           WHERE { ?s !(hasTurn|partOf|followedBy) ?o }""",
+    )
+
+
+SQL_SPARQL_NEGPROP = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT DISTINCT subj AS s, obj AS o FROM g
+WHERE pred NOT IN ('hasTurn', 'partOf', 'followedBy')
+"""
+
+
+def q_sparql_optpath(spark, sf):
+    """SPARQL zero-or-one property path `p?`: the edge set unioned with
+    the identity pair for every term of the graph (the zero-length-path
+    domain), restricted here to leaf nodes — each leaf pairs with itself
+    AND its parent.  Same containment tree as q_sparql_path."""
+    from .operators.sparql import sparql
+
+    p = _t(spark, sf, "part")
+    base = p.where(F.col("p_partkey").between(2, 255))
+    edges = base.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("partOf").alias("pred"),
+        F.concat(F.lit("p:"), F.expr("p_partkey div 2").cast("string")).alias("obj"),
+    )
+    leaves = base.where(F.col("p_partkey") >= 128).select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit("isLeaf").alias("pred"),
+        F.lit("true").alias("obj"),
+    )
+    tri = edges.unionByName(leaves)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?n ?a
+           WHERE { ?n partOf? ?a . ?n isLeaf true }""",
+    )
+
+
+SQL_SPARQL_OPTPATH = """
+WITH e AS (SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS child,
+                  'p:' || CAST(p_partkey // 2 AS VARCHAR) AS parent,
+                  p_partkey AS k
+           FROM part WHERE p_partkey BETWEEN 2 AND 255),
+leaves AS (SELECT child AS n FROM e WHERE k >= 128)
+SELECT DISTINCT l.n, e.parent AS a FROM leaves l JOIN e ON e.child = l.n
+UNION
+SELECT n, n FROM leaves
+"""
+
+
+def q_sparql_subquery(spark, sf):
+    """SPARQL { SELECT ... } subquery: the inner aggregate query
+    compiles to its own groupBy plan and inner-joins the outer group on
+    the shared ?tool var (Catalyst broadcasts the small aggregate side);
+    the outer FILTER then references the subquery's ?n — the canonical
+    aggregate-per-group restriction (turns using a popular tool)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn ?tool ?n
+           WHERE { ?turn usedTool ?tool .
+                   { SELECT ?tool (COUNT(?t2) AS ?n)
+                     WHERE { ?t2 usedTool ?tool } } .
+                   FILTER(?n >= 20) }""",
+    )
+
+
+SQL_SPARQL_SUBQUERY = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+cnt AS (SELECT obj AS tool, count(*) AS n FROM g
+        WHERE pred = 'usedTool' GROUP BY obj)
+SELECT DISTINCT u.subj AS turn, u.obj AS tool, cnt.n
+FROM g u JOIN cnt ON cnt.tool = u.obj
+WHERE u.pred = 'usedTool' AND cnt.n >= 20
+"""
+
+
+def q_sparql_if(spark, sf):
+    """SPARQL conditional kit IF/COALESCE in a BIND body (lowered to
+    the Spark SQL functions of the same name), over an OPTIONAL-bound
+    var: turns flagged by whether they invoked any tool.  The nested
+    call shape IF(COALESCE(...) = ..., ...) exercises the depth-2
+    expression grammar."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT DISTINCT ?turn ?flag
+           WHERE { ?c hasTurn ?turn . OPTIONAL { ?turn usedTool ?tool } .
+                   BIND(IF(COALESCE(?tool, 'tool:none') = 'tool:none',
+                           'silent', 'tooluse') AS ?flag) }""",
+    )
+
+
+SQL_SPARQL_IF = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+ht AS (SELECT obj AS turn FROM g WHERE pred = 'hasTurn'),
+ut AS (SELECT subj, obj FROM g WHERE pred = 'usedTool')
+SELECT DISTINCT ht.turn,
+       CASE WHEN COALESCE(ut.obj, 'tool:none') = 'tool:none'
+            THEN 'silent' ELSE 'tooluse' END AS flag
+FROM ht LEFT JOIN ut ON ut.subj = ht.turn
+"""
+
+
 def _fixture(name: str) -> str:
     here = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -3631,6 +3751,88 @@ GROUP BY node
 SQL_KCORE = _kcore_sql()
 
 
+_LPA_ROUNDS = 3
+
+
+def q_label_prop(spark, sf):
+    """Community detection on the co-purchase graph: 3 SYNCHRONOUS
+    label-propagation rounds with a lexicographic-min tie-break
+    (operators/graph.py label_propagation) — the GraphFrames-style LPA
+    recast as one frequency groupBy + one argmin agg per round, no
+    windows.  Synchronous rounds + total tie-break order make the whole
+    trajectory deterministic, so the oracle replays the identical
+    rounds unrolled in SQL (the same fixed-point discipline as
+    q_pagerank: anything order-dependent can never hash-match)."""
+    from .operators.graph import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf), n_iter=_LPA_ROUNDS)
+
+
+_LPA_ITER_SQL = """
+c{i} AS MATERIALIZED (
+  SELECT a.node, l.label, count(*) AS c
+  FROM adj a JOIN l{p} l ON l.node = a.nbr
+  GROUP BY a.node, l.label),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{i}) t WHERE rn = 1)"""
+
+SQL_LPA = (
+    f"""
+WITH e AS MATERIALIZED (SELECT u, v FROM ({_COPURCHASE_SQL}) ce),
+adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+                     UNION ALL SELECT v, u FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),"""
+    + ",".join(
+        _LPA_ITER_SQL.format(i=i, p=i - 1) for i in range(1, _LPA_ROUNDS + 1)
+    )
+    + f"""
+SELECT node, label FROM l{_LPA_ROUNDS}
+"""
+)
+
+
+def q_bfs_dist(spark, sf):
+    """Multi-source BFS hop distances over the DOWNWARD containment tree
+    (parent -> child over part keys 2..255, the same binary hierarchy
+    q_closure climbs upward), sources {{p:1, p:50}} — "how far below
+    either landmark is every node", the reachability-with-distance
+    question rdflib answers by in-memory traversal.  Frontier BFS
+    (operators/graph.py bfs_distances): per-round work proportional to
+    the frontier, convergence probe stops at the true eccentricity.
+    Oracle = DuckDB WITH RECURSIVE one-step walk capped at depth 20
+    (beyond the tree's depth 7, so the cap never binds) — an
+    independent algorithm for the same minimum."""
+    from .operators.graph import bfs_distances
+
+    p = _t(spark, sf, "part")
+    edges = p.where(F.col("p_partkey").between(2, 255)).select(
+        F.concat(
+            F.lit("p:"), F.expr("p_partkey div 2").cast("string")
+        ).alias("src"),
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("dst"),
+    )
+    sources = spark.createDataFrame([("p:1",), ("p:50",)], "node string")
+    return bfs_distances(edges, sources)
+
+
+SQL_BFS_DIST = """
+WITH RECURSIVE
+e AS (SELECT 'p:' || CAST(p_partkey // 2 AS VARCHAR) AS src,
+             'p:' || CAST(p_partkey AS VARCHAR) AS dst
+      FROM part WHERE p_partkey BETWEEN 2 AND 255),
+walk(node, dist) AS (
+  SELECT node, 0 FROM (VALUES ('p:1'), ('p:50')) s(node)
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 20
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+"""
+
+
 _DUP_WINDOW = 8  # tokens per duplicate-detection window
 
 
@@ -3811,6 +4013,12 @@ REGISTRY: dict[str, tuple] = {
     "q_chunk": (q_chunk, SQL_CHUNK),
     "q_time_travel": (q_time_travel, SQL_TIME_TRAVEL),
     "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "q_label_prop": (q_label_prop, SQL_LPA),
+    "q_bfs_dist": (q_bfs_dist, SQL_BFS_DIST),
+    "q_sparql_negprop": (q_sparql_negprop, SQL_SPARQL_NEGPROP),
+    "q_sparql_optpath": (q_sparql_optpath, SQL_SPARQL_OPTPATH),
+    "q_sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
+    "q_sparql_if": (q_sparql_if, SQL_SPARQL_IF),
     # ---- block B: r01-only greens, refreshed to fill the window ------
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -708,3 +708,85 @@ def test_prefix_over_loaded_catalog(spark):
     got = sorted(r["s"] for r in sparql(df, q).collect())
     assert got == ["http://example.org/logset#series_console",
                    "http://example.org/logset#series_messages"]
+
+
+def test_negated_property_set(tri):
+    got = _rows(sparql(
+        tri, "SELECT DISTINCT ?s ?o WHERE { ?s !(hasTurn|hasRole) ?o }"
+    ))
+    want = {
+        (s, o) for s, p, o in TRIPLES if p not in ("hasTurn", "hasRole")
+    }
+    assert set(got) == want
+    # single-member form, no parens
+    got1 = _rows(sparql(tri, "SELECT DISTINCT ?s ?o WHERE { ?s !linksTo ?o }"))
+    assert set(got1) == {(s, o) for s, p, o in TRIPLES if p != "linksTo"}
+
+
+def test_negated_property_set_rejects_inverse_and_paths(tri):
+    # rejection happens at LOWERING time (the parser stores pattern
+    # terms verbatim) — building the plan must raise, loudly
+    for bad in ("!(^p)", "!(p+)", "!(p|?v)", "!()"):
+        with pytest.raises(ValueError):
+            sparql(tri, f"SELECT * WHERE {{ ?s {bad} ?o }}")
+
+
+def test_path_zero_or_one(spark):
+    rows = [("a", "p", "b"), ("b", "p", "c")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = _rows(sparql(t, "SELECT ?x ?y WHERE { ?x p? ?y }"))
+    # one-step pairs plus the identity pair for every term of the graph
+    assert set(got) == {("a", "b"), ("b", "c"), ("a", "a"), ("b", "b"), ("c", "c")}
+
+
+def test_subquery_aggregate_join(tri):
+    q = """SELECT DISTINCT ?turn ?tool ?n
+           WHERE { ?turn usedTool ?tool .
+                   { SELECT ?tool (COUNT(?t) AS ?n)
+                     WHERE { ?t usedTool ?tool } } }"""
+    got = _rows(sparql(tri, q))
+    assert set(got) == {("turn:a/0", "tool:grep", 1), ("turn:a/1", "tool:sed", 1)}
+
+
+def test_subquery_only_where_body(tri):
+    q = """SELECT ?tool ?n
+           WHERE { { SELECT ?tool (COUNT(*) AS ?n)
+                     WHERE { ?t usedTool ?tool } } }"""
+    got = _rows(sparql(tri, q))
+    assert set(got) == {("tool:grep", 1), ("tool:sed", 1)}
+
+
+def test_subquery_limit_inside(tri):
+    # inner ORDER BY + LIMIT runs before the outer join (top-1 tool)
+    q = """SELECT DISTINCT ?turn ?tool
+           WHERE { ?turn usedTool ?tool .
+                   { SELECT ?tool (COUNT(?t) AS ?n)
+                     WHERE { ?t usedTool ?tool }
+                     ORDER BY ?n DESC ?tool LIMIT 1 } }"""
+    got = _rows(sparql(tri, q))
+    assert set(got) == {("turn:a/0", "tool:grep")}
+
+
+def test_if_and_coalesce_in_bind_and_filter(tri):
+    q = """SELECT DISTINCT ?turn ?flag
+           WHERE { ?c hasTurn ?turn . OPTIONAL { ?turn usedTool ?tool } .
+                   BIND(IF(COALESCE(?tool, 'none') = 'none',
+                           'silent', 'tooluse') AS ?flag) }"""
+    got = _rows(sparql(tri, q))
+    assert set(got) == {
+        ("turn:a/0", "tooluse"), ("turn:a/1", "tooluse"),
+        ("turn:b/0", "silent"),
+    }
+    q2 = """SELECT DISTINCT ?t WHERE { ?t usedTool ?tool .
+            FILTER(IF(CONTAINS(?tool, 'grep'), 'k', 'd') = 'k') }"""
+    assert set(_rows(sparql(tri, q2))) == {("turn:a/0",)}
+
+
+def test_if_literal_with_bang_stays_inert(tri):
+    # the ADVICE-r02 hazard class applied to the new conditionals: a
+    # literal containing '!' inside IF must never meet the NOT rewrite
+    q = """SELECT DISTINCT ?turn ?m
+           WHERE { ?turn usedTool ?tool .
+                   BIND(IF(?tool = 'tool:grep', 'a!b', 'c&&d') AS ?m) }"""
+    got = _rows(sparql(tri, q))
+    assert set(got) == {("turn:a/0", "a!b"), ("turn:a/1", "c&&d")}
