@@ -27,6 +27,11 @@ def main(argv=None) -> int:
                    help="rewrite partitions fragmented across >= --min-commits "
                         "commits into one fresh commit")
     p.add_argument("--min-commits", type=int, default=2)
+    p.add_argument("--delete-where", default=None, metavar="PREDICATE",
+                   help="copy-on-write DELETE: rewrite the partitions "
+                        "containing rows matching this Spark SQL predicate "
+                        "without them (rows with a NULL predicate are kept; "
+                        "fully-emptied partitions leave the snapshot)")
     p.add_argument("--expire-keep-from", type=int, default=None,
                    help="drop snapshot metadata older than this version and GC "
                         "commit dirs no retained snapshot references")
@@ -42,6 +47,8 @@ def main(argv=None) -> int:
     store = SnapshotTriplesIO(root=args.warehouse).store
     out: dict = {"warehouse": args.warehouse,
                  "version_before": store.current_version()}
+    if args.delete_where:
+        out["deleted_to_version"] = store.delete_where(spark, args.delete_where)
     if args.compact:
         out["compacted_to_version"] = store.compact(
             spark, min_commits=args.min_commits)

@@ -2304,6 +2304,94 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+def q_snapshot_delete(spark, sf):
+    """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
+    delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
+    committed, then rows matching `earliest day OR turn_idx % 5 = 0` are
+    deleted.  The compound predicate exercises BOTH CoW paths: the
+    earliest day's partitions empty completely (mapping drop — the case
+    dynamic overwrite alone cannot express) while every other partition
+    is rewritten without its matching rows.  Oracle = the surviving rows
+    as a plain filter — a CoW delete must equal the declarative
+    anti-filter exactly."""
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTableIO
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("etype"),
+    )
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_snap_delete_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotTableIO(root=root, n_buckets=8)
+    store.commit(e)
+    store.delete_where(
+        spark, f"to_date(ts) = date'{d0}' OR turn_idx % 5 = 0"
+    )
+    return store.read(spark).select("conv_id", "turn_idx", "ts", "etype")
+
+
+SQL_SNAPSHOT_DELETE = """
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                  CAST(event_id AS INTEGER) AS turn_idx, ts,
+                  event_type AS etype
+           FROM events),
+d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM e)
+SELECT conv_id, turn_idx, ts, etype FROM e, d0
+WHERE NOT (CAST(ts AS DATE) = d0.d OR turn_idx % 5 = 0)
+"""
+
+
+def q_snapshot_prune(spark, sf):
+    """Manifest column-stats pruning (sources/snapshots.py read_pruned —
+    Iceberg's min/max file skipping): the committed snapshot records
+    per-partition [min, max] of ts; a time-window read then drops whole
+    partition dirs from METADATA alone before Spark ever lists them.
+    Pruning must be a pure physical optimization, so the oracle is the
+    plain BETWEEN filter; the dir-skipping effect itself is pinned in
+    tests/test_snapshots.py."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTableIO
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("etype"),
+    )
+    t0 = e.agg(F.min("ts").alias("t")).first()["t"]
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_snap_prune_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotTableIO(root=root, n_buckets=8)
+    store.commit(e, stats_cols=["ts"])
+    lo = t0 + datetime.timedelta(days=3)
+    hi = t0 + datetime.timedelta(days=5)
+    return store.read_pruned(spark, "ts", lo=lo, hi=hi).select(
+        "conv_id", "turn_idx", "ts", "etype"
+    )
+
+
+SQL_SNAPSHOT_PRUNE = """
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                  CAST(event_id AS INTEGER) AS turn_idx, ts,
+                  event_type AS etype
+           FROM events),
+t0 AS (SELECT min(ts) AS t FROM e)
+SELECT conv_id, turn_idx, ts, etype FROM e, t0
+WHERE ts >= t0.t + INTERVAL 3 DAY AND ts <= t0.t + INTERVAL 5 DAY
+"""
+
+
 def q_sparql_negprop(spark, sf):
     """SPARQL negated property set !(p1|p2|...): ONE scan whose pred
     filter is NOT IN — still a pushed-down predicate, never a union of
@@ -4019,6 +4107,8 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_optpath": (q_sparql_optpath, SQL_SPARQL_OPTPATH),
     "q_sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "q_sparql_if": (q_sparql_if, SQL_SPARQL_IF),
+    "q_snapshot_delete": (q_snapshot_delete, SQL_SNAPSHOT_DELETE),
+    "q_snapshot_prune": (q_snapshot_prune, SQL_SNAPSHOT_PRUNE),
     # ---- block B: r01-only greens, refreshed to fill the window ------
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -52,6 +52,30 @@ def _key(day: str, bucket: str) -> str:
     return f"{day}|{bucket}"
 
 
+def _enc_stat(v):
+    """JSON-portable encoding for a manifest stat value: datetime/date
+    -> ISO string (lexicographic == chronological at fixed format);
+    numerics/strings pass through."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+            else v.isoformat()
+    return v
+
+
+def _stat_overlaps(mn, mx, lo, hi) -> bool:
+    """[mn, mx] intersects [lo, hi] (None = unbounded; None stats =
+    unknown = conservatively included)."""
+    if mn is None or mx is None:
+        return True
+    if lo is not None and _enc_stat(mx) < _enc_stat(lo):
+        return False
+    if hi is not None and _enc_stat(mn) > _enc_stat(hi):
+        return False
+    return True
+
+
 @dataclass
 class SnapshotTableIO:
     """Versioned (snapshot-isolated) single-table store."""
@@ -127,6 +151,9 @@ class SnapshotTableIO:
         finisher=None,
         pre_sort=None,
         batch_id: int | None = None,
+        replaced_partitions=None,
+        stats_cols: list[str] | None = None,
+        operation: str | None = None,
     ) -> int:
         """Write `df` as a new immutable commit and publish the snapshot.
 
@@ -145,6 +172,22 @@ class SnapshotTableIO:
         the exactly-once handshake for foreachBatch sinks (see
         `last_batch_id`; same device as Iceberg's commit dedup on
         spark.sql.streaming checkpoint batchId).
+
+        `replaced_partitions`: logical (ts_day, conv_bucket) pairs this
+        commit REPLACES even when it wrote no files for them — the
+        fully-emptied-partition case of DELETE (a dynamic overwrite
+        repoints only partitions present in the frame, so without this
+        an all-rows-deleted partition would silently keep its old files).
+
+        `stats_cols`: columns to record per-partition [min, max] for in
+        the snapshot manifest (Iceberg's manifest-level column stats) —
+        one column-pruned scan of the just-written files, O(partitions)
+        metadata; `read_pruned` then skips whole partition dirs from
+        metadata alone.
+
+        `operation`: snapshot-history label override (defaults to the
+        mode); `delete` commits use it so the incremental append scan
+        knows no NEW rows were added.
 
         Returns the new version number."""
         if mode not in ("overwrite_partitions", "append"):
@@ -169,16 +212,24 @@ class SnapshotTableIO:
         mapping: dict[str, list[int]] = (
             dict(self._load_snapshot(parent)["mapping"]) if parent else {}
         )
-        for day, bucket in self._written_partitions(version):
+        written = self._written_partitions(version)
+        written_keys = set()
+        for day, bucket in written:
             k = _key(day, bucket)
+            written_keys.add(k)
             if mode == "append" and k in mapping:
                 mapping[k] = mapping[k] + [version]
             else:
                 mapping[k] = [version]
+        if replaced_partitions:
+            for day, bucket in replaced_partitions:
+                k = _key(str(day), str(bucket))
+                if k in mapping and k not in written_keys:
+                    del mapping[k]  # partition fully emptied by this commit
         snap = {
             "version": version,
             "parent": parent,
-            "operation": mode,
+            "operation": operation or mode,
             "mapping": mapping,
             # the commit's DATA columns (partition cols excluded): schema
             # evolution bookkeeping, so reads can decide from metadata
@@ -190,8 +241,35 @@ class SnapshotTableIO:
         }
         if batch_id is not None:
             snap["batch_id"] = batch_id
+        if stats_cols:
+            snap["stats"] = self._partition_stats(
+                df.sparkSession, commit_dir, stats_cols
+            )
         self._publish(snap)
         return version
+
+    def _partition_stats(
+        self, spark: SparkSession, commit_dir: str, stats_cols: list[str]
+    ) -> dict:
+        """Per-(ts_day, conv_bucket) [min, max] for `stats_cols`, computed
+        by ONE column-pruned scan of the just-written commit files (never
+        a recomputation of the producing plan).  Timestamps/dates encode
+        as ISO strings — lexicographic order equals chronological order
+        at fixed format, so pruning compares stay engine-portable."""
+        sdf = spark.read.parquet(commit_dir)
+        aggs = []
+        from pyspark.sql import functions as F
+
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        rows = sdf.groupBy("ts_day", "conv_bucket").agg(*aggs).collect()
+        return {
+            _key(str(r["ts_day"]), str(r["conv_bucket"])): {
+                c: [_enc_stat(r[f"__mn_{c}"]), _enc_stat(r[f"__mx_{c}"])]
+                for c in stats_cols
+            }
+            for r in rows
+        }
 
     def _commit_columns(self, commits: set[int]) -> list[list[str]]:
         """Distinct data-column lists across a set of commits, from
@@ -280,6 +358,136 @@ class SnapshotTableIO:
         else:
             merged = updates.select(*data_cols)
         return self.commit(merged)
+
+    def delete_where(
+        self, spark: SparkSession, predicate,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Copy-on-write DELETE FROM ... WHERE (Iceberg CoW delete,
+        partition-granular): partitions containing at least one matching
+        row are rewritten WITHOUT those rows in one fresh commit;
+        untouched partitions keep their files.  A partition whose every
+        row matches is dropped from the mapping outright
+        (`replaced_partitions`) — the case a plain dynamic overwrite
+        cannot express.
+
+        SQL DELETE null semantics: rows where the predicate is NULL are
+        KEPT (only TRUE deletes), hence the coalesce below — `~cond`
+        alone would silently delete null-predicate rows.
+
+        The matching-partition discovery is one filtered, column-pruned
+        scan (the same scan Iceberg's CoW plan does); the rewrite cost is
+        proportional to the touched slice.  The snapshot's operation is
+        labeled 'delete' so the incremental append scan skips it — a
+        delete adds no new rows.  Returns the new version (or the current
+        one unchanged when nothing matches)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cur = self.current_version()
+        if cur == 0:
+            raise ValueError("cannot delete from an empty table")
+        touched = {
+            (str(r["ts_day"]), str(r["conv_bucket"]))
+            for r in self.read(spark).where(cond)
+            .select("ts_day", "conv_bucket").distinct().collect()
+        }
+        if not touched:
+            return cur
+        snap = self._load_snapshot(cur)
+        paths = [
+            os.path.join(self._data, f"commit={c}",
+                         f"ts_day={day}", f"conv_bucket={bucket}")
+            for k, commits in sorted(snap["mapping"].items())
+            for day, bucket in [k.split("|", 1)]
+            if (day, bucket) in touched
+            for c in commits
+        ]
+        commits = {
+            c for k, cl in snap["mapping"].items()
+            if tuple(k.split("|", 1)) in touched
+            for c in cl
+        }
+        reader = spark.read.option("basePath", self._data)
+        if self._needs_merge(commits):
+            reader = reader.option("mergeSchema", "true")
+        current = reader.parquet(*paths)
+        kept = current.where(~F.coalesce(cond, F.lit(False)))
+        data_cols = [c for c in current.columns
+                     if c not in ("ts_day", "conv_bucket", "commit")]
+        return self.commit(
+            kept.select(*data_cols),
+            mode="overwrite_partitions",
+            replaced_partitions=touched,
+            stats_cols=stats_cols,
+            operation="delete",
+        )
+
+    def pruned_partition_dirs(
+        self, col: str, lo=None, hi=None, version: int | None = None,
+    ) -> tuple[list[str], set[int]]:
+        """The (paths, commits) a stats-pruned read touches — the
+        metadata-only half of read_pruned, exposed so tests (and
+        operators sizing a scan) can observe how many dirs the stats
+        actually skipped."""
+        v = self.current_version() if version is None else version
+        snap = self._load_snapshot(v)
+        stats_cache: dict[int, dict] = {}
+
+        def commit_stats(c: int) -> dict:
+            if c not in stats_cache:
+                path = self._snap_path(c)
+                if os.path.exists(path):
+                    with open(path) as f:
+                        stats_cache[c] = json.load(f).get("stats", {})
+                else:
+                    stats_cache[c] = {}
+            return stats_cache[c]
+
+        paths: list[str] = []
+        kept_commits: set[int] = set()
+        for k, commits in sorted(snap["mapping"].items()):
+            day, bucket = k.split("|", 1)
+            for c in commits:
+                st = commit_stats(c).get(k, {}).get(col)
+                if st is None or _stat_overlaps(st[0], st[1], lo, hi):
+                    kept_commits.add(c)
+                    paths.append(
+                        os.path.join(self._data, f"commit={c}",
+                                     f"ts_day={day}", f"conv_bucket={bucket}")
+                    )
+        return paths, kept_commits
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo=None, hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read with MANIFEST-LEVEL column-stats pruning (Iceberg's
+        min/max file skipping at partition-dir granularity): only
+        partition dirs whose recorded [min, max] for `col` intersects
+        [lo, hi] are handed to Spark at all — dirs pruned here are never
+        listed, their footers never read.  Partitions without recorded
+        stats for `col` (commit predating stats, or stats_cols not
+        requested) are conservatively included.  The residual row filter
+        is applied on top, so the result EQUALS read().where(lo <= col
+        <= hi) — pruning is a pure physical optimization (that equality
+        is this feature's oracle).  Bounds: None = unbounded on that
+        side; pass lo == hi for equality."""
+        v = self.current_version() if version is None else version
+        paths, kept_commits = self.pruned_partition_dirs(col, lo, hi, v)
+        if not paths:
+            return self.read(spark, v).limit(0)
+        reader = spark.read.option("basePath", self._data)
+        if self._needs_merge(kept_commits):
+            reader = reader.option("mergeSchema", "true")
+        out = reader.parquet(*paths).drop("commit")
+        from pyspark.sql import functions as F
+
+        if lo is not None:
+            out = out.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(col) <= F.lit(hi))
+        return out
 
     def last_batch_id(self) -> int | None:
         """Highest streaming micro-batch id any retained snapshot was

@@ -387,3 +387,100 @@ def test_merge_upsert_on_empty_table_is_insert(spark, store):
     v = store.merge_upsert(spark, df, keys=["conv_id", "turn_idx"])
     assert v == 1
     assert store.read(spark).count() == df.count()
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark, store):
+    df = _frame(spark, _base_rows())
+    v1 = store.commit(df)
+    # delete ONE turn of one conv: its (day, bucket) partition rewrites
+    # with the surviving rows; everything else keeps its commit-1 files
+    v2 = store.delete_where(spark, "conv_id = 'c0' AND turn_idx = 0")
+    assert v2 == v1 + 1
+    back = store.read(spark)
+    assert back.where("conv_id = 'c0' AND turn_idx = 0").count() == 0
+    assert back.where("conv_id = 'c0'").count() == 2
+    assert back.count() == df.count() - 1
+    # v1 still reads the pre-delete rows (CoW: nothing destroyed)
+    assert store.read(spark, version=v1).where("conv_id = 'c0'").count() == 3
+    # untouched partitions kept their original commit-1 files
+    snap_map = store._load_snapshot(v2)["mapping"]
+    assert any(v == [1] for v in snap_map.values())
+    assert any(v == [2] for v in snap_map.values())
+
+
+def test_delete_where_null_predicate_rows_are_kept(spark, store):
+    rows = [("c0", 0, "2024-03-01 00:00:00", "msg"),
+            ("c0", 1, "2024-03-01 01:00:00", None),
+            ("c0", 2, "2024-03-01 02:00:00", "drop")]
+    store.commit(_frame(spark, rows))
+    store.delete_where(spark, "etype = 'drop'")
+    back = store.read(spark)
+    # the NULL-etype row's predicate is NULL -> kept (SQL DELETE rule)
+    assert back.count() == 2
+    assert back.where("etype IS NULL").count() == 1
+
+
+def test_delete_where_drops_fully_emptied_partition(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    # every 2024-03-01 row goes: that day's partitions must leave the map
+    v = store.delete_where(spark, "ts < timestamp'2024-03-02 00:00:00'")
+    mapping = store._load_snapshot(v)["mapping"]
+    assert all(k.split("|", 1)[0] != "2024-03-01" for k in mapping)
+    back = store.read(spark)
+    assert back.where("ts_day = '2024-03-01'").count() == 0
+    assert back.count() == df.where("ts >= timestamp'2024-03-02 00:00:00'").count()
+
+
+def test_delete_where_no_match_is_noop(spark, store):
+    store.commit(_frame(spark, _base_rows()))
+    v = store.delete_where(spark, "conv_id = 'nope'")
+    assert v == store.current_version() == 1
+
+
+def test_delete_skipped_by_incremental_read(spark, store):
+    store.commit(_frame(spark, _base_rows()))
+    v2 = store.delete_where(spark, "conv_id = 'c0'")
+    # a delete adds no rows: the incremental append scan sees nothing
+    assert store.incremental_read(spark, from_version=1, to_version=v2).count() == 0
+
+
+def test_stats_pruning_skips_dirs_and_matches_plain_filter(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df, stats_cols=["turn_idx", "ts"])
+    total_dirs = len(store.partition_dirs())
+    paths, _ = store.pruned_partition_dirs("turn_idx", lo=99, hi=None)
+    assert len(paths) == 0  # every partition's max turn_idx is 2
+    # range hitting everything prunes nothing
+    paths_all, _ = store.pruned_partition_dirs("turn_idx", lo=0, hi=99)
+    assert len(paths_all) == total_dirs
+    # pruned read == plain filtered read, exactly
+    got = sorted(
+        tuple(r) for r in store.read_pruned(
+            spark, "turn_idx", lo=2, hi=2
+        ).select("conv_id", "turn_idx").collect()
+    )
+    want = sorted(
+        tuple(r) for r in store.read(spark).where("turn_idx = 2")
+        .select("conv_id", "turn_idx").collect()
+    )
+    assert got == want and len(got) == 6
+
+
+def test_stats_pruning_timestamp_bounds_and_statless_commits(spark, store):
+    early = [("c0", 0, "2024-03-01 00:00:00", "msg")]
+    late = [("c9", 0, "2024-03-05 00:00:00", "msg")]
+    store.commit(_frame(spark, early), stats_cols=["ts"])
+    store.commit(_frame(spark, late), mode="append", stats_cols=["ts"])
+    import datetime
+
+    lo = datetime.datetime(2024, 3, 4)
+    paths, _ = store.pruned_partition_dirs("ts", lo=lo)
+    assert len(paths) == 1 and "commit=2" in paths[0]
+    assert store.read_pruned(spark, "ts", lo=lo).count() == 1
+    # a commit WITHOUT stats is conservatively included, never skipped
+    store.commit(_frame(spark, [("cZ", 0, "2024-03-01 05:00:00", "x")]),
+                 mode="append")
+    paths2, _ = store.pruned_partition_dirs("ts", lo=lo)
+    assert any("commit=3" in p for p in paths2)
+    assert store.read_pruned(spark, "ts", lo=lo).count() == 1
