@@ -47,6 +47,10 @@ def main(argv=None) -> int:
                    help="incremental scan: query ONLY triples added after "
                         "this snapshot version (reads just the new commits' "
                         "files — the polling-consumer mode)")
+    p.add_argument("--rdfs", action="store_true",
+                   help="query under RDFS entailment: materialize "
+                        "subClassOf/subPropertyOf/domain/range inferences "
+                        "(operators/inference.py) before evaluating")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -84,6 +88,10 @@ def main(argv=None) -> int:
                     "with --snapshots")
         else:
             triples = TableIO(root=args.warehouse).read(spark, "triples")
+    if args.rdfs:
+        from logset_spark.operators.inference import rdfs_materialize
+
+        triples = rdfs_materialize(triples.select("subj", "pred", "obj"))
     result = sparql(triples, query)
 
     if args.out_ttl:

@@ -2304,6 +2304,98 @@ WHERE ht.pred = 'hasTurn'
 """
 
 
+# ontology fixture for q_rdfs_infer — shared verbatim by the Spark side
+# and the DuckDB VALUES list so both engines reason over identical schema
+_ONTO_ROWS = [
+    ("usedTool", "rdfs:subPropertyOf", "invokedResource"),
+    ("invokedResource", "rdfs:domain", "class:Turn"),
+    ("usedTool", "rdfs:range", "class:Tool"),
+    ("hasRole", "rdfs:domain", "class:Turn"),
+    ("class:Tool", "rdfs:subClassOf", "class:Resource"),
+    ("class:Resource", "rdfs:subClassOf", "class:Entity"),
+    ("class:Turn", "rdfs:subClassOf", "class:Event"),
+]
+
+
+def q_rdfs_infer(spark, sf):
+    """RDFS forward-chaining entailment (operators/inference.py) — the
+    reference's ontology reasoning (rdflib entailment over the LogSet
+    class hierarchy) recast as ontology-scale closures + broadcast joins
+    against the instance scan.  The fixture chains every rule: usedTool
+    subPropertyOf invokedResource (rdfs7), whose DOMAIN types turns
+    (rdfs2 *through* the generalization), usedTool's RANGE types tools
+    (rdfs3), and both classes walk up subClassOf chains (rdfs9/11).
+    Oracle replays the same rules with WITH RECURSIVE closures + joins —
+    an independent formulation of the entailment."""
+    from .operators.inference import rdfs_materialize
+
+    inst = q_kg_structural(spark, sf).where(
+        F.col("pred").isin("usedTool", "hasRole")
+    )
+    onto = spark.createDataFrame(
+        _ONTO_ROWS, "subj string, pred string, obj string"
+    )
+    return rdfs_materialize(inst.unionByName(onto))
+
+
+_ONTO_VALUES = ",\n  ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in _ONTO_ROWS
+)
+
+SQL_RDFS_INFER = f"""
+WITH RECURSIVE
+g AS MATERIALIZED (SELECT * FROM ({SQL_KG_STRUCTURAL}) _g),
+inst AS MATERIALIZED (
+  SELECT subj, pred, obj FROM g WHERE pred IN ('usedTool', 'hasRole')),
+onto(subj, pred, obj) AS (VALUES
+  {_ONTO_VALUES}),
+spe AS (SELECT subj AS child, obj AS parent FROM onto
+        WHERE pred = 'rdfs:subPropertyOf'),
+sce AS (SELECT subj AS child, obj AS parent FROM onto
+        WHERE pred = 'rdfs:subClassOf'),
+spw(node, ancestor) AS (
+  SELECT child, parent FROM spe
+  UNION
+  SELECT w.node, e.parent FROM spw w JOIN spe e ON e.child = w.ancestor),
+spc AS MATERIALIZED (
+  SELECT node, ancestor FROM spw
+  UNION SELECT child, child FROM spe
+  UNION SELECT parent, parent FROM spe),
+scw(node, ancestor) AS (
+  SELECT child, parent FROM sce
+  UNION
+  SELECT w.node, e.parent FROM scw w JOIN sce e ON e.child = w.ancestor),
+scc AS MATERIALIZED (
+  SELECT node, ancestor FROM scw
+  UNION SELECT child, child FROM sce
+  UNION SELECT parent, parent FROM sce),
+gen AS MATERIALIZED (
+  SELECT i.subj, COALESCE(c.ancestor, i.pred) AS pred, i.obj
+  FROM inst i LEFT JOIN spc c ON c.node = i.pred),
+dom AS (SELECT subj AS pred, obj AS cls FROM onto
+        WHERE pred = 'rdfs:domain'),
+rng AS (SELECT subj AS pred, obj AS cls FROM onto
+        WHERE pred = 'rdfs:range'),
+typed AS MATERIALIZED (
+  SELECT gen.subj, 'rdf:type' AS pred, dom.cls AS obj
+  FROM gen JOIN dom ON dom.pred = gen.pred
+  UNION ALL
+  SELECT gen.obj AS subj, 'rdf:type' AS pred, rng.cls AS obj
+  FROM gen JOIN rng ON rng.pred = gen.pred
+  UNION ALL
+  SELECT subj, pred, obj FROM gen WHERE pred = 'rdf:type'),
+up AS (
+  SELECT t.subj, t.pred, c.ancestor AS obj
+  FROM typed t JOIN scc c ON c.node = t.obj)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM inst
+  UNION ALL SELECT subj, pred, obj FROM onto
+  UNION ALL SELECT subj, pred, obj FROM gen
+  UNION ALL SELECT subj, pred, obj FROM typed
+  UNION ALL SELECT subj, pred, obj FROM up) allrows
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4109,6 +4201,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_if": (q_sparql_if, SQL_SPARQL_IF),
     "q_snapshot_delete": (q_snapshot_delete, SQL_SNAPSHOT_DELETE),
     "q_snapshot_prune": (q_snapshot_prune, SQL_SNAPSHOT_PRUNE),
+    "q_rdfs_infer": (q_rdfs_infer, SQL_RDFS_INFER),
     # ---- block B: r01-only greens, refreshed to fill the window ------
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
