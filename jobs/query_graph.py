@@ -51,6 +51,13 @@ def main(argv=None) -> int:
                    help="query under RDFS entailment: materialize "
                         "subClassOf/subPropertyOf/domain/range inferences "
                         "(operators/inference.py) before evaluating")
+    p.add_argument("--owl", action="store_true",
+                   help="query under OWL entailment: inverse/symmetric/"
+                        "transitive property expansion plus sameAs entity "
+                        "canonicalization (FP/IFP merges, distributed-CC "
+                        "rewrite; operators/inference.py owl_materialize) "
+                        "before evaluating; composes with --rdfs (RDFS "
+                        "first, then OWL)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -92,6 +99,10 @@ def main(argv=None) -> int:
         from logset_spark.operators.inference import rdfs_materialize
 
         triples = rdfs_materialize(triples.select("subj", "pred", "obj"))
+    if args.owl:
+        from logset_spark.operators.inference import owl_materialize
+
+        triples = owl_materialize(triples.select("subj", "pred", "obj"))
     result = sparql(triples, query)
 
     if args.out_ttl:

@@ -37,7 +37,7 @@ catalogs written against the rdflib namespaces land exactly here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RDF_TYPE = "rdf:type"
@@ -137,4 +137,196 @@ def rdfs_materialize(triples: DataFrame) -> DataFrame:
         .unionByName(types)
         .unionByName(types_up)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# OWL (RL-subset) materialization — the entity-canonicalization rules
+# ---------------------------------------------------------------------------
+
+SAME_AS = "owl:sameAs"
+INVERSE_OF = "owl:inverseOf"
+SYMMETRIC = "owl:SymmetricProperty"
+TRANSITIVE = "owl:TransitiveProperty"
+FUNCTIONAL = "owl:FunctionalProperty"
+INV_FUNCTIONAL = "owl:InverseFunctionalProperty"
+
+_OWL_PROP_CLASSES = (SYMMETRIC, TRANSITIVE, FUNCTIONAL, INV_FUNCTIONAL)
+
+# pred/subj are joined inside one encoded closure; preds never contain
+# the unit separator, asserted at entry
+_SEP = "\x1f"
+
+
+def owl_materialize(triples: DataFrame, passes: int = 1) -> DataFrame:
+    """Asserted + OWL-entailed triples, DISTINCT — the OWL 2 RL subset
+    that drives ENTITY CANONICALIZATION, which is this engine's core
+    problem (north rule: "entity linking and canonicalization"; the
+    reference merges duplicate nodes by hand in handcoded-equivalent
+    logic; here the ontology declares the merge rules and the engine
+    executes them as one DataFrame plan):
+
+        prp-inv   (p owl:inverseOf q), (s p o)            -> (o q s)
+                  and symmetrically (s q o)               -> (o p s)
+        prp-symp  (p a owl:SymmetricProperty), (s p o)    -> (o p s)
+        prp-trp   (p a owl:TransitiveProperty): s -p->+ o -> (s p o)
+        prp-fp    (p a owl:FunctionalProperty),
+                  (s p o1), (s p o2)                      -> o1 sameAs o2
+        prp-ifp   (p a owl:InverseFunctionalProperty),
+                  (s1 p o), (s2 p o)                      -> s1 sameAs s2
+        eq-*      owl:sameAs is closed as an EQUIVALENCE (symmetric +
+                  transitive, via distributed connected components) and
+                  every class is REWRITTEN to its lexicographic-min
+                  representative in subj/pred/obj position; the class
+                  membership is emitted in CANONICAL STAR FORM —
+                  (member, owl:sameAs, representative) per non-
+                  representative member — not the O(class^2) pair
+                  closure OWL RL's eq-sym/eq-trans would materialize.
+
+    Plan shape at 10^12 triples: the ontology slice (inverseOf triples
+    + the four property-class typings) is ontology-scale and BROADCAST
+    into every instance-side rule; the transitive closure runs ONE
+    path-doubling loop for all transitive predicates at once (endpoint
+    keys encoded as pred<US>node so chains of different predicates can
+    never join); sameAs candidate pairs are emitted in star form per
+    (pred, subj)/(pred, obj) group — linear in group size, never the
+    quadratic pair set — and the equivalence closure rides the same
+    distributed CC operator the linking pipeline uses.  The instance
+    scan shuffles only where the semantics require it: the per-group
+    window for FP/IFP, the closure loop on transitive edges only, and
+    the final distinct.
+
+    Asserted (x owl:sameAs y) triples are CONSUMED by the closure and
+    re-emitted in star form — they are identity metadata, not domain
+    edges, so rewriting them like domain edges would only yield
+    (c sameAs c) noise.
+
+    One pass is a fixpoint for ontologies where the merge rules don't
+    feed new FP/IFP violations through the rewrite (the common case,
+    pytest-asserted on the fixtures); `passes=n` composes the operator
+    for deeper interactions, with each pass a full plan — keep n small
+    or checkpoint between passes.
+    """
+    from .cc import connected_components
+    from .graph import transitive_closure
+
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
+    out = triples.select("subj", "pred", "obj")
+    for _ in range(passes):
+        out = _owl_pass(out, connected_components, transitive_closure)
+    return out
+
+
+def _owl_pass(t: DataFrame, connected_components, transitive_closure
+              ) -> DataFrame:
+    is_schema = (F.col("pred") == INVERSE_OF) | (
+        (F.col("pred") == RDF_TYPE) & F.col("obj").isin(list(_OWL_PROP_CLASSES))
+    )
+    schema = t.where(is_schema)
+    inst = t.where(~is_schema)
+
+    inv = schema.where(F.col("pred") == INVERSE_OF).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q"))
+
+    def _typed(cls: str):
+        return schema.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == cls)
+        ).select(F.col("subj").alias("p"))
+
+    symp, trans, fp, ifp = (
+        _typed(SYMMETRIC), _typed(TRANSITIVE),
+        _typed(FUNCTIONAL), _typed(INV_FUNCTIONAL),
+    )
+
+    # prp-inv (both directions) + prp-symp: every derived edge is the
+    # instance scan joined to a broadcast ontology slice, then swapped
+    swapped = inst.select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"))
+    inv_fwd = swapped.join(
+        F.broadcast(inv.withColumnRenamed("p", "pred")), "pred"
+    ).select("subj", F.col("q").alias("pred"), "obj")
+    inv_bwd = swapped.join(
+        F.broadcast(inv.withColumnRenamed("q", "pred")), "pred"
+    ).select("subj", F.col("p").alias("pred"), "obj")
+    symmed = swapped.join(
+        F.broadcast(symp.withColumnRenamed("p", "pred")), "pred"
+    ).select("subj", "pred", "obj")
+
+    expanded = (
+        inst.unionByName(inv_fwd).unionByName(inv_bwd).unionByName(symmed)
+    )
+    # the closure and the FP/IFP windows each scan `expanded` again;
+    # cut the recomputation (and give CC a stable input) here
+    expanded = expanded.localCheckpoint(eager=True)
+
+    # prp-trp — ONE closure for every transitive predicate: endpoints
+    # are encoded pred<US>node so the path-doubling midpoint join can
+    # only match within a predicate's own edge set
+    tedges = expanded.join(
+        F.broadcast(trans.withColumnRenamed("p", "pred")), "pred")
+    bad = tedges.where(F.col("pred").contains(_SEP)).limit(1).count()
+    if bad:
+        raise ValueError(f"transitive predicate contains reserved {_SEP!r}")
+    closed = transitive_closure(
+        tedges.select(
+            F.concat_ws(_SEP, "pred", "subj").alias("child"),
+            F.concat_ws(_SEP, "pred", "obj").alias("parent"),
+        )
+    )
+    sep_at = F.instr(F.col("node"), _SEP)
+    trans_derived = closed.select(
+        F.expr(f"substring(ancestor, instr(ancestor, '{_SEP}') + 1)"
+               ).alias("obj_raw"),
+        F.substring_index("node", _SEP, 1).alias("pred"),
+        F.col("node").substr(sep_at + 1, F.length("node")).alias("subj"),
+    ).select("subj", "pred", F.col("obj_raw").alias("obj"))
+
+    full = expanded.unionByName(trans_derived).localCheckpoint(eager=True)
+
+    # prp-fp / prp-ifp — sameAs candidates in star form per group:
+    # linear in group size (min over a window, pair each member with
+    # the min), never the quadratic all-pairs within a group
+    w_fp = Window.partitionBy("pred", "subj")
+    fp_pairs = (
+        full.join(F.broadcast(fp.withColumnRenamed("p", "pred")), "pred")
+        .withColumn("m", F.min("obj").over(w_fp))
+        .where(F.col("obj") != F.col("m"))
+        .select(F.col("m").alias("a"), F.col("obj").alias("b"))
+    )
+    w_ifp = Window.partitionBy("pred", "obj")
+    ifp_pairs = (
+        full.join(F.broadcast(ifp.withColumnRenamed("p", "pred")), "pred")
+        .withColumn("m", F.min("subj").over(w_ifp))
+        .where(F.col("subj") != F.col("m"))
+        .select(F.col("m").alias("a"), F.col("subj").alias("b"))
+    )
+    asserted_sa = full.where(F.col("pred") == SAME_AS).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b"))
+
+    sa_edges = asserted_sa.unionByName(fp_pairs).unionByName(ifp_pairs)
+    canon = connected_components(
+        sa_edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )  # node -> component (lexicographic min) — the canonical map
+
+    # eq-rep — rewrite every position through the canonical map; the
+    # map is usually tiny but CAN be instance-scale (mass dedup), so no
+    # broadcast hint: AQE picks the strategy from the real size
+    def _rw(df: DataFrame, col: str) -> DataFrame:
+        m = canon.withColumnRenamed("node", col)
+        return df.join(m, col, "left").select(
+            *[F.coalesce("component", c).alias(c) if c == col else F.col(c)
+              for c in ("subj", "pred", "obj")])
+
+    domain_edges = full.where(F.col("pred") != SAME_AS)
+    rewritten = _rw(_rw(_rw(domain_edges, "subj"), "pred"), "obj")
+
+    stars = canon.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("subj"),
+        F.lit(SAME_AS).alias("pred"),
+        F.col("component").alias("obj"),
+    )
+
+    return (
+        rewritten.unionByName(stars).unionByName(schema).distinct()
     )

@@ -2396,6 +2396,138 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+# ontology + alias-facts fixture for q_owl_infer — shared verbatim by the
+# Spark side and the DuckDB VALUES lists so both engines reason over
+# identical schema.  The aliases merge REAL nodes from the structural
+# graph (tool:error / tool:purchase) so the rewrite is observable.
+_OWL_ONTO_ROWS = [
+    ("hasTurn", "owl:inverseOf", "partOf"),
+    ("followedBy", "rdf:type", "owl:TransitiveProperty"),
+    ("relatedTo", "rdf:type", "owl:SymmetricProperty"),
+    ("canonicalKey", "rdf:type", "owl:InverseFunctionalProperty"),
+    ("partOf", "rdf:type", "owl:FunctionalProperty"),
+]
+_OWL_FACT_ROWS = [
+    ("tool:err", "canonicalKey", "key:1"),
+    ("tool:error", "canonicalKey", "key:1"),
+    ("tool:err", "vendor", "vendor:acme"),
+    ("tool:purchase", "owl:sameAs", "tool:buy"),
+    ("tool:buy", "vendor", "vendor:shop"),
+    ("conv:u1", "relatedTo", "conv:u2"),
+]
+
+# chains capped at turn_idx < 20 so the transitive closure stays
+# fixture-scale on both engines (~210 pairs/conv, not L^2/2 for L~86)
+_OWL_INST_FILTER = (
+    "pred IN ('hasTurn', 'usedTool') OR (pred = 'followedBy' AND "
+    "CAST(regexp_extract(subj, '([0-9]+)$', 1) AS INT) < 20)"
+)
+
+
+def q_owl_infer(spark, sf):
+    """OWL-RL-subset entailment (operators/inference.py
+    owl_materialize) — ontology-DECLARED entity canonicalization: the
+    fixture derives partOf from hasTurn (prp-inv), closes followedBy
+    chains (prp-trp, one encoded path-doubling loop for all transitive
+    preds), mirrors relatedTo (prp-symp), merges tool:error into
+    tool:err via a shared InverseFunctionalProperty key (prp-ifp) and
+    tool:purchase into tool:buy via asserted sameAs, then REWRITES the
+    whole graph through the distributed-CC canonical map and emits
+    membership in star form.  Oracle replays the same single-pass rule
+    composition with WITH RECURSIVE closures + window-min star pairs +
+    recursive min-label components — an independent formulation."""
+    from .operators.inference import owl_materialize
+
+    inst = q_kg_structural(spark, sf).where(F.expr(_OWL_INST_FILTER))
+    fixture = spark.createDataFrame(
+        _OWL_ONTO_ROWS + _OWL_FACT_ROWS,
+        "subj string, pred string, obj string",
+    )
+    return owl_materialize(inst.unionByName(fixture))
+
+
+_OWL_ONTO_VALUES = ",\n  ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in _OWL_ONTO_ROWS
+)
+_OWL_FACT_VALUES = ",\n  ".join(
+    f"('{s}', '{p}', '{o}')" for s, p, o in _OWL_FACT_ROWS
+)
+
+SQL_OWL_INFER = f"""
+WITH RECURSIVE
+g AS MATERIALIZED (SELECT * FROM ({SQL_KG_STRUCTURAL}) _g),
+onto(subj, pred, obj) AS (VALUES
+  {_OWL_ONTO_VALUES}),
+facts(subj, pred, obj) AS (VALUES
+  {_OWL_FACT_VALUES}),
+inst AS MATERIALIZED (
+  SELECT subj, pred, obj FROM g WHERE {_OWL_INST_FILTER}
+  UNION ALL SELECT subj, pred, obj FROM facts),
+inv AS (SELECT subj AS p, obj AS q FROM onto WHERE pred = 'owl:inverseOf'),
+symp AS (SELECT subj AS p FROM onto
+         WHERE pred = 'rdf:type' AND obj = 'owl:SymmetricProperty'),
+trans AS (SELECT subj AS p FROM onto
+          WHERE pred = 'rdf:type' AND obj = 'owl:TransitiveProperty'),
+fp AS (SELECT subj AS p FROM onto
+       WHERE pred = 'rdf:type' AND obj = 'owl:FunctionalProperty'),
+ifp AS (SELECT subj AS p FROM onto
+        WHERE pred = 'rdf:type' AND obj = 'owl:InverseFunctionalProperty'),
+expanded AS MATERIALIZED (
+  SELECT subj, pred, obj FROM inst
+  UNION SELECT i.obj, v.q, i.subj FROM inst i JOIN inv v ON i.pred = v.p
+  UNION SELECT i.obj, v.p, i.subj FROM inst i JOIN inv v ON i.pred = v.q
+  UNION SELECT i.obj, i.pred, i.subj FROM inst i JOIN symp s ON i.pred = s.p),
+tedge AS MATERIALIZED (
+  SELECT e.pred, e.subj AS s, e.obj AS o
+  FROM expanded e JOIN trans t ON e.pred = t.p),
+tc(pred, s, o) AS (
+  SELECT pred, s, o FROM tedge
+  UNION
+  SELECT c.pred, c.s, e.o FROM tc c JOIN tedge e
+    ON e.pred = c.pred AND e.s = c.o),
+fullg AS MATERIALIZED (
+  SELECT subj, pred, obj FROM expanded
+  UNION SELECT s, pred, o FROM tc),
+fp_pairs AS (
+  SELECT m AS a, obj AS b FROM (
+    SELECT f.obj, min(f.obj) OVER (PARTITION BY f.pred, f.subj) AS m
+    FROM fullg f JOIN fp ON f.pred = fp.p) _f
+  WHERE obj != m),
+ifp_pairs AS (
+  SELECT m AS a, subj AS b FROM (
+    SELECT f.subj, min(f.subj) OVER (PARTITION BY f.pred, f.obj) AS m
+    FROM fullg f JOIN ifp ON f.pred = ifp.p) _i
+  WHERE subj != m),
+sa AS MATERIALIZED (
+  SELECT subj AS a, obj AS b FROM fullg WHERE pred = 'owl:sameAs'
+  UNION SELECT a, b FROM fp_pairs
+  UNION SELECT a, b FROM ifp_pairs),
+bi AS MATERIALIZED (
+  SELECT a, b FROM sa UNION SELECT b AS a, a AS b FROM sa),
+comp(node, lbl) AS (
+  SELECT a, a FROM bi
+  UNION
+  SELECT e.b, c.lbl FROM comp c JOIN bi e ON e.a = c.node),
+canon AS MATERIALIZED (
+  SELECT node, min(lbl) AS rep FROM comp GROUP BY node),
+rew AS (
+  SELECT COALESCE(cs.rep, f.subj) AS subj,
+         COALESCE(cp.rep, f.pred) AS pred,
+         COALESCE(co.rep, f.obj) AS obj
+  FROM fullg f
+  LEFT JOIN canon cs ON cs.node = f.subj
+  LEFT JOIN canon cp ON cp.node = f.pred
+  LEFT JOIN canon co ON co.node = f.obj
+  WHERE f.pred != 'owl:sameAs')
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM rew
+  UNION ALL
+  SELECT node AS subj, 'owl:sameAs' AS pred, rep AS obj
+  FROM canon WHERE node != rep
+  UNION ALL SELECT subj, pred, obj FROM onto) allrows
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4131,6 +4263,8 @@ FROM term GROUP BY doc_id
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-4 additions
+    "q_owl_infer": (q_owl_infer, SQL_OWL_INFER),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

@@ -113,3 +113,178 @@ def test_random_graphs_match_python_fixpoint(spark):
         rows.add(("n0", "rdf:type", rng.choice(classes)))
         rows = sorted(rows)
         assert _run(spark, rows) == _py_rdfs(rows), f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# owl_materialize — checked against a pure-Python naive evaluation of the
+# same single-pass rule composition (independent formulation: rule-at-a-
+# time sets + union-find, vs the DataFrame broadcast-join/closure/CC plan)
+# ---------------------------------------------------------------------------
+
+from logset_spark.operators.inference import owl_materialize
+
+PROP_CLASSES = {
+    "owl:SymmetricProperty", "owl:TransitiveProperty",
+    "owl:FunctionalProperty", "owl:InverseFunctionalProperty",
+}
+
+
+def _py_owl(rows):
+    """Naive single-pass OWL-RL-subset evaluation mirroring the
+    documented semantics: expand inverse/symmetric, transitive fixpoint,
+    FP/IFP + asserted sameAs -> union-find canonical map (min element),
+    rewrite every position, star-form membership."""
+    import collections
+
+    schema = {
+        (s, p, o) for s, p, o in rows
+        if p == "owl:inverseOf" or (p == "rdf:type" and o in PROP_CLASSES)
+    }
+    inst = set(rows) - schema
+    inv = {(s, o) for s, p, o in schema if p == "owl:inverseOf"}
+    typed = lambda c: {s for s, p, o in schema
+                       if p == "rdf:type" and o == c}
+    symp, trans, fp, ifp = (
+        typed("owl:SymmetricProperty"), typed("owl:TransitiveProperty"),
+        typed("owl:FunctionalProperty"),
+        typed("owl:InverseFunctionalProperty"),
+    )
+
+    full = set(inst)
+    for s, p, o in inst:
+        for a, b in inv:
+            if p == a:
+                full.add((o, b, s))
+            if p == b:
+                full.add((o, a, s))
+        if p in symp:
+            full.add((o, p, s))
+    changed = True
+    while changed:
+        changed = False
+        snapshot = list(full)
+        for s, p, o in snapshot:
+            if p not in trans:
+                continue
+            for s2, p2, o2 in snapshot:
+                if p2 == p and s2 == o and (s, p, o2) not in full:
+                    full.add((s, p, o2))
+                    changed = True
+
+    pairs = {(s, o) for s, p, o in full if p == "owl:sameAs"}
+    fpg = collections.defaultdict(set)
+    ifpg = collections.defaultdict(set)
+    for s, p, o in full:
+        if p in fp:
+            fpg[(p, s)].add(o)
+        if p in ifp:
+            ifpg[(p, o)].add(s)
+    for grp in list(fpg.values()) + list(ifpg.values()):
+        m = min(grp)
+        pairs |= {(m, x) for x in grp if x != m}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    canon = {x: find(x) for x in parent}
+    rw = lambda t: canon.get(t, t)
+    out = {(rw(s), rw(p), rw(o)) for s, p, o in full if p != "owl:sameAs"}
+    out |= {(x, "owl:sameAs", c) for x, c in canon.items() if x != c}
+    return out | schema
+
+
+OWL_ONTO = [
+    ("hasTurn", "owl:inverseOf", "partOf"),
+    ("followedBy", "rdf:type", "owl:TransitiveProperty"),
+    ("relatedTo", "rdf:type", "owl:SymmetricProperty"),
+    ("canonicalKey", "rdf:type", "owl:InverseFunctionalProperty"),
+    ("ownedBy", "rdf:type", "owl:FunctionalProperty"),
+]
+
+
+def _run_owl(spark, rows, passes=1):
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    return {tuple(r) for r in owl_materialize(df, passes=passes).collect()}
+
+
+def test_owl_every_rule_fires(spark):
+    rows = OWL_ONTO + [
+        ("conv:1", "hasTurn", "turn:1/0"),
+        ("turn:1/1", "partOf", "conv:1"),
+        ("turn:1/0", "followedBy", "turn:1/1"),
+        ("turn:1/1", "followedBy", "turn:1/2"),
+        ("turn:1/2", "followedBy", "turn:1/3"),
+        ("conv:1", "relatedTo", "conv:2"),
+        ("tool:err", "canonicalKey", "key:1"),
+        ("tool:error", "canonicalKey", "key:1"),
+        ("doc:a", "ownedBy", "user:1"),
+        ("doc:a", "ownedBy", "user:01"),
+        ("tool:error", "vendor", "v:acme"),
+        ("x:1", "owl:sameAs", "x:2"),
+        ("x:2", "owl:sameAs", "x:3"),
+    ]
+    got = _run_owl(spark, rows)
+    assert got == _py_owl(rows)
+    # prp-inv, both directions
+    assert ("turn:1/0", "partOf", "conv:1") in got
+    assert ("conv:1", "hasTurn", "turn:1/1") in got
+    # prp-symp
+    assert ("conv:2", "relatedTo", "conv:1") in got
+    # prp-trp: 3-hop pair
+    assert ("turn:1/0", "followedBy", "turn:1/3") in got
+    # prp-ifp merge rewrote the vendor triple to the canonical node
+    assert ("tool:err", "vendor", "v:acme") in got
+    assert ("tool:error", "owl:sameAs", "tool:err") in got
+    # prp-fp merge
+    assert ("user:1", "owl:sameAs", "user:01") in got
+    # eq: asserted chain collapsed in star form to the min element
+    assert ("x:2", "owl:sameAs", "x:1") in got
+    assert ("x:3", "owl:sameAs", "x:1") in got
+    assert ("x:1", "owl:sameAs", "x:2") not in got
+
+
+def test_owl_single_pass_is_fixpoint_on_fixture(spark):
+    rows = OWL_ONTO + [
+        ("conv:1", "hasTurn", "turn:1/0"),
+        ("turn:1/0", "followedBy", "turn:1/1"),
+        ("tool:a", "canonicalKey", "key:1"),
+        ("tool:b", "canonicalKey", "key:1"),
+        ("tool:b", "vendor", "v:1"),
+    ]
+    assert _run_owl(spark, rows) == _run_owl(spark, rows, passes=2)
+
+
+def test_owl_plain_triples_pass_through(spark):
+    rows = [("a", "plainPred", "b")]
+    assert _run_owl(spark, rows) == {("a", "plainPred", "b")}
+
+
+def test_owl_random_graphs_match_python(spark):
+    rng = random.Random(11)
+    preds = [f"p{i}" for i in range(6)]
+    nodes = [f"n:{i}" for i in range(10)]
+    for trial in range(3):
+        rows = set()
+        rows.add((preds[0], "owl:inverseOf", preds[1]))
+        rows.add((preds[2], "rdf:type", "owl:TransitiveProperty"))
+        rows.add((preds[3], "rdf:type", "owl:SymmetricProperty"))
+        rows.add((preds[4], "rdf:type", "owl:FunctionalProperty"))
+        rows.add((preds[5], "rdf:type", "owl:InverseFunctionalProperty"))
+        for _ in range(25):
+            rows.add((rng.choice(nodes), rng.choice(preds),
+                      rng.choice(nodes)))
+        for _ in range(2):
+            rows.add((rng.choice(nodes), "owl:sameAs", rng.choice(nodes)))
+        rows = sorted(rows)
+        assert _run_owl(spark, rows) == _py_owl(rows), f"trial {trial}"
