@@ -32,9 +32,12 @@ r02 item 2) covering what actual rdflib-serialized catalogs use:
   nodes kept verbatim;
 * comments anywhere outside quotes.
 
-Anonymous blank nodes `[...]` and collections `(...)` are OUTSIDE the
-subset and rejected loudly — silent misinterpretation is worse than
-rejection.
+* anonymous blank nodes `[ pred obj ; ... ]` in subject/object position
+  (fresh labels minted in the parser-reserved `_:anon-<n>` space —
+  explicit `_:anon-*` labels in input are rejected to keep the space
+  collision-free) and RDF collections `( e1 e2 ... )` expanded to the
+  standard rdf:first/rdf:rest/rdf:nil chain (`()` is rdf:nil; the rdf:
+  terms expand iff the prefix is bound, like `a`).
 """
 
 from __future__ import annotations
@@ -148,6 +151,16 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
+        self.triples: list[tuple[str, str, str]] = []
+        self._anon = 0
+
+    def _fresh_bnode(self) -> str:
+        """Fresh label for an anonymous [] node.  `_:anon-` is the
+        parser's reserved label space (documented in the module
+        docstring); explicit `_:anon-*` labels in input would collide
+        and are rejected in term()."""
+        self._anon += 1
+        return f"_:anon-{self._anon}"
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -172,6 +185,10 @@ class _Parser:
 
     def _expand_pname(self, word: str) -> str:
         if word.startswith("_:"):
+            if word.startswith("_:anon-"):
+                raise ValueError(
+                    f"blank node label {word!r} uses the parser's "
+                    "reserved _:anon- space for [] nodes")
             return word  # blank node label, verbatim
         if ":" in word:
             ns, local = word.split(":", 1)
@@ -203,10 +220,36 @@ class _Parser:
             if v.startswith("@"):
                 raise ValueError(f"misplaced directive/tag {v!r}")
             return self._expand_pname(v)
-        if k == "punct" and v in "[(":
-            raise ValueError(
-                "anonymous blank nodes / collections are outside the "
-                "documented Turtle subset")
+        if k == "punct" and v == "[":
+            if verb:
+                raise ValueError("blank node in predicate position")
+            node = self._fresh_bnode()
+            if self.peek() == ("punct", "]"):  # bare []
+                self.next()
+                return node
+            self._pred_obj_list(node, bracket=True)
+            return node
+        if k == "punct" and v == "(":
+            if verb:
+                raise ValueError("collection in predicate position")
+            items = []
+            while self.peek() != ("punct", ")"):
+                if self.peek()[0] is None:
+                    raise ValueError("unterminated collection")
+                items.append(self.term())
+            self.next()
+            if not items:
+                return self._expand_pname("rdf:nil")
+            first, rest, nil = (
+                self._expand_pname(w)
+                for w in ("rdf:first", "rdf:rest", "rdf:nil"))
+            nodes = [self._fresh_bnode() for _ in items]
+            for idx, (n, it) in enumerate(zip(nodes, items)):
+                self.triples.append((n, first, it))
+                self.triples.append(
+                    (n, rest, nodes[idx + 1] if idx + 1 < len(nodes)
+                     else nil))
+            return nodes[0]
         raise ValueError(f"unexpected token {v!r} where a term was expected")
 
     def directive(self) -> bool:
@@ -242,30 +285,46 @@ class _Parser:
             return True
         return False
 
+    def _pred_obj_list(self, subj: str, *, bracket: bool) -> None:
+        """`pred obj (, obj)* (; pred obj ...)*` onto self.triples.
+        bracket=True: a [ ... ] property list — consumes the closing
+        ']'; bracket=False: a top-level statement — the caller consumes
+        the terminating '.'."""
+        while True:
+            pred = self.term(verb=True)
+            while True:  # object list
+                self.triples.append((subj, pred, self.term()))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("punct", ";"):
+                self.next()
+                # tolerate trailing ';' before the closer (rdflib emits it)
+                if bracket and self.peek() == ("punct", "]"):
+                    break
+                if not bracket and self.peek()[0] == "dot":
+                    break
+                continue
+            break
+        if bracket:
+            self.expect("punct", "]")
+
     def statements(self) -> list[tuple[str, str, str]]:
-        out: list[tuple[str, str, str]] = []
+        self.triples = []
         while self.peek()[0] is not None:
             if self.directive():
                 continue
+            was_bnode_list = self.peek() == ("punct", "[")
             subj = self.term()
-            while True:  # predicate-object list
-                pred = self.term(verb=True)
-                while True:  # object list
-                    out.append((subj, pred, self.term()))
-                    if self.peek() == ("punct", ","):
-                        self.next()
-                        continue
-                    break
-                if self.peek() == ("punct", ";"):
-                    self.next()
-                    # tolerate trailing ';' before '.' (rdflib emits it)
-                    if self.peek()[0] == "dot":
-                        self.next()
-                        break
-                    continue
-                self.expect("dot")
-                break
-        return out
+            # `[ p o ] .` — a subject property list needs no further
+            # predicate-object list (Turtle grammar production [6])
+            if was_bnode_list and self.peek()[0] == "dot":
+                self.next()
+                continue
+            self._pred_obj_list(subj, bracket=False)
+            self.expect("dot")
+        return self.triples
 
 
 def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]:

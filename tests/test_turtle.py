@@ -58,11 +58,42 @@ def test_escapes_and_long_strings():
     assert "tab\there" in objs and "uA" in objs
 
 
-def test_rejects_blank_node_brackets_and_collections():
+def test_anonymous_blank_node_property_lists():
+    t, _ = parse_turtle("ex:a ex:b [ ex:c ex:d ; ex:e ex:f, ex:g ] .")
+    (b,) = {o for s, p, o in t if s == "ex:a"}
+    assert b.startswith("_:anon-")
+    assert set(t) == {
+        ("ex:a", "ex:b", b), (b, "ex:c", "ex:d"),
+        (b, "ex:e", "ex:f"), (b, "ex:e", "ex:g"),
+    }
+    # subject position, with and without a following predicate-object list
+    t, _ = parse_turtle("[ ex:p ex:o ] ex:q ex:r .")
+    (b,) = {s for s, p, o in t}
+    assert set(t) == {(b, "ex:p", "ex:o"), (b, "ex:q", "ex:r")}
+    t, _ = parse_turtle("[ ex:p ex:o ] .")
+    assert len(t) == 1 and t[0][1:] == ("ex:p", "ex:o")
+    # nested
+    t, _ = parse_turtle("ex:a ex:b [ ex:c [ ex:d ex:e ] ] .")
+    assert len(t) == 3 and len({s for s, _, _ in t}) == 3
+    # explicit labels in the parser-reserved anon space are rejected
     with pytest.raises(ValueError):
-        parse_turtle("ex:a ex:b [ ex:c ex:d ] .")
-    with pytest.raises(ValueError):
-        parse_turtle("ex:a ex:b (1 2 3) .")
+        parse_turtle("_:anon-1 ex:p ex:o .")
+
+
+def test_collections_expand_to_first_rest_chains():
+    ttl = ('@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n'
+           'ex:a ex:list ("x" "y") .')
+    t, _ = parse_turtle(ttl)
+    ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    firsts = [(s, o) for s, p, o in t if p == ns + "first"]
+    rests = {s: o for s, p, o in t if p == ns + "rest"}
+    (head,) = {o for s, p, o in t if p == "ex:list"}
+    assert dict(firsts)[head] == "x"
+    assert dict(firsts)[rests[head]] == "y"
+    assert rests[rests[head]] == ns + "nil"
+    # unbound rdf: prefix -> verbatim engine-style terms; () is rdf:nil
+    t, _ = parse_turtle("ex:a ex:list () .")
+    assert t == [("ex:a", "ex:list", "rdf:nil")]
 
 
 def test_emitter_round_trip():
