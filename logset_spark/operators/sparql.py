@@ -30,11 +30,12 @@ patterns):
 
     SELECT [DISTINCT] ?v1 ?v2 | *
            | ?g1 ... (AGG(?v) AS ?name) ...   -- SPARQL 1.1 aggregates:
-             COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT over a var, or
+             COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT/SAMPLE over a var, or
              COUNT(*); GROUP_CONCAT sorts values then joins with ';'
-             (deterministic — SPARQL leaves the order open); plain ?vars
-             in the list become the GROUP BY keys (groupBy lowering;
-             SUM/AVG try_cast the string object to double)
+             (deterministic — SPARQL leaves the order open); SAMPLE
+             picks MIN (deterministic — SPARQL leaves the pick open);
+             plain ?vars in the list become the GROUP BY keys (groupBy
+             lowering; SUM/AVG try_cast the string object to double)
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
             ( . FILTER [NOT] EXISTS { patterns } )*
@@ -59,9 +60,15 @@ patterns):
     Other query forms: ASK { body } (one boolean row);
     CONSTRUCT { template patterns } WHERE { body } (solutions
     instantiate the template into distinct (subj, pred, obj) rows —
-    the reference's graph-building shape).
+    the reference's graph-building shape); CONSTRUCT WHERE { body }
+    (shorthand: the template IS the body, which must be a plain BGP).
 
     pattern := term term term        term := ?var | bareword | 'literal'
+                                           | [ pred obj (; pred obj)* ]
+    An anonymous blank node [ ... ] in the MAIN body is sugar for a
+    fresh ?_bn<n> variable plus the bracketed patterns (one nesting
+    level per bracket pair, innermost first); inside
+    OPTIONAL/UNION/EXISTS groups it stays outside the subset.
     A constant predicate may be a PROPERTY PATH expression:
         path := seq ( '|' seq )*     -- alternation: union of edge sets
         seq  := atom ( '/' atom )*   -- sequence: edge-set composition
@@ -80,9 +87,12 @@ patterns):
     NOT any member (still a pushed-down filter; forward members only —
     `a` means rdf:type; `^p` members are outside the subset).
     expr    := ?var (=|!=|<|<=|>|>=) value, regex(?var, 'pat'),
-               bound(?var), combined with && / || / !; plus the string
+               bound(?var), ?var [NOT] IN (v1, v2, ...), combined with
+               && / || / !; plus the string
                kit STRLEN/LCASE/UCASE/STRSTARTS/STRENDS/CONTAINS/
-               SUBSTR/REPLACE/STR/CONCAT and the conditionals
+               SUBSTR/REPLACE/STR/CONCAT, STRBEFORE/STRAFTER (plain-
+               term args; '' when the separator is absent or empty —
+               the separator-absent case per spec) and the conditionals
                IF(c, t, f) / COALESCE(x, ...) (lowered to the Spark SQL
                equivalents) — usable in FILTER and BIND bodies alike
 
@@ -353,6 +363,30 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         inner = _parse_protected(f"SELECT * WHERE {{{am.group(1)}}}", lits)
         inner.ask = True
         return inner
+    cwm = re.match(r"CONSTRUCT\s+WHERE\s*\{(.*)\}\s*$", q,
+                   re.IGNORECASE | re.DOTALL)
+    if cwm:
+        # CONSTRUCT WHERE shorthand: the template IS the body, which the
+        # spec restricts to a plain BGP.  Clause keywords are rejected
+        # explicitly — FILTER(...) happens to tokenize into three
+        # whitespace-separated "terms", so the 3-terms check alone
+        # would silently mis-parse it as a triple pattern.  (Literals
+        # are placeholders here, so the keyword scan can't hit quoted
+        # content.)
+        kw = re.search(
+            r"\b(FILTER|OPTIONAL|BIND|VALUES|UNION|MINUS|SELECT)\b",
+            cwm.group(1), re.IGNORECASE)
+        if kw:
+            raise ValueError(
+                f"CONSTRUCT WHERE takes a plain BGP; {kw.group(1)} is "
+                "outside the shorthand (use CONSTRUCT {...} WHERE {...})")
+        template = _parse_patterns(cwm.group(1), lits)
+        if not template:
+            raise ValueError("CONSTRUCT WHERE has no triple patterns")
+        inner = _parse_protected(
+            f"SELECT * WHERE {{{cwm.group(1)}}}", lits)
+        inner.construct = template
+        return inner
     cm = re.match(
         r"CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$", q,
         re.IGNORECASE | re.DOTALL,
@@ -390,7 +424,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return " "
 
     sel_raw = re.sub(
-        r"\(\s*(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT)\s*\(\s*"
+        r"\(\s*(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT|SAMPLE)\s*\(\s*"
         r"(DISTINCT\s+)?(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
         _agg, sel_raw, flags=re.IGNORECASE,
     ).strip()
@@ -531,6 +565,33 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         patterns = []
     else:
         body = _extract_filters(body, filters)
+        # anonymous blank nodes [ p o ; p2 o2 ] in the main body are
+        # syntactic sugar for a fresh variable (?_bn<n> — the reserved
+        # namespace) plus the bracketed predicate-object patterns;
+        # innermost-first rewriting handles nesting.  Object lists with
+        # ',' inside brackets stay outside the subset (the 3-terms
+        # check rejects them loudly), as do bnodes inside
+        # OPTIONAL/UNION/... groups (their '[' survives into the group
+        # parser and errors there).
+        bn_n = [0]
+        tails: list[str] = []
+
+        def _bn(mo: re.Match) -> str:
+            bn_n[0] += 1
+            var = f"?_bn{bn_n[0]}"
+            inner = mo.group(1).strip()
+            for po in (p.strip() for p in inner.split(";")):
+                if po:
+                    tails.append(f"{var} {po}")
+            return var
+
+        while "[" in body:
+            new_body = re.sub(r"\[([^\[\]]*)\]", _bn, body)
+            if new_body == body:
+                raise ValueError(f"unbalanced '[' in WHERE body: {body!r}")
+            body = new_body
+        if tails:
+            body = " . ".join([body] + tails)
         patterns = _parse_patterns(body, lits)
         if not patterns and not values and not subqueries:
             raise ValueError("WHERE clause has no triple patterns")
@@ -584,6 +645,31 @@ def _filter_to_expr(body: str) -> str:
     # rewrites; argument expressions flow through the ?var/literal
     # rewrites unchanged).  STR() is the identity here — terms are
     # already strings in this engine.
+    # STRBEFORE/STRAFTER need their args twice (SPARQL returns '' on a
+    # missing separator; Spark's substring_index returns the whole
+    # string), so the rewrite is argument-level: args are restricted to
+    # plain terms (?var / 'literal' / <iri> — commas and parens inside
+    # literals are already placeholders), innermost-first for nesting
+    def _two_arg(name: str, template: str, s: str) -> str:
+        pat = rf"\b{name}\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)"
+        while True:
+            new = re.sub(
+                pat,
+                lambda m: template.format(a=m.group(1), b=m.group(2)),
+                s, flags=re.IGNORECASE)
+            if new == s:
+                return s
+            s = new
+
+    e = _two_arg(
+        "STRBEFORE",
+        "CASE WHEN instr({a}, {b}) > 0 "
+        "THEN substring_index({a}, {b}, 1) ELSE '' END", e)
+    e = _two_arg(
+        "STRAFTER",
+        "CASE WHEN instr({a}, {b}) > 0 "
+        "THEN substring({a}, instr({a}, {b}) + length({b})) "
+        "ELSE '' END", e)
     for sparql_fn, sql_fn in _STR_FNS:
         e = re.sub(rf"\b{sparql_fn}\s*\(", f"{sql_fn}(", e,
                    flags=re.IGNORECASE)
@@ -1054,6 +1140,11 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery) -> DataFrame:
             if a.var is None:
                 return F.count(F.lit(1)).alias(a.alias)
             col = F.col(a.var)
+            if a.func == "SAMPLE":
+                # SPARQL leaves SAMPLE's pick unspecified; this engine
+                # picks MIN so the result is deterministic (and
+                # therefore oracle-checkable) — a conforming choice
+                return F.min(col).alias(a.alias)
             if a.distinct:
                 if a.func == "GROUP_CONCAT":
                     return F.array_join(

@@ -2528,6 +2528,132 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_sparql_in(spark, sf):
+    """FILTER [NOT] IN lowering — the membership test passes straight
+    through to Spark SQL's IN after literal protection and ?var
+    rewriting (operators/sparql.py _filter_to_expr), so Catalyst pushes
+    it into the scan like any isin filter."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?turn ?tool
+           WHERE { ?turn usedTool ?tool . ?turn hasRole ?r .
+                   FILTER(?tool IN ('tool:error', 'tool:nope')
+                          && ?r NOT IN ('role:user', 'role:system')) }""",
+    )
+
+
+SQL_SPARQL_IN = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT a.subj AS turn, a.obj AS tool
+FROM g a JOIN g b ON a.subj = b.subj
+WHERE a.pred = 'usedTool' AND b.pred = 'hasRole'
+  AND a.obj IN ('tool:error', 'tool:nope')
+  AND b.obj NOT IN ('role:user', 'role:system')
+"""
+
+
+def q_sparql_sample(spark, sf):
+    """SAMPLE aggregate — SPARQL leaves the pick unspecified; this
+    engine picks MIN so the result is deterministic and oracle-
+    checkable (same determinism discipline as GROUP_CONCAT's sort)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?conv (SAMPLE(?turn) AS ?first_turn)
+                        (COUNT(?turn) AS ?n)
+           WHERE { ?conv hasTurn ?turn }""",
+    )
+
+
+SQL_SPARQL_SAMPLE = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT subj AS conv, min(obj) AS first_turn, count(*) AS n
+FROM g WHERE pred = 'hasTurn' GROUP BY subj
+"""
+
+
+def q_sparql_cwhere(spark, sf):
+    """CONSTRUCT WHERE shorthand: the template IS the body BGP, so the
+    solutions re-instantiate the matched subgraph — distinct
+    (subj, pred, obj) rows across BOTH template patterns."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri, "CONSTRUCT WHERE { ?c hasTurn ?t . ?t usedTool ?x }")
+
+
+SQL_SPARQL_CWHERE = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+s AS (SELECT h.subj AS c, h.obj AS t, u.obj AS x
+      FROM g h JOIN g u ON u.subj = h.obj
+      WHERE h.pred = 'hasTurn' AND u.pred = 'usedTool')
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT c AS subj, 'hasTurn' AS pred, t AS obj FROM s
+  UNION ALL SELECT t, 'usedTool', x FROM s) _u
+"""
+
+
+def q_sparql_strsplit(spark, sf):
+    """STRBEFORE/STRAFTER in BIND — argument-level rewrites to CASE/
+    instr/substring expressions (SPARQL returns '' when the separator
+    is absent, unlike substring_index which returns the whole string;
+    the CASE encodes the spec behavior).  Oracle replays the same CASE
+    semantics in DuckDB's dialect — an independent formulation."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?turn ?kind ?name
+           WHERE { ?turn usedTool ?tool .
+                   BIND(STRBEFORE(?tool, ':') AS ?kind) .
+                   BIND(STRAFTER(?tool, ':') AS ?name) }""",
+    )
+
+
+SQL_SPARQL_STRSPLIT = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT subj AS turn,
+       CASE WHEN instr(obj, ':') > 0
+            THEN substr(obj, 1, instr(obj, ':') - 1) ELSE '' END AS kind,
+       CASE WHEN instr(obj, ':') > 0
+            THEN substr(obj, instr(obj, ':') + 1) ELSE '' END AS name
+FROM g WHERE pred = 'usedTool'
+"""
+
+
+def q_sparql_bnode(spark, sf):
+    """Anonymous blank node [ pred obj ; pred obj ] in a triple pattern
+    — sugar for a fresh non-projected variable plus the bracketed
+    patterns (one solution per matching turn: multiset semantics, no
+    implicit DISTINCT)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?conv WHERE {
+             ?conv hasTurn [ usedTool 'tool:error' ;
+                             hasRole 'role:tool' ] }""",
+    )
+
+
+SQL_SPARQL_BNODE = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT h.subj AS conv
+FROM g h JOIN g u ON u.subj = h.obj JOIN g r ON r.subj = h.obj
+WHERE h.pred = 'hasTurn'
+  AND u.pred = 'usedTool' AND u.obj = 'tool:error'
+  AND r.pred = 'hasRole' AND r.obj = 'role:tool'
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4265,6 +4391,11 @@ REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
     # round-3 session-4 additions
     "q_owl_infer": (q_owl_infer, SQL_OWL_INFER),
+    "q_sparql_in": (q_sparql_in, SQL_SPARQL_IN),
+    "q_sparql_sample": (q_sparql_sample, SQL_SPARQL_SAMPLE),
+    "q_sparql_cwhere": (q_sparql_cwhere, SQL_SPARQL_CWHERE),
+    "q_sparql_strsplit": (q_sparql_strsplit, SQL_SPARQL_STRSPLIT),
+    "q_sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

@@ -790,3 +790,67 @@ def test_if_literal_with_bang_stays_inert(tri):
                    BIND(IF(?tool = 'tool:grep', 'a!b', 'c&&d') AS ?m) }"""
     got = _rows(sparql(tri, q))
     assert set(got) == {("turn:a/0", "a!b"), ("turn:a/1", "c&&d")}
+
+
+def test_filter_in_and_not_in(tri):
+    got = sorted(r["t"] for r in sparql(
+        tri, "SELECT ?t WHERE { ?t usedTool ?x . "
+             "FILTER(?x IN ('tool:grep', 'tool:nope')) }").collect())
+    assert got == ["turn:a/0"]
+    got = sorted(r["t"] for r in sparql(
+        tri, "SELECT ?t WHERE { ?t usedTool ?x . "
+             "FILTER(?x NOT IN ('tool:grep', 'tool:nope')) }").collect())
+    assert got == ["turn:a/1"]
+
+
+def test_sample_aggregate_is_deterministic_min(tri):
+    rows = {r["c"]: r["one"] for r in sparql(
+        tri, "SELECT ?c (SAMPLE(?t) AS ?one) WHERE { ?c hasTurn ?t }"
+    ).collect()}
+    assert rows == {"conv:a": "turn:a/0", "conv:b": "turn:b/0"}
+
+
+def test_construct_where_shorthand(tri):
+    got = {tuple(r) for r in sparql(
+        tri, "CONSTRUCT WHERE { ?c hasTurn ?t . ?t usedTool ?x }"
+    ).collect()}
+    assert got == {
+        ("conv:a", "hasTurn", "turn:a/0"),
+        ("conv:a", "hasTurn", "turn:a/1"),
+        ("turn:a/0", "usedTool", "tool:grep"),
+        ("turn:a/1", "usedTool", "tool:sed"),
+    }
+    # the body must be a plain BGP — FILTER inside is rejected loudly
+    with pytest.raises(ValueError):
+        parse_sparql(
+            "CONSTRUCT WHERE { ?c hasTurn ?t . FILTER(?t != 'x') }")
+
+
+def test_strbefore_strafter_bind(tri):
+    rows = {(r["t"], r["kind"], r["name"]) for r in sparql(
+        tri, "SELECT ?t ?kind ?name WHERE { ?t usedTool ?x . "
+             "BIND(STRBEFORE(?x, ':') AS ?kind) . "
+             "BIND(STRAFTER(?x, ':') AS ?name) }").collect()}
+    assert rows == {("turn:a/0", "tool", "grep"),
+                    ("turn:a/1", "tool", "sed")}
+    # absent separator -> '' (the spec behavior substring_index lacks)
+    rows = sorted(r["b"] for r in sparql(
+        tri, "SELECT ?b WHERE { ?t usedTool ?x . "
+             "BIND(STRAFTER(?x, 'zzz') AS ?b) }").collect())
+    assert rows == ["", ""]
+
+
+def test_anonymous_bnode_patterns(tri):
+    # object position, multi-predicate; solution per matching turn
+    got = sorted(r["c"] for r in sparql(
+        tri, "SELECT ?c WHERE { ?c hasTurn "
+             "[ usedTool 'tool:grep' ; hasRole 'role:tool' ] }").collect())
+    assert got == ["conv:a"]
+    # multiset semantics: both of conv:a's turns match hasRole role:tool
+    got = sorted(r["c"] for r in sparql(
+        tri, "SELECT ?c WHERE { ?c hasTurn [ hasRole 'role:tool' ] }"
+    ).collect())
+    assert got == ["conv:a", "conv:a"]
+    # unbalanced bracket is rejected loudly
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?c WHERE { ?c hasTurn [ hasRole 'x' }")
