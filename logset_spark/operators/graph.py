@@ -468,3 +468,67 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def shortest_paths(
+    edges: DataFrame, sources: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """edges: DataFrame[src:string, dst:string, w:bigint], DIRECTED,
+    NON-NEGATIVE integer weights (asserted with a one-row probe —
+    negative weights plus cycles make shortest distance undefined, and
+    integer weights keep the result exact and oracle-checkable; scale
+    fractional costs to integers upstream).  sources:
+    DataFrame[node:string].  Returns DataFrame[node, dist:bigint] —
+    minimum weighted distance from ANY source for every reachable node
+    (sources at 0).
+
+    Frontier Bellman-Ford: each round relaxes ONLY from nodes whose
+    distance improved last round (one equi-join frontier->edges, one
+    min-groupBy, one left join against the settled table) and stops on
+    a one-row probe when nothing improves — the weighted generalization
+    of bfs_distances' discipline, except a settled node CAN re-enter
+    the frontier when a cheaper path arrives later (hop order is not
+    cost order), which is why the per-round merge is min-keep rather
+    than BFS's anti-join-and-forget.  Rounds are bounded by the hop
+    count of the longest minimal path (<= V-1 without negative edges);
+    localCheckpoint per round truncates the iterative lineage.
+
+    At 10^12-edge scale every round is two key-shuffles over
+    frontier-proportional data; for near-diameter-free graphs (the
+    conv->turn hierarchy) rounds stay in the tens."""
+    e = edges.select(
+        "src", "dst", F.col("w").cast("bigint").alias("w")
+    ).localCheckpoint(eager=True)
+    if e.where(F.col("w") < 0).limit(1).count():
+        raise ValueError("shortest_paths requires non-negative weights")
+    dist = (
+        sources.select("node").distinct()
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                dist.select("node", F.col("dist").alias("cur")),
+                "node", "left")
+            .where(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

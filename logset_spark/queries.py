@@ -2654,6 +2654,66 @@ WHERE h.pred = 'hasTurn'
 """
 
 
+# SSSP fixture: chains capped like the OWL one so the oracle's
+# recursive path enumeration stays fixture-scale
+_SSSP_EDGE_FILTER = (
+    "pred = 'followedBy' AND "
+    "CAST(regexp_extract(subj, '([0-9]+)$', 1) AS INT) < 30"
+)
+
+
+def q_sssp(spark, sf):
+    """Weighted single-source shortest paths (operators/graph.py
+    shortest_paths — frontier Bellman-Ford, min-keep merge per round,
+    convergence probe).  Fixture: each conversation's followedBy chain
+    with weight 1 + idx%3 per step, PLUS 2-hop skip edges at constant
+    weight 2, sourced at every turn 0 — so the minimum genuinely mixes
+    step and skip edges and a later cheaper path must re-open settled
+    nodes.  Oracle enumerates all path sums with WITH RECURSIVE and
+    takes min(d) — an independent formulation the DAG keeps finite."""
+    from .operators.graph import shortest_paths
+
+    tri = q_kg_structural(spark, sf)
+    fb = tri.where(F.expr(_SSSP_EDGE_FILTER)).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    step = fb.select(
+        "src", "dst",
+        (F.regexp_extract("dst", r"([0-9]+)$", 1).cast("int") % 3 + 1
+         ).cast("long").alias("w"))
+    skip = (
+        fb.alias("a")
+        .join(fb.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"),
+                F.lit(2).cast("long").alias("w"))
+    )
+    sources = fb.where(F.col("src").rlike("/0$")).select(
+        F.col("src").alias("node")).distinct()
+    return shortest_paths(step.unionByName(skip), sources).select(
+        "node", "dist")
+
+
+SQL_SSSP = f"""
+WITH RECURSIVE
+g AS MATERIALIZED (SELECT * FROM ({SQL_KG_STRUCTURAL}) _g),
+fb AS MATERIALIZED (
+  SELECT subj AS src, obj AS dst FROM g WHERE {_SSSP_EDGE_FILTER}),
+e AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(CAST(regexp_extract(dst, '([0-9]+)$', 1) AS INT) % 3 + 1
+              AS BIGINT) AS w
+  FROM fb
+  UNION ALL
+  SELECT a.src, b.dst, CAST(2 AS BIGINT) AS w
+  FROM fb a JOIN fb b ON a.dst = b.src),
+srcs AS (SELECT DISTINCT src AS node FROM fb WHERE src LIKE '%/0'),
+paths(node, d) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM srcs
+  UNION
+  SELECT e.dst, p.d + e.w FROM paths p JOIN e ON e.src = p.node)
+SELECT node, min(d) AS dist FROM paths GROUP BY node
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4396,6 +4456,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_cwhere": (q_sparql_cwhere, SQL_SPARQL_CWHERE),
     "q_sparql_strsplit": (q_sparql_strsplit, SQL_SPARQL_STRSPLIT),
     "q_sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
+    "q_sssp": (q_sssp, SQL_SSSP),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

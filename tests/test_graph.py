@@ -319,3 +319,71 @@ def test_bfs_distances_stops_at_eccentricity_and_caps(spark):
         for r in bfs_distances(df, src, max_iter=5).collect()
     }
     assert capped == {f"c{i}": i for i in range(6)}
+
+
+def _py_dijkstra(edges, sources):
+    """Reference: heap Dijkstra (an independent formulation of the
+    same minimum — the operator is frontier Bellman-Ford)."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, w))
+    dist = {}
+    heap = [(0, s) for s in sources]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, w in adj[n]:
+            if m not in dist:
+                heapq.heappush(heap, (d + w, m))
+    return dist
+
+
+def test_shortest_paths_reopens_settled_nodes(spark):
+    from logset_spark.operators.graph import shortest_paths
+
+    # a->c direct is found hop-first but a->b->c is cheaper; d hangs
+    # off c so its distance must also be re-lowered
+    edges = [("a", "b", 1), ("b", "c", 5), ("a", "c", 10), ("c", "d", 1),
+             ("a", "d", 100), ("x", "y", 2)]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, s).collect()}
+    assert got == {"a": 0, "b": 1, "c": 6, "d": 7}
+
+
+def test_shortest_paths_rejects_negative_weights(spark):
+    import pytest
+
+    from logset_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame([("a", "b", -1)],
+                              "src string, dst string, w long")
+    s = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError):
+        shortest_paths(e, s)
+
+
+def test_shortest_paths_random_graphs_match_dijkstra(spark):
+    import random
+
+    from logset_spark.operators.graph import shortest_paths
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(14)]
+        edges = {(rng.choice(nodes), rng.choice(nodes))
+                 for _ in range(40)}
+        weighted = [(s, d, rng.randrange(0, 9)) for s, d in edges
+                    if s != d]
+        sources = rng.sample(nodes, 2)
+        e = spark.createDataFrame(weighted,
+                                  "src string, dst string, w long")
+        s = spark.createDataFrame([(x,) for x in sources], "node string")
+        got = {r["node"]: r["dist"]
+               for r in shortest_paths(e, s).collect()}
+        assert got == _py_dijkstra(weighted, sources), f"trial {trial}"
