@@ -70,18 +70,18 @@ patterns):
     level per bracket pair, innermost first); inside
     OPTIONAL/UNION/EXISTS groups it stays outside the subset.
     A constant predicate may be a PROPERTY PATH expression:
-        path := seq ( '|' seq )*     -- alternation: union of edge sets
-        seq  := atom ( '/' atom )*   -- sequence: edge-set composition
-        atom := ['^'] pred ['+'|'*'|'?'] -- ^: inverse (swapped
-                                        endpoints); +: one-or-more
-                                        (distributed transitive
-                                        closure); *: zero-or-more
-                                        (closure plus the identity pair
-                                        for every term in the graph);
-                                        ?: zero-or-one (edges plus the
-                                        identity pairs)
+        path    := seq ( '|' seq )*     -- alternation: union of edge sets
+        seq     := unary ( '/' unary )* -- sequence: edge-set composition
+        unary   := ['^'] primary ['+'|'*'|'?']
+        primary := pred | '(' path ')'  -- parentheses group, so every
+                                        operator applies to composite
+                                        edge sets too: (p1|p2)+, ^(p/q)
+        -- ^: inverse (swapped endpoints); +: one-or-more (distributed
+        transitive closure); *: zero-or-more (closure plus the identity
+        pair for every term in the graph); ?: zero-or-one (edges plus
+        the identity pairs)
     Path expressions evaluate to DISTINCT endpoint pairs (set
-    semantics); no parentheses in the subset.
+    semantics).
     A constant predicate may also be a NEGATED PROPERTY SET
     `!p` / `!(p1|p2|...)`: one scan keeping triples whose predicate is
     NOT any member (still a pushed-down filter; forward members only —
@@ -309,17 +309,11 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
         if ":" in t:
             head, local = t.split(":", 1)
             # path operators keep their structure: expand each atom
+            # token; operator tokens (incl. parentheses) pass through
             if _is_path(t):
-                def x_atom(a: str) -> str:
-                    inv = a.startswith("^")
-                    core = a[1:] if inv else a
-                    suf = core[-1] if core and core[-1] in "+*?" else ""
-                    base = core[:-1] if suf else core
-                    out = x(base) if ":" in base else base
-                    return ("^" if inv else "") + out + suf
-                return "|".join(
-                    "/".join(x_atom(a) for a in seq.split("/"))
-                    for seq in t.split("|")
+                return "".join(
+                    x(v) if kind == "atom" and ":" in v else v
+                    for kind, v in _path_tokens(t)
                 )
             if head in prefixes:
                 # expanded IRIs contain '/' etc.: wrap in <> so the
@@ -710,24 +704,73 @@ def _is_path(pred: str) -> bool:
     m = _mask_iris(pred)
     if set(m) <= {""}:  # the whole term is one <iri>: plain predicate
         return False
-    return "|" in m or "/" in m or m[-1] in "+*?" or m[0] == "^"
+    return ("|" in m or "/" in m or "(" in m or m[-1] in "+*?"
+            or m[0] == "^")
+
+
+def _path_tokens(s: str) -> list[tuple[str, str]]:
+    """Path expression -> [(kind, value)] with kind in {op, atom}.
+    `<...>` IRI spans are atomic (IRIs contain '/', '+' etc.); operator
+    chars are ( ) | / ^ + * ? ; everything else accumulates into
+    predicate atoms."""
+    toks: list[tuple[str, str]] = []
+    i = 0
+    ops = "()|/^+*?"
+    while i < len(s):
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c == "<":
+            j = s.find(">", i)
+            if j < 0:
+                raise ValueError(f"unterminated <iri> in path: {s!r}")
+            toks.append(("atom", s[i:j + 1]))
+            i = j + 1
+        elif c in ops:
+            toks.append(("op", c))
+            i += 1
+        else:
+            j = i
+            while (j < len(s) and s[j] not in ops and s[j] != "<"
+                   and not s[j].isspace()):
+                j += 1
+            toks.append(("atom", s[i:j]))
+            i = j
+    return toks
 
 
 def _path_edges(triples: DataFrame, path: str) -> DataFrame:
     """Compile a property-path expression to its endpoint-pair edge set
     DataFrame[src, dst] (DISTINCT — set semantics).
 
-        alt := seq ('|' seq)*     union of the arms' edge sets
-        seq := atom ('/' atom)*   relational composition (equi-join on
-                                  the midpoint; Catalyst shuffles on it)
-        atom := pred | pred+ | pred*
+        path    := seq ('|' seq)*       union of the arms' edge sets
+        seq     := unary ('/' unary)*   relational composition (equi-join
+                                        on the midpoint; Catalyst
+                                        shuffles on it)
+        unary   := ['^'] primary ['+'|'*'|'?']
+        primary := pred | '(' path ')'
 
-    `pred+` is the path-doubling distributed transitive closure
-    (O(log diameter) rounds — graph.transitive_closure); `pred*` is the
-    closure UNIONed with the identity pair for every term of the graph
-    (the SPARQL zero-length-path domain: all subjects and objects).
-    Each plain atom stays ONE pushed-down filtered scan."""
+    Recursive-descent over _path_tokens, so every operator applies to
+    COMPOSITE edge sets too: (p1|p2)+ is the closure of the unioned
+    edge set, ^(p/q) the inverse of the composed one.  `+` is the
+    path-doubling distributed transitive closure (O(log diameter)
+    rounds — graph.transitive_closure); `*` is the closure UNIONed with
+    the identity pair for every term of the graph (the SPARQL
+    zero-length-path domain: all subjects and objects); `?` is edges +
+    identity pairs.  Each plain atom stays ONE pushed-down filtered
+    scan."""
     from .graph import transitive_closure
+
+    toks = _path_tokens(path)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else (None, None)
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
 
     def identity_pairs() -> DataFrame:
         # the SPARQL zero-length-path domain: every term of the graph
@@ -738,39 +781,49 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
         )
         return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
-    def atom_edges(atom: str) -> DataFrame:
-        inverse = atom.startswith("^")
-        if inverse:
-            atom = atom[1:]
-        star = atom.endswith("*")
-        plus = atom.endswith("+")
-        opt = atom.endswith("?")  # zero-or-one: edges + identity pairs
-        base = atom[:-1] if (star or plus or opt) else atom
-        base = _const_term(base)  # <iri> atoms denote the raw IRI
-        if not base or _is_var(base) or "^" in base:
-            raise ValueError(f"bad property-path atom: {atom!r}")
-        spos, opos = ("obj", "subj") if inverse else ("subj", "obj")
-        e = triples.where(F.col("pred") == base).select(
-            F.col(spos).alias("src"), F.col(opos).alias("dst")
+    def primary() -> DataFrame:
+        k, v = take()
+        if k == "op" and v == "(":
+            inner = alt()
+            ck, cv = take()
+            if (ck, cv) != ("op", ")"):
+                raise ValueError(f"unbalanced '(' in path: {path!r}")
+            return inner
+        if k != "atom":
+            raise ValueError(f"bad property-path atom at {v!r}: {path!r}")
+        base = _const_term(v)  # <iri> atoms denote the raw IRI
+        if not base or _is_var(base):
+            raise ValueError(f"bad property-path atom: {v!r}")
+        return triples.where(F.col("pred") == base).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
-        if not (star or plus or opt):
-            return e
-        if opt:
-            return e.unionByName(identity_pairs()).distinct()
-        closed = transitive_closure(
-            e.select(F.col("src").alias("child"), F.col("dst").alias("parent"))
-        ).select(F.col("node").alias("src"), F.col("ancestor").alias("dst"))
-        if plus:
-            return closed
-        return closed.unionByName(identity_pairs()).distinct()
 
-    def seq_edges(seq: str) -> DataFrame:
-        steps = [s.strip() for s in _split_outside_iris(seq, "/")]
-        if any(not s for s in steps):
-            raise ValueError(f"bad property-path sequence: {seq!r}")
-        acc = atom_edges(steps[0])
-        for step in steps[1:]:
-            nxt = atom_edges(step)
+    def unary() -> DataFrame:
+        inverse = peek() == ("op", "^")
+        if inverse:
+            take()
+        e = primary()
+        if inverse:
+            e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        k, v = peek()
+        if k == "op" and v in "+*?":
+            take()
+            if v == "?":
+                return e.unionByName(identity_pairs()).distinct()
+            closed = transitive_closure(
+                e.select(F.col("src").alias("child"),
+                         F.col("dst").alias("parent"))
+            ).select(F.col("node").alias("src"), F.col("ancestor").alias("dst"))
+            if v == "+":
+                return closed
+            return closed.unionByName(identity_pairs()).distinct()
+        return e
+
+    def seq() -> DataFrame:
+        acc = unary()
+        while peek() == ("op", "/"):
+            take()
+            nxt = unary()
             acc = (
                 acc.select("src", F.col("dst").alias("mid"))
                 .join(nxt.select(F.col("src").alias("mid"), "dst"), "mid")
@@ -778,13 +831,18 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
             )
         return acc
 
-    arms = [a.strip() for a in _split_outside_iris(path, "|")]
-    if any(not a for a in arms):
-        raise ValueError(f"bad property-path alternation: {path!r}")
-    out = seq_edges(arms[0])
-    for arm in arms[1:]:
-        out = out.unionByName(seq_edges(arm))
-    return out.distinct()
+    def alt() -> DataFrame:
+        out = seq()
+        while peek() == ("op", "|"):
+            take()
+            out = out.unionByName(seq())
+        return out
+
+    result = alt()
+    if pos[0] != len(toks):
+        raise ValueError(
+            f"trailing tokens in property path at {peek()[1]!r}: {path!r}")
+    return result.distinct()
 
 
 def _negated_preds(pred: str) -> list[str]:

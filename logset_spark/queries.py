@@ -2714,6 +2714,40 @@ SELECT node, min(d) AS dist FROM paths GROUP BY node
 """
 
 
+def q_sparql_grouppath(spark, sf):
+    """Parenthesized property paths — operators compose over GROUPED
+    edge sets: (hasTurn|usedTool)/hasRole walks conv->turn->role AND
+    turn->tool (dead end) through one unioned edge set, and
+    ^(hasTurn/usedTool) inverts the composed conv->tool relation.
+    Lowered by the recursive-descent path evaluator (operators/
+    sparql.py _path_edges) to union/join/swap over per-predicate
+    pushed-down scans."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?conv ?role WHERE {
+             ?conv (hasTurn|usedTool)/hasRole ?role .
+             ?tool ^(hasTurn/usedTool) ?conv .
+             FILTER(?tool = 'tool:error') }""",
+    )
+
+
+SQL_SPARQL_GROUPPATH = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+e1 AS (SELECT DISTINCT a.subj AS src, b.obj AS dst
+       FROM (SELECT subj, obj FROM g WHERE pred IN ('hasTurn', 'usedTool')) a
+       JOIN g b ON b.subj = a.obj AND b.pred = 'hasRole'),
+e2 AS (SELECT DISTINCT u.obj AS src, h.subj AS dst
+       FROM g h JOIN g u ON u.subj = h.obj
+       WHERE h.pred = 'hasTurn' AND u.pred = 'usedTool')
+SELECT e1.src AS conv, e1.dst AS role
+FROM e1 JOIN e2 ON e2.dst = e1.src
+WHERE e2.src = 'tool:error'
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4457,6 +4491,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_strsplit": (q_sparql_strsplit, SQL_SPARQL_STRSPLIT),
     "q_sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
     "q_sssp": (q_sssp, SQL_SSSP),
+    "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

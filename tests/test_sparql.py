@@ -854,3 +854,26 @@ def test_anonymous_bnode_patterns(tri):
     # unbalanced bracket is rejected loudly
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?c WHERE { ?c hasTurn [ hasRole 'x' }")
+
+
+def test_grouped_property_paths(spark):
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("a", "q", "d"),
+            ("d", "r", "e"), ("c", "r", "f")]
+    tri = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def run(q):
+        return sorted(tuple(r) for r in sparql(tri, q).collect())
+
+    # grouped alternation feeding a sequence step
+    assert run("SELECT ?x ?y WHERE { ?x (p|q)/r ?y }") == [
+        ("a", "e"), ("b", "f")]
+    # closure over a composite edge set
+    assert run("SELECT ?y WHERE { a (p|q)+ ?y }") == [
+        ("b",), ("c",), ("d",)]
+    # inverse of a composed relation
+    assert run("SELECT ?y WHERE { c ^(p/p) ?y }") == [("a",)]
+    # ungrouped forms keep their round-2 semantics
+    assert run("SELECT ?y WHERE { a p+ ?y }") == [("b",), ("c",)]
+    # unbalanced parens are rejected loudly
+    with pytest.raises(ValueError):
+        sparql(tri, "SELECT ?y WHERE { a (p|q ?y }").collect()
