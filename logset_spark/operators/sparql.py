@@ -38,8 +38,11 @@ patterns):
              lowering; SUM/AVG try_cast the string object to double)
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
-            ( . FILTER [NOT] EXISTS { patterns } )*
-            ( . MINUS { patterns } )*
+            ( . FILTER [NOT] EXISTS { patterns [. FILTER(expr)]* } )*
+            ( . MINUS { patterns [. FILTER(expr)]* } )*
+            -- group FILTERs are GROUP-SCOPED (applied inside the
+            -- semi/anti-join side); a filter referencing a var the
+            -- group does not bind (correlated) is rejected loudly
             ( . BIND(expr AS ?v) )*
             ( . VALUES ?v { term ... } )*
             ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
@@ -47,7 +50,8 @@ patterns):
             ( . { SELECT ... WHERE { patterns ... } ... } )* }
     WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
     [ HAVING(expr over agg aliases) ]
-    [ ORDER BY ?v1 [DESC] ... ] [ LIMIT n ] [ OFFSET m ]
+    [ ORDER BY (?v [DESC] | DESC(?v) | ASC(?v)) ... ]
+    [ LIMIT n ] [ OFFSET m ]
 
     Subqueries ({ SELECT ... }, one nesting level): the inner query —
     a plain BGP body plus FILTER/aggregates/DISTINCT/ORDER/LIMIT — is
@@ -175,12 +179,16 @@ class ParsedQuery:
     # VALUES: (var names, rows of term values) inline-data blocks
     values: list[tuple[list[str], list[tuple[str, ...]]]] = field(
         default_factory=list)
-    # FILTER NOT EXISTS { patterns } groups (anti-join lowering)
-    not_exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
-    # FILTER EXISTS { patterns } groups (semi-join lowering)
-    exists: list[list[tuple[str, str, str]]] = field(default_factory=list)
-    # MINUS { patterns } groups (anti-join on shared vars; no-op if none)
-    minus: list[list[tuple[str, str, str]]] = field(default_factory=list)
+    # FILTER NOT EXISTS { patterns [. FILTER]* } groups: (patterns,
+    # group-scoped filter bodies) — anti-join lowering
+    not_exists: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
+        default_factory=list)
+    # FILTER EXISTS groups, same shape (semi-join lowering)
+    exists: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
+        default_factory=list)
+    # MINUS groups, same shape (anti-join on shared vars; no-op if none)
+    minus: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
+        default_factory=list)
     # { SELECT ... } subqueries (one nesting level): each is evaluated
     # independently and joined into the outer group on shared vars
     subqueries: list["ParsedQuery"] = field(default_factory=list)
@@ -330,9 +338,9 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
         for g in pq.optionals
     ]
     pq.unions = [(xp(arm), fl) for arm, fl in pq.unions]
-    pq.not_exists = [xp(g) for g in pq.not_exists]
-    pq.exists = [xp(g) for g in pq.exists]
-    pq.minus = [xp(g) for g in pq.minus]
+    pq.not_exists = [(xp(g), fl) for g, fl in pq.not_exists]
+    pq.exists = [(xp(g), fl) for g, fl in pq.exists]
+    pq.minus = [(xp(g), fl) for g, fl in pq.minus]
     pq.values = [
         (vs, [tuple(x(v) for v in row) for row in rows])
         for vs, rows in pq.values
@@ -451,33 +459,10 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
 
     filters: list[str] = []
     optionals: list[list[tuple[str, str, str]]] = []
-    not_exists: list[list[tuple[str, str, str]]] = []
-    minus: list[list[tuple[str, str, str]]] = []
+    not_exists: list[tuple[list[tuple[str, str, str]], list[str]]] = []
+    minus: list[tuple[list[tuple[str, str, str]], list[str]]] = []
     binds: list[tuple[str, str]] = []
     values: list[tuple[list[str], list[tuple[str, ...]]]] = []
-
-    # FILTER NOT EXISTS { ... } before plain FILTER (both start FILTER)
-    def _nex(mo: re.Match) -> str:
-        not_exists.append(_parse_patterns(mo.group(1), lits))
-        return " "
-
-    body = re.sub(r"FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}", _nex, body,
-                  flags=re.IGNORECASE)
-
-    exists: list[list[tuple[str, str, str]]] = []
-
-    def _ex(mo: re.Match) -> str:
-        exists.append(_parse_patterns(mo.group(1), lits))
-        return " "
-
-    body = re.sub(r"FILTER\s+EXISTS\s*\{([^{}]*)\}", _ex, body,
-                  flags=re.IGNORECASE)
-
-    def _min(mo: re.Match) -> str:
-        minus.append(_parse_patterns(mo.group(1), lits))
-        return " "
-
-    body = re.sub(r"MINUS\s*\{([^{}]*)\}", _min, body, flags=re.IGNORECASE)
 
     # FILTER(...) extraction helper (balanced parens not needed for the
     # subset: match to the ')' that balances the opening one)
@@ -487,6 +472,36 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             return " "
         return re.sub(rf"FILTER\s*\(({_NEST2}*)\)", f, text,
                       flags=re.IGNORECASE)
+
+    def _group(text: str) -> tuple[list[tuple[str, str, str]], list[str]]:
+        """EXISTS/NOT EXISTS/MINUS group body -> (patterns, group-scoped
+        filter bodies) — same scoping discipline as OPTIONAL."""
+        grp_filters: list[str] = []
+        grp_body = _extract_filters(text, grp_filters)
+        return _parse_patterns(grp_body, lits), grp_filters
+
+    # FILTER NOT EXISTS { ... } before plain FILTER (both start FILTER)
+    def _nex(mo: re.Match) -> str:
+        not_exists.append(_group(mo.group(1)))
+        return " "
+
+    body = re.sub(r"FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}", _nex, body,
+                  flags=re.IGNORECASE)
+
+    exists: list[tuple[list[tuple[str, str, str]], list[str]]] = []
+
+    def _ex(mo: re.Match) -> str:
+        exists.append(_group(mo.group(1)))
+        return " "
+
+    body = re.sub(r"FILTER\s+EXISTS\s*\{([^{}]*)\}", _ex, body,
+                  flags=re.IGNORECASE)
+
+    def _min(mo: re.Match) -> str:
+        minus.append(_group(mo.group(1)))
+        return " "
+
+    body = re.sub(r"MINUS\s*\{([^{}]*)\}", _min, body, flags=re.IGNORECASE)
 
     # OPTIONAL { ... } groups (no nesting in the subset); a group may
     # carry its own FILTERs, which stay GROUP-SCOPED (applied before the
@@ -593,14 +608,25 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     having = _restore_quoted(m.group(4).strip(), lits) if m.group(4) else None
     order_by = []
     if m.group(5):
-        toks = m.group(5).split()
-        i = 0
-        while i < len(toks):
-            if not _is_var(toks[i]):
-                raise ValueError(f"ORDER BY expects ?vars: {m.group(5)!r}")
-            desc = i + 1 < len(toks) and toks[i + 1].upper() == "DESC"
-            order_by.append((toks[i][1:], desc))
-            i += 2 if desc else 1
+        src5 = m.group(5).strip()
+        # ?v | ?v DESC (engine spelling) | DESC(?v) / ASC(?v) (SPARQL
+        # spelling); the lookahead keeps `?a DESC(?b)` unambiguous
+        key_re = re.compile(
+            r"\s*(?:(DESC|ASC)\s*\(\s*\?(\w+)\s*\)"
+            r"|\?(\w+)(\s+DESC\b(?!\s*\())?)",
+            re.IGNORECASE)
+        pos5 = 0
+        while pos5 < len(src5):
+            mo = key_re.match(src5, pos5)
+            if not mo:
+                raise ValueError(
+                    f"ORDER BY expects ?var [DESC] or DESC(?var)/"
+                    f"ASC(?var): {m.group(5)!r}")
+            if mo.group(1):
+                order_by.append((mo.group(2), mo.group(1).upper() == "DESC"))
+            else:
+                order_by.append((mo.group(3), mo.group(4) is not None))
+            pos5 = mo.end()
     limit = int(m.group(6)) if m.group(6) else None
     offset = int(m.group(7)) if m.group(7) else None
     return ParsedQuery(
@@ -1082,32 +1108,43 @@ def bgp(
         acc = acc.withColumn(var, F.expr(_filter_to_expr(expr)))
         if var not in var_order:
             var_order.append(var)
+    def _group_inner(group, start_tag: int):
+        """EXISTS/NOT EXISTS/MINUS group -> its compiled inner plan with
+        GROUP-SCOPED filters applied inner-side.  A filter referencing a
+        variable the group itself does not bind would need correlated
+        per-outer-row evaluation — outside the subset, rejected loudly
+        (a filter on a var bound by BOTH sides is fine inner-side: the
+        semi/anti join equates them)."""
+        pats, grp_filters = (group if isinstance(group, tuple)
+                             else (group, []))
+        inner, _ = _join_patterns(triples, pats, start_tag=start_tag)
+        inner_vars = {c for c in inner.columns
+                      if not c.startswith("_exists_")}
+        for f in grp_filters:
+            missing = set(re.findall(r"\?(\w+)", f)) - inner_vars
+            if missing:
+                raise ValueError(
+                    f"EXISTS/MINUS group filter references variables the "
+                    f"group does not bind {sorted(missing)}: correlated "
+                    f"filters are outside the subset")
+            inner = inner.where(F.expr(_filter_to_expr(f)))
+        shared = sorted(set(var_order) & inner_vars)
+        return inner, shared
+
     for gi, group in enumerate(exists):
-        inner, _ = _join_patterns(triples, group, start_tag=9000 * (gi + 1))
-        shared = sorted(
-            set(var_order)
-            & {c for c in inner.columns if not c.startswith("_exists_")}
-        )
+        inner, shared = _group_inner(group, 9000 * (gi + 1))
         if shared:
             acc = acc.join(inner, on=shared, how="left_semi")
         else:  # no shared vars: keep all iff the inner group matches
             acc = acc.join(inner.limit(1), F.lit(True), "left_semi")
     for gi, group in enumerate(not_exists):
-        inner, _ = _join_patterns(triples, group, start_tag=3000 * (gi + 1))
-        shared = sorted(
-            set(var_order)
-            & {c for c in inner.columns if not c.startswith("_exists_")}
-        )
+        inner, shared = _group_inner(group, 3000 * (gi + 1))
         if shared:
             acc = acc.join(inner, on=shared, how="left_anti")
         else:
             acc = acc.join(inner.limit(1), F.lit(True), "left_anti")
     for gi, group in enumerate(minus):
-        inner, _ = _join_patterns(triples, group, start_tag=7000 * (gi + 1))
-        shared = sorted(
-            set(var_order)
-            & {c for c in inner.columns if not c.startswith("_exists_")}
-        )
+        inner, shared = _group_inner(group, 7000 * (gi + 1))
         if shared:  # disjoint-domain MINUS removes nothing (SPARQL)
             acc = acc.join(inner, on=shared, how="left_anti")
     for f in filters:

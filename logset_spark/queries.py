@@ -2748,6 +2748,35 @@ WHERE e2.src = 'tool:error'
 """
 
 
+def q_sparql_groupfilter(spark, sf):
+    """Group-scoped FILTER inside NOT EXISTS (and the correlated-filter
+    rejection discipline): conversations with no late tool-role turn —
+    the filter narrows the gating group BEFORE the anti-join, SPARQL's
+    group scoping.  A filter on a variable the group does not bind is
+    rejected loudly (correlated evaluation is outside the subset)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?conv WHERE {
+             ?conv hasTurn ?turn .
+             FILTER NOT EXISTS { ?turn hasRole ?r .
+                                 FILTER(?r = 'role:tool') } }""",
+    )
+
+
+SQL_SPARQL_GROUPFILTER = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT h.subj AS conv
+FROM g h
+WHERE h.pred = 'hasTurn'
+  AND NOT EXISTS (SELECT 1 FROM g r
+                  WHERE r.pred = 'hasRole' AND r.subj = h.obj
+                    AND r.obj = 'role:tool')
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4492,6 +4521,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
     "q_sssp": (q_sssp, SQL_SSSP),
     "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
+    "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

@@ -877,3 +877,47 @@ def test_grouped_property_paths(spark):
     # unbalanced parens are rejected loudly
     with pytest.raises(ValueError):
         sparql(tri, "SELECT ?y WHERE { a (p|q ?y }").collect()
+
+
+def test_group_scoped_filters_in_exists_minus(tri):
+    # NOT EXISTS whose filter narrows the group: only grep-using turns
+    # gate their conv out
+    got = sorted(r["c"] for r in sparql(
+        tri, "SELECT DISTINCT ?c WHERE { ?c hasTurn ?t . "
+             "FILTER NOT EXISTS { ?t usedTool ?x . "
+             "FILTER(regex(?x, 'sed')) } }").collect())
+    assert got == ["conv:a", "conv:b"]  # only turn:a/1 is gated out
+    got = sorted(r["c"] for r in sparql(
+        tri, "SELECT DISTINCT ?c WHERE { ?c hasTurn ?t . "
+             "FILTER EXISTS { ?t usedTool ?x . "
+             "FILTER(?x = 'tool:sed') } }").collect())
+    assert got == ["conv:a"]
+    got = sorted((r["c"], r["t"]) for r in sparql(
+        tri, "SELECT ?c ?t WHERE { ?c hasTurn ?t . "
+             "MINUS { ?t usedTool ?x . FILTER(?x != 'tool:sed') } }"
+    ).collect())
+    assert got == [("conv:a", "turn:a/1"), ("conv:b", "turn:b/0")]
+    # a filter on a var the group does not bind is correlated — rejected
+    with pytest.raises(ValueError):
+        sparql(tri, "SELECT ?c WHERE { ?c hasTurn ?t . "
+                    "FILTER NOT EXISTS { ?t usedTool ?x . "
+                    "FILTER(?c = 'conv:a') } }").collect()
+
+
+def test_order_by_function_spellings(tri):
+    rows = [r["t"] for r in sparql(
+        tri, "SELECT ?t WHERE { ?c hasTurn ?t } ORDER BY DESC(?t)"
+    ).collect()]
+    assert rows == sorted(rows, reverse=True) and len(rows) == 3
+    rows = [r["t"] for r in sparql(
+        tri, "SELECT ?t WHERE { ?c hasTurn ?t } ORDER BY ASC(?t)"
+    ).collect()]
+    assert rows == sorted(rows)
+    # mixed keys parse unambiguously: ?c then DESC(?t)
+    rows = [(r["c"], r["t"]) for r in sparql(
+        tri, "SELECT ?c ?t WHERE { ?c hasTurn ?t } ORDER BY ?c DESC(?t)"
+    ).collect()]
+    assert rows == sorted(rows, key=lambda x: (x[0],)) and \
+        rows[0] == ("conv:a", "turn:a/1")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?t WHERE { ?c hasTurn ?t } ORDER BY MAX(?t)")
