@@ -43,6 +43,12 @@ patterns):
             -- group FILTERs are GROUP-SCOPED (applied inside the
             -- semi/anti-join side); a filter referencing a var the
             -- group does not bind (correlated) is rejected loudly
+            ( . GRAPH (?g | <iri> | pname) { pattern ( . pattern )*
+                                             [. FILTER(expr)]* } )*
+            -- GRAPH lowers the group's patterns to QUADS over a frame
+            -- with a `graph` column: constant graph = pushed-down
+            -- (partition-prunable) equality, ?g binds like any var;
+            -- non-GRAPH patterns match ALL quads (union default graph)
             ( . BIND(expr AS ?v) )*
             ( . VALUES ?v { term ... } )*
             ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
@@ -330,7 +336,8 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
         return t
 
     def xp(pats):
-        return [(x(a), x(b), x(c)) for a, b, c in pats]
+        # patterns are triples or (GRAPH-group) quads — expand every term
+        return [tuple(x(t) for t in p) for p in pats]
 
     pq.patterns = xp(pq.patterns)
     pq.optionals = [
@@ -503,6 +510,32 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
 
     body = re.sub(r"MINUS\s*\{([^{}]*)\}", _min, body, flags=re.IGNORECASE)
 
+    # GRAPH <g> { ... } / GRAPH ?g { ... } groups (top level of WHERE
+    # only — not inside OPTIONAL/UNION/EXISTS arms, whose [^{}] matchers
+    # would reject the nested braces loudly).  The group's patterns
+    # become QUAD patterns: the graph term rides as a 4th position that
+    # _scan binds/filters against the frame's `graph` column.  Group
+    # FILTERs join the global list — inner-join scope, so filtering
+    # before or after the merge yields the same solutions.
+    graph_pats: list[tuple[str, str, str, str]] = []
+
+    def _gr(mo: re.Match) -> str:
+        # the graph term may be a protected <iri> placeholder: restore
+        # to TERM form (bracketed IRI / bare prefixed name), same as
+        # pattern positions
+        gterm = _restore_content(mo.group(1), lits)
+        grp_filters: list[str] = []
+        gbody = _extract_filters(mo.group(2), grp_filters)
+        pats = _parse_patterns(gbody, lits)
+        if not pats:
+            raise ValueError("GRAPH group has no triple patterns")
+        graph_pats.extend((*p, gterm) for p in pats)
+        filters.extend(grp_filters)
+        return " "
+
+    body = re.sub(r"GRAPH\s+(\?\w+|\x00\d+\x00|[\w.:-]+)\s*\{([^{}]*)\}",
+                  _gr, body, flags=re.IGNORECASE)
+
     # OPTIONAL { ... } groups (no nesting in the subset); a group may
     # carry its own FILTERs, which stay GROUP-SCOPED (applied before the
     # left join — SPARQL LeftJoin semantics)
@@ -571,6 +604,10 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             if not arm_pats:
                 raise ValueError("empty UNION arm")
             unions.append((arm_pats, arm_filters))
+        if graph_pats:
+            raise ValueError(
+                "GRAPH groups cannot be mixed with UNION bodies in the "
+                "subset")
         patterns = []
     else:
         body = _extract_filters(body, filters)
@@ -601,7 +638,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             body = new_body
         if tails:
             body = " . ".join([body] + tails)
-        patterns = _parse_patterns(body, lits)
+        patterns = _parse_patterns(body, lits) + graph_pats
         if not patterns and not values and not subqueries:
             raise ValueError("WHERE clause has no triple patterns")
 
@@ -895,10 +932,21 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
     A constant predicate that is a PROPERTY PATH expression (see
     _path_edges) swaps the pattern's source for the path's compiled
     endpoint-pair set — the rdflib recursive-traversal semantics as a
-    distributed plan."""
+    distributed plan.
+
+    A 4-tuple pattern is a QUAD: the 4th term binds/filters the frame's
+    `graph` column (GRAPH clause lowering).  A constant graph term is a
+    pushed-down equality — over a graph-partitioned quads table that is
+    partition pruning; a variable graph term binds like any other var,
+    so patterns sharing ?g within one GRAPH group equi-join on it."""
     if pattern[1] == "a":  # SPARQL keyword: rdf:type (matches the
         # Turtle parser's 'a' handling, so loaded catalogs query naturally)
-        pattern = (pattern[0], "rdf:type", pattern[2])
+        pattern = (pattern[0], "rdf:type", *pattern[2:])
+    positions = _POS + ("graph",) if len(pattern) == 4 else _POS
+    if len(pattern) == 4 and "graph" not in triples.columns:
+        raise ValueError(
+            "GRAPH pattern needs a quads frame with a 'graph' column "
+            f"(got columns {triples.columns})")
     pred = pattern[1]
     negset = None
     if not _is_var(pred) and pred.startswith("!"):
@@ -909,6 +957,20 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
         # (^p inside a negated set is outside the subset).
         negset = _negated_preds(pred)
     elif _is_path(pred):
+        if len(pattern) == 4:
+            # a path traversal is PER-GRAPH: with a constant graph the
+            # quads pre-filter confines every hop to that graph (the
+            # graph position is consumed — it binds no var); with a
+            # variable graph each hop could cross graphs, which is
+            # outside the subset — rejected loudly
+            if _is_var(pattern[3]):
+                raise ValueError(
+                    "property paths inside GRAPH ?var are outside the "
+                    "subset (paths are per-graph; use a constant graph)")
+            triples = triples.where(
+                F.col("graph") == _const_term(pattern[3]))
+            pattern = pattern[:3]
+            positions = _POS
         triples = _path_edges(triples, pred).select(
             F.col("src").alias("subj"),
             F.lit(pred).alias("pred"),
@@ -918,7 +980,7 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
         ~F.col("pred").isin(negset)
     )
     first_pos_of: dict[str, str] = {}
-    for pos, term in zip(_POS, pattern):
+    for pos, term in zip(positions, pattern):
         if negset is not None and pos == "pred":
             continue  # the NOT IN filter above is the whole constraint
         if _is_var(term):

@@ -2777,6 +2777,63 @@ WHERE h.pred = 'hasTurn'
 """
 
 
+def q_sparql_graph(spark, sf):
+    """GRAPH (named-graph) clause over a QUADS frame: nations grouped
+    into one named graph per region.  The GRAPH ?g group binds ?g from
+    the frame's `graph` column (patterns inside one group sharing ?g
+    equi-join on it); the default-graph pattern outside matches ALL
+    quads (SPARQL union default graph).  A constant graph term compiles
+    to a pushed-down equality instead — partition pruning over a
+    graph-partitioned quads table."""
+    from .operators.sparql import sparql
+
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    base = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.concat(F.lit("nation:"), "n_name").alias("s"),
+        F.col("n_nationkey").cast("string").alias("k"),
+        F.concat(F.lit("region:"), "r_name").alias("reg"),
+        F.concat(F.lit("graph:"), "r_name").alias("g"),
+    )
+    quads = base.select(
+        F.col("s").alias("subj"),
+        F.lit("locatedIn").alias("pred"),
+        F.col("reg").alias("obj"),
+        F.col("g").alias("graph"),
+    ).unionByName(
+        base.select(
+            F.col("s").alias("subj"),
+            F.lit("hasKey").alias("pred"),
+            F.col("k").alias("obj"),
+            F.col("g").alias("graph"),
+        )
+    )
+    return sparql(
+        quads,
+        """SELECT ?g ?n ?k WHERE {
+             GRAPH ?g { ?n hasKey ?k } .
+             ?n locatedIn 'region:AMERICA' . }
+           ORDER BY ?n""",
+    )
+
+
+SQL_SPARQL_GRAPH = """
+WITH base AS (
+  SELECT 'nation:'||n_name AS s, CAST(n_nationkey AS VARCHAR) AS k,
+         'region:'||r_name AS reg, 'graph:'||r_name AS g
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+quads AS (
+  SELECT s AS subj, 'locatedIn' AS pred, reg AS obj, g AS graph FROM base
+  UNION ALL
+  SELECT s, 'hasKey', k, g FROM base)
+SELECT q1.graph AS g, q1.subj AS n, q1.obj AS k
+FROM quads q1 JOIN quads q2 ON q2.subj = q1.subj
+WHERE q1.pred = 'hasKey' AND q2.pred = 'locatedIn'
+  AND q2.obj = 'region:AMERICA'
+ORDER BY n
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4522,6 +4579,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sssp": (q_sssp, SQL_SSSP),
     "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
     "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
+    "q_sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

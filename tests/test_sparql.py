@@ -921,3 +921,69 @@ def test_order_by_function_spellings(tri):
         rows[0] == ("conv:a", "turn:a/1")
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?t WHERE { ?c hasTurn ?t } ORDER BY MAX(?t)")
+
+
+QUADS = [
+    ("s1", "p", "o1", "g1"),
+    ("s2", "p", "o2", "g2"),
+    ("s1", "q", "x", "g1"),
+    ("s3", "p", "o3", "g2"),
+    ("s1", "p", "o9", "g2"),  # same subj in a second graph
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "subj string, pred string, obj string, graph string"
+    )
+
+
+def test_graph_constant_prunes_to_one_graph(quads):
+    got = _rows(sparql(quads, "SELECT ?s ?o WHERE { GRAPH g1 { ?s p ?o } }"))
+    assert got == [("s1", "o1")]
+
+
+def test_graph_variable_binds_graph_column(quads):
+    got = _rows(sparql(
+        quads, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s p ?o } }"))
+    assert got == [("g1", "s1", "o1"), ("g2", "s1", "o9"),
+                   ("g2", "s2", "o2"), ("g2", "s3", "o3")]
+
+
+def test_graph_group_shares_g_across_patterns(quads):
+    # both patterns inside the group carry the same ?g: s1 matches only
+    # in g1, where both its p and q quads live — the g2 copy of s1 has
+    # no q quad, so ?g=g2 yields nothing
+    got = _rows(sparql(
+        quads, "SELECT ?g ?o WHERE { GRAPH ?g { s1 p ?o . s1 q ?x } }"))
+    assert got == [("g1", "o1")]
+
+
+def test_graph_mixed_with_default_pattern(quads):
+    # the default-graph pattern matches ALL quads (union default graph)
+    got = _rows(sparql(
+        quads, "SELECT ?s WHERE { ?s q ?x . GRAPH g2 { ?s p ?o } }"))
+    assert got == [("s1",)]
+
+
+def test_graph_group_scoped_filter(quads):
+    got = _rows(sparql(
+        quads,
+        "SELECT ?s WHERE { GRAPH g2 { ?s p ?o . FILTER(?o != 'o2') } }"))
+    assert got == [("s1",), ("s3",)]
+
+
+def test_graph_rejections(quads, tri):
+    # a GRAPH pattern against a triples-only frame names the missing column
+    with pytest.raises(ValueError, match="graph"):
+        sparql(tri, "SELECT ?s WHERE { GRAPH g1 { ?s hasTurn ?o } }").collect()
+    # property paths under a VARIABLE graph are outside the subset
+    with pytest.raises(ValueError, match="path"):
+        sparql(quads, "SELECT ?s WHERE { GRAPH ?g { ?s p+ ?o } }").collect()
+    # ... but a constant graph confines the traversal and works
+    got = _rows(sparql(
+        quads, "SELECT ?o WHERE { GRAPH g1 { s1 p+ ?o } }"))
+    assert got == [("o1",)]
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?s WHERE { GRAPH { ?s p ?o } }")
