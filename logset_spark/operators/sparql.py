@@ -284,23 +284,46 @@ def parse_sparql(query: str) -> ParsedQuery:
     unbound prefix stays verbatim — this engine's own URIs are
     prefixed strings with no prefix table."""
     q, lits = _protect_literals(" ".join(query.split()))
-    prefixes: dict[str, str] = {}
-    # strip leading PREFIX headers one at a time (<iri> is already a
-    # placeholder at this point — _protect_literals ran first)
-    while True:
-        m = re.match(r"\s*PREFIX\s+(\w*):\s*\x00(\d+)\x00\s*", q,
-                     re.IGNORECASE)
-        if not m:
-            break
-        inner, is_iri = lits[int(m.group(2))]
-        if not is_iri:
-            raise ValueError("PREFIX needs an <iri>")
-        prefixes[m.group(1)] = inner
-        q = q[m.end():]
+    q, prefixes = _strip_prefix_headers(q, lits)
     pq = _parse_protected(q, lits)
     if prefixes:
         _expand_prefixes(pq, prefixes)
     return pq
+
+
+def _expand_term(t: str, prefixes: dict[str, str]) -> str:
+    """Expand one bound `ns:local` constant term to its full `<iri>`
+    form; vars, full IRIs, blank nodes, and unbound prefixes pass
+    through.  Path / negated-set structure is preserved (each atom
+    expands independently)."""
+    x = lambda u: _expand_term(u, prefixes)  # noqa: E731
+    t_ = t
+    if _is_var(t_) or t_.startswith(("<", "_:")):
+        return t_
+    if t_.startswith("!"):  # negated property set: expand each member
+        inner = t_[1:]
+        parens = inner.startswith("(") and inner.endswith(")")
+        if parens:
+            inner = inner[1:-1]
+        ex = "|".join(
+            x(a.strip()) if ":" in a else a.strip()
+            for a in _split_outside_iris(inner, "|")
+        )
+        return ("!(" + ex + ")") if parens else ("!" + ex)
+    if ":" in t_:
+        head, local = t_.split(":", 1)
+        # path operators keep their structure: expand each atom
+        # token; operator tokens (incl. parentheses) pass through
+        if _is_path(t_):
+            return "".join(
+                x(v) if kind == "atom" and ":" in v else v
+                for kind, v in _path_tokens(t_)
+            )
+        if head in prefixes:
+            # expanded IRIs contain '/' etc.: wrap in <> so the
+            # lowering treats them as plain constants, never paths
+            return f"<{prefixes[head]}{local}>"
+    return t_
 
 
 def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
@@ -308,32 +331,7 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
     parsed query, in place."""
 
     def x(t: str) -> str:
-        if _is_var(t) or t.startswith(("<", "_:")):
-            return t
-        if t.startswith("!"):  # negated property set: expand each member
-            inner = t[1:]
-            parens = inner.startswith("(") and inner.endswith(")")
-            if parens:
-                inner = inner[1:-1]
-            ex = "|".join(
-                x(a.strip()) if ":" in a else a.strip()
-                for a in _split_outside_iris(inner, "|")
-            )
-            return ("!(" + ex + ")") if parens else ("!" + ex)
-        if ":" in t:
-            head, local = t.split(":", 1)
-            # path operators keep their structure: expand each atom
-            # token; operator tokens (incl. parentheses) pass through
-            if _is_path(t):
-                return "".join(
-                    x(v) if kind == "atom" and ":" in v else v
-                    for kind, v in _path_tokens(t)
-                )
-            if head in prefixes:
-                # expanded IRIs contain '/' etc.: wrap in <> so the
-                # lowering treats them as plain constants, never paths
-                return f"<{prefixes[head]}{local}>"
-        return t
+        return _expand_term(t, prefixes)
 
     def xp(pats):
         # patterns are triples or (GRAPH-group) quads — expand every term
@@ -358,6 +356,26 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
         pq.describe = _const_term(x(pq.describe))
     for sub in pq.subqueries:
         _expand_prefixes(sub, prefixes)
+
+
+def _strip_prefix_headers(
+    q: str, lits: list
+) -> tuple[str, dict[str, str]]:
+    """Strip leading `PREFIX ns: <iri>` headers one at a time (<iri> is
+    already a placeholder at this point — _protect_literals ran first);
+    shared by the query and UPDATE parsers."""
+    prefixes: dict[str, str] = {}
+    while True:
+        m = re.match(r"\s*PREFIX\s+(\w*):\s*\x00(\d+)\x00\s*", q,
+                     re.IGNORECASE)
+        if not m:
+            break
+        inner, is_iri = lits[int(m.group(2))]
+        if not is_iri:
+            raise ValueError("PREFIX needs an <iri>")
+        prefixes[m.group(1)] = inner
+        q = q[m.end():]
+    return q, prefixes
 
 
 def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:

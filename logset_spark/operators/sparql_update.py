@@ -1,0 +1,274 @@
+"""SPARQL 1.1 Update over triples DataFrames and snapshot tables.
+
+Subset (same discipline as operators/sparql.py — anything outside it is
+rejected loudly with the offending clause, because silently
+misinterpreting a mutation language corrupts the store):
+
+    [PREFIX ns: <iri>]*
+    INSERT DATA { triple ( . triple )* }           -- all-constant
+    DELETE DATA { triple ( . triple )* }           -- all-constant
+    DELETE WHERE { pattern ( . pattern )* }        -- plain BGP; the
+                                                   -- body IS the template
+    DELETE { template } INSERT { template } WHERE { body }
+    DELETE { template } WHERE { body }
+    INSERT { template } WHERE { body }
+        -- templates are plain BGPs (vars + constants; no paths, no
+        -- FILTER/OPTIONAL/... keywords); the WHERE body takes the full
+        -- query subset (FILTER, OPTIONAL, BIND, VALUES, NOT EXISTS, ...)
+
+Semantics (SPARQL 1.1 Update, applied to one graph):
+
+* Both the delete set D and the insert set I are computed against the
+  ORIGINAL graph state (the spec's "delete then insert, both from the
+  same solution sequence"), then `G' = (G \\ D) UNION I` as a SET of
+  triples — inserting an existing triple is a no-op, deleting an absent
+  one is a no-op.
+* Solutions with an unbound variable in a template instantiate no triple
+  for that template (the CONSTRUCT rule), which this lowering inherits
+  by reusing the CONSTRUCT instantiation path verbatim.
+
+Two surfaces:
+
+* `sparql_update(graph, update)` — pure functional form: returns the
+  new graph as a DataFrame (extra non-spo columns on kept rows are
+  preserved; inserted rows carry NULL for them).  This is what the
+  oracle checks: D and I lower to anti-join / union-distinct plans that
+  DuckDB reproduces exactly.
+* `apply_update(store, spark, update, ...)` — snapshot-store form: one
+  atomic copy-on-write commit against a SnapshotTableIO (Iceberg
+  CoW MERGE shape): only partitions holding a deleted row or receiving
+  an inserted row are rewritten, everything else keeps its files, and
+  the pre-update graph stays readable via time travel.  rdflib's
+  `Graph.update()` is the single-process equivalent of this surface.
+
+Scale: D and I are usually tiny next to the store (a pattern-scoped
+mutation); the delete is one anti-join on (subj, pred, obj) — broadcast
+when small, shuffle otherwise — and the CoW commit rewrites only the
+touched (ts_day, conv_bucket) slice, never the table.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sparql import (
+    ParsedQuery,
+    _const_term,
+    _eval_parsed,
+    _expand_term,
+    _is_path,
+    _is_var,
+    _parse_patterns,
+    _parse_protected,
+    _protect_literals,
+    _strip_prefix_headers,
+)
+
+_SPO = ("subj", "pred", "obj")
+
+
+@dataclass
+class ParsedUpdate:
+    delete_tmpl: list[tuple[str, str, str]] = field(default_factory=list)
+    insert_tmpl: list[tuple[str, str, str]] = field(default_factory=list)
+    where: ParsedQuery | None = None  # None => DATA form (all-constant)
+
+
+def _check_template(tmpl: list[tuple[str, str, str]], clause: str,
+                    constant: bool = False) -> None:
+    for p in tmpl:
+        if len(p) != 3:
+            raise ValueError(f"{clause} template takes triples, got {p}")
+        if _is_path(p[1]) or (not _is_var(p[1]) and p[1].startswith("!")):
+            raise ValueError(
+                f"{clause} template predicates must be plain terms, "
+                f"not paths/negated sets: {p[1]!r}")
+        if constant and any(_is_var(t) for t in p):
+            raise ValueError(
+                f"{clause} takes constant triples only (got variable in "
+                f"{p}); use DELETE/INSERT ... WHERE for patterns")
+
+
+def _no_keywords(body: str, clause: str) -> None:
+    kw = re.search(
+        r"\b(FILTER|OPTIONAL|BIND|VALUES|UNION|MINUS|SELECT|GRAPH)\b",
+        body, re.IGNORECASE)
+    if kw:
+        raise ValueError(
+            f"{clause} takes a plain BGP; {kw.group(1)} is outside the "
+            "subset here")
+
+
+def parse_sparql_update(update: str) -> ParsedUpdate:
+    """Parse one update request in the documented subset."""
+    q, lits = _protect_literals(" ".join(update.split()))
+    q, prefixes = _strip_prefix_headers(q, lits)
+    pu = ParsedUpdate()
+
+    m = re.match(r"(INSERT|DELETE)\s+DATA\s*\{(.*)\}\s*$", q,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        verb, body = m.group(1).upper(), m.group(2)
+        _no_keywords(body, f"{verb} DATA")
+        tmpl = _parse_patterns(body, lits)
+        if not tmpl:
+            raise ValueError(f"{verb} DATA has no triples")
+        _check_template(tmpl, f"{verb} DATA", constant=True)
+        if verb == "INSERT":
+            pu.insert_tmpl = tmpl
+        else:
+            pu.delete_tmpl = tmpl
+    else:
+        m = re.match(r"DELETE\s+WHERE\s*\{(.*)\}\s*$", q,
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            # the body IS the template (spec shorthand) — plain BGP only,
+            # same restriction (and the same reason) as CONSTRUCT WHERE
+            _no_keywords(m.group(1), "DELETE WHERE")
+            tmpl = _parse_patterns(m.group(1), lits)
+            if not tmpl:
+                raise ValueError("DELETE WHERE has no triple patterns")
+            _check_template(tmpl, "DELETE WHERE")
+            pu.delete_tmpl = tmpl
+            pu.where = _parse_protected(
+                f"SELECT * WHERE {{{m.group(1)}}}", lits)
+        else:
+            m = re.match(
+                r"(?:DELETE\s*\{(.*?)\}\s*)?(?:INSERT\s*\{(.*?)\}\s*)?"
+                r"WHERE\s*\{(.*)\}\s*$",
+                q, re.IGNORECASE | re.DOTALL)
+            if not m or (m.group(1) is None and m.group(2) is None):
+                raise ValueError(
+                    "unparseable update (need INSERT/DELETE DATA, DELETE "
+                    f"WHERE, or DELETE/INSERT {{...}} WHERE {{...}}): {q!r}")
+            for grp, clause in ((m.group(1), "DELETE"),
+                                (m.group(2), "INSERT")):
+                if grp is None:
+                    continue
+                _no_keywords(grp, clause)
+                tmpl = _parse_patterns(grp, lits)
+                if not tmpl:
+                    raise ValueError(f"{clause} template has no triples")
+                _check_template(tmpl, clause)
+                if clause == "DELETE":
+                    pu.delete_tmpl = tmpl
+                else:
+                    pu.insert_tmpl = tmpl
+            pu.where = _parse_protected(
+                f"SELECT * WHERE {{{m.group(3)}}}", lits)
+
+    if prefixes:
+        x = lambda t: _expand_term(t, prefixes)  # noqa: E731
+        pu.delete_tmpl = [tuple(map(x, p)) for p in pu.delete_tmpl]
+        pu.insert_tmpl = [tuple(map(x, p)) for p in pu.insert_tmpl]
+        if pu.where is not None:
+            from .sparql import _expand_prefixes
+
+            _expand_prefixes(pu.where, prefixes)
+    # template vars must be bound by the WHERE body (or the request can
+    # never instantiate anything — reject at parse, not silently at run)
+    if pu.where is not None:
+        bound = {t[1:] for p in pu.where.patterns for t in p if _is_var(t)}
+        bound |= {t[1:] for g, _ in (pu.where.optionals or [])
+                  for p in g for t in p if _is_var(t)}
+        bound |= {b[1] for b in (pu.where.binds or [])}
+        bound |= {v for vs, _ in (pu.where.values or []) for v in vs}
+        for arm, _ in (pu.where.unions or []):
+            bound |= {t[1:] for p in arm for t in p if _is_var(t)}
+        for p in pu.delete_tmpl + pu.insert_tmpl:
+            for t in p:
+                if _is_var(t) and t[1:] not in bound:
+                    raise ValueError(
+                        f"template variable {t} is not bound in WHERE")
+    return pu
+
+
+def _sets(graph: DataFrame, pu: ParsedUpdate) -> tuple[DataFrame | None,
+                                                       DataFrame | None]:
+    """Lower the request to (delete_set, insert_set) spo frames, both
+    computed against the original `graph` (SPARQL Update evaluation
+    order).  Template instantiation reuses the CONSTRUCT path —
+    per-solution template stamping, unbound-var drop, distinct."""
+    spark = graph.sparkSession
+    spo_graph = graph.select(*_SPO)
+
+    def const_frame(tmpl):
+        rows = [tuple(_const_term(t) for t in p) for p in tmpl]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string").distinct()
+
+    def tmpl_frame(tmpl):
+        # shallow-copy the WHERE plan and stamp this template on it —
+        # the CONSTRUCT branch of _eval_parsed does the instantiation
+        pq = copy.copy(pu.where)
+        pq.construct = tmpl
+        return _eval_parsed(spo_graph, pq)
+
+    mk = const_frame if pu.where is None else tmpl_frame
+    d = mk(pu.delete_tmpl) if pu.delete_tmpl else None
+    i = mk(pu.insert_tmpl) if pu.insert_tmpl else None
+    return d, i
+
+
+def sparql_update(graph: DataFrame, update: str) -> DataFrame:
+    """Apply one update request to a triples DataFrame; returns the new
+    graph.  Extra (non-spo) columns survive on kept rows and are NULL on
+    inserted rows."""
+    pu = parse_sparql_update(update)
+    d, i = _sets(graph, pu)
+    kept = graph
+    if d is not None:
+        kept = kept.join(d, on=list(_SPO), how="left_anti")
+    if i is None:
+        return kept
+    add = i.join(kept.select(*_SPO), on=list(_SPO), how="left_anti")
+    return kept.unionByName(add, allowMissingColumns=True)
+
+
+def apply_update(
+    store, spark: SparkSession, update: str,
+    insert_conv=None, insert_ts: str = "1970-01-01 00:00:00",
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Apply one update request to a SnapshotTableIO triples store as
+    ONE atomic copy-on-write commit (Iceberg MERGE shape): partitions
+    holding a deleted row or receiving an insert are rewritten; every
+    other partition keeps its files; the pre-update graph remains
+    readable via time travel.
+
+    Inserted triples need the store's layout columns: `insert_conv` is a
+    Column expression for conv_id (default: the subject's local name —
+    `conv:x` partitions with conversation x, anything else under its own
+    key) and `insert_ts` the timestamp literal they are filed under.
+    Returns (new_version, n_deleted, n_inserted)."""
+    pu = parse_sparql_update(update)
+    graph = store.read(spark)
+    d, i = _sets(graph, pu)
+    deletes = None
+    if d is not None:
+        deletes = d.select(*_SPO).distinct()
+    inserts = None
+    if i is not None:
+        if insert_conv is None:
+            insert_conv = F.regexp_replace(F.col("subj"), r"^\w+:", "")
+        new = i.join(graph.select(*_SPO), on=list(_SPO), how="left_anti")
+        data_cols = [c for c in graph.columns
+                     if c not in ("ts_day", "conv_bucket")]
+        inserts = new.withColumn("conv_id", insert_conv).withColumn(
+            "ts", F.lit(insert_ts).cast("timestamp"))
+        for c in data_cols:
+            if c not in inserts.columns:
+                # typed nulls — an untyped (void) column would be written
+                # with an arbitrary physical parquet type and break the
+                # non-mergeSchema read against the store's real schema
+                inserts = inserts.withColumn(
+                    c, F.lit(None).cast(graph.schema[c].dataType))
+        inserts = inserts.select(*data_cols)
+    return store.cow_update(
+        spark, deletes=deletes, on=list(_SPO), inserts=inserts,
+        stats_cols=stats_cols)

@@ -2834,6 +2834,54 @@ ORDER BY n
 """
 
 
+def q_sparql_update(spark, sf):
+    """SPARQL 1.1 Update, functional form (operators/sparql_update.py):
+    a DELETE/INSERT WHERE request rewrites the region-membership
+    predicate for two regions.  Both the delete set and the insert set
+    are computed against the ORIGINAL graph, then G' = (G \\ D) UNION I
+    as a SET — the oracle replays exactly that algebra (anti-join +
+    UNION-dedup) in SQL.  The store-backed form (one atomic CoW commit,
+    jobs/update_graph.py) shares this lowering and is covered by
+    tests/test_sparql_update.py."""
+    from .operators.sparql_update import sparql_update
+
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    base = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    tri = base.select(
+        F.concat(F.lit("nation:"), "n_name").alias("subj"),
+        F.lit("locatedIn").alias("pred"),
+        F.concat(F.lit("region:"), "r_name").alias("obj"),
+    ).unionByName(
+        base.select(
+            F.concat(F.lit("nation:"), "n_name").alias("subj"),
+            F.lit("hasKey").alias("pred"),
+            F.col("n_nationkey").cast("string").alias("obj"),
+        )
+    )
+    return sparql_update(
+        tri,
+        """DELETE { ?n locatedIn ?r } INSERT { ?n inRegion ?r }
+           WHERE { ?n locatedIn ?r . FILTER(regex(?r, 'AMERICA|ASIA')) }""",
+    )
+
+
+SQL_SPARQL_UPDATE = """
+WITH t AS (
+  SELECT 'nation:'||n_name AS subj, 'locatedIn' AS pred,
+         'region:'||r_name AS obj
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'nation:'||n_name, 'hasKey', CAST(n_nationkey AS VARCHAR)
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+d AS (SELECT subj, pred, obj FROM t
+      WHERE pred = 'locatedIn' AND regexp_matches(obj, 'AMERICA|ASIA'))
+SELECT subj, pred, obj FROM t ANTI JOIN d USING (subj, pred, obj)
+UNION
+SELECT subj, 'inRegion' AS pred, obj FROM d
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4580,6 +4628,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
     "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
     "q_sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
+    "q_sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

@@ -423,6 +423,115 @@ class SnapshotTableIO:
             operation="delete",
         )
 
+    def cow_update(
+        self, spark: SparkSession,
+        deletes: DataFrame | None = None,
+        on: list[str] | None = None,
+        inserts: DataFrame | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> tuple[int, int, int]:
+        """Combined copy-on-write DELETE-matching + INSERT as ONE atomic
+        commit (the Iceberg MERGE shape SPARQL Update lowers to):
+        current rows whose `on`-key appears in `deletes` are removed,
+        `inserts` rows (full data-column schema) are added, and only the
+        partitions holding a deleted row OR receiving an insert are
+        rewritten — an insert-only partition's EXISTING rows ride along
+        in the rewrite (a dynamic overwrite repoints whole partitions,
+        so appending into one without carrying its current rows would
+        drop them).  Everything else keeps its files; the pre-update
+        state stays readable via time travel.
+
+        Unlike delete_where's predicate, the delete condition here is
+        membership in a DataFrame — one anti-join on `on` (broadcast
+        when the delete set is small), which is how a join-scoped SQL
+        DELETE/MERGE plans on Iceberg too.
+
+        Returns (version, n_deleted, n_inserted); version is unchanged
+        when the whole request is a no-op."""
+        from .tableio import with_layout
+
+        cur = self.current_version()
+        if inserts is not None:
+            # layout + pin: the insert frame is read three times (touched
+            # partitions, count, commit) and may embed anti-joins against
+            # the store itself — pin it so all three see one state.
+            # Bounded by the insert set, not the table.
+            inserts = with_layout(inserts, self.n_buckets).localCheckpoint()
+        if cur == 0:
+            if inserts is None:
+                raise ValueError("cannot update an empty table")
+            n_ins = inserts.count()
+            data_cols = [c for c in inserts.columns
+                         if c not in ("ts_day", "conv_bucket")]
+            return (self.commit(inserts.select(*data_cols),
+                                stats_cols=stats_cols, operation="update"),
+                    0, n_ins)
+        touched: set[tuple[str, str]] = set()
+        n_del = 0
+        if deletes is not None:
+            if on is None:
+                on = list(deletes.columns)
+            hits = (
+                self.read(spark).join(deletes.distinct(), on=on,
+                                      how="left_semi")
+                .groupBy("ts_day", "conv_bucket").count().collect()
+            )
+            touched |= {(str(r["ts_day"]), str(r["conv_bucket"]))
+                        for r in hits}
+            n_del = sum(r["count"] for r in hits)
+        n_ins = 0
+        if inserts is not None:
+            n_ins = inserts.count()
+            touched |= {
+                (str(r["ts_day"]), str(r["conv_bucket"]))
+                for r in inserts.select("ts_day", "conv_bucket")
+                .distinct().collect()
+            }
+        if not touched:
+            return cur, 0, 0
+        snap = self._load_snapshot(cur)
+        paths = [
+            os.path.join(self._data, f"commit={c}",
+                         f"ts_day={day}", f"conv_bucket={bucket}")
+            for k, commits in sorted(snap["mapping"].items())
+            for day, bucket in [k.split("|", 1)]
+            if (day, bucket) in touched
+            for c in commits
+        ]
+        merged = None
+        if paths:
+            commits = {
+                c for k, cl in snap["mapping"].items()
+                if tuple(k.split("|", 1)) in touched
+                for c in cl
+            }
+            reader = spark.read.option("basePath", self._data)
+            if self._needs_merge(commits):
+                reader = reader.option("mergeSchema", "true")
+            current = reader.parquet(*paths)
+            kept = current
+            if deletes is not None and n_del:
+                kept = current.join(deletes.distinct(), on=on,
+                                    how="left_anti")
+            data_cols = [c for c in current.columns
+                         if c not in ("ts_day", "conv_bucket", "commit")]
+            merged = kept.select(*data_cols)
+        if inserts is not None and n_ins:
+            data_cols = [c for c in inserts.columns
+                         if c not in ("ts_day", "conv_bucket")]
+            ins = inserts.select(*data_cols)
+            merged = ins if merged is None else merged.unionByName(ins)
+        return (
+            self.commit(
+                merged,
+                mode="overwrite_partitions",
+                replaced_partitions=touched,
+                stats_cols=stats_cols,
+                operation="update",
+            ),
+            n_del, n_ins,
+        )
+
     def pruned_partition_dirs(
         self, col: str, lo=None, hi=None, version: int | None = None,
     ) -> tuple[list[str], set[int]]:

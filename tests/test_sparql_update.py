@@ -1,0 +1,235 @@
+"""SPARQL 1.1 Update (operators/sparql_update.py): functional semantics
+against hand-checked graphs, parse-rejection discipline, and the
+snapshot-store copy-on-write path (atomic single-commit, time travel,
+partition granularity)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logset_spark.operators.sparql_update import (
+    apply_update,
+    parse_sparql_update,
+    sparql_update,
+)
+
+G = [
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("a", "age", "5"),
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return spark.createDataFrame(G, "subj string, pred string, obj string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# functional form
+# ---------------------------------------------------------------------------
+
+
+def test_insert_data(g):
+    out = sparql_update(g, "INSERT DATA { d knows e . e age '7' }")
+    assert _rows(out) == sorted(G + [("d", "knows", "e"), ("e", "age", "7")])
+
+
+def test_insert_existing_is_noop(g):
+    out = sparql_update(g, "INSERT DATA { a knows b }")
+    assert _rows(out) == sorted(G)
+
+
+def test_delete_data(g):
+    out = sparql_update(g, "DELETE DATA { a knows b }")
+    assert _rows(out) == [("a", "age", "5"), ("b", "knows", "c")]
+    # deleting an absent triple is a no-op
+    out = sparql_update(g, "DELETE DATA { zz zz zz }")
+    assert _rows(out) == sorted(G)
+
+
+def test_delete_where_pattern(g):
+    out = sparql_update(g, "DELETE WHERE { ?s knows ?o }")
+    assert _rows(out) == [("a", "age", "5")]
+
+
+def test_modify_with_filter(g):
+    out = sparql_update(
+        g, "DELETE { ?s knows ?o } INSERT { ?s knew ?o } "
+           "WHERE { ?s knows ?o . FILTER(?s = 'a') }")
+    assert _rows(out) == [("a", "age", "5"), ("a", "knew", "b"),
+                          ("b", "knows", "c")]
+
+
+def test_insert_sees_original_graph(g):
+    # both D and I evaluate against the ORIGINAL graph — the inverse
+    # edges come from rows the same request deletes
+    out = sparql_update(
+        g, "DELETE { ?s knows ?o } INSERT { ?o knownBy ?s } "
+           "WHERE { ?s knows ?o }")
+    assert _rows(out) == [("a", "age", "5"), ("b", "knownBy", "a"),
+                          ("c", "knownBy", "b")]
+
+
+def test_extra_columns_survive_and_inserts_get_null(spark):
+    g2 = spark.createDataFrame(
+        [("a", "knows", "b", 0.9)],
+        "subj string, pred string, obj string, conf double")
+    out = sparql_update(g2, "INSERT DATA { x y z }")
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("a", "knows", "b", 0.9), ("x", "y", "z", None)}
+
+
+def test_prefix_expansion(g, spark):
+    g3 = spark.createDataFrame(
+        [("http://ex.org/a", "knows", "b")],
+        "subj string, pred string, obj string")
+    out = sparql_update(
+        g3, "PREFIX ex: <http://ex.org/> DELETE WHERE { ex:a knows ?o }")
+    assert out.count() == 0
+
+
+def test_insert_unbound_optional_var_instantiates_nothing(g):
+    # CONSTRUCT rule inherited: solutions where the template var is
+    # unbound (OPTIONAL miss) stamp no triple
+    out = sparql_update(
+        g, "INSERT { ?s aged ?v } WHERE { ?s knows ?o . "
+           "OPTIONAL { ?s age ?v } }")
+    assert sorted(_rows(out)) == sorted(G + [("a", "aged", "5")])
+
+
+def test_parse_rejections(g):
+    for bad, why in [
+        ("INSERT DATA { ?s knows b }", "variable in DATA"),
+        ("DELETE DATA { a knows+ b }", "path in template"),
+        ("DELETE WHERE { ?s knows ?o . FILTER(?s = 'a') }",
+         "keyword in DELETE WHERE"),
+        ("INSERT { ?x foo ?y } WHERE { ?s knows ?o }",
+         "unbound template var"),
+        ("DELETE { ?s !knows ?o } WHERE { ?s ?p ?o }",
+         "negated set in template"),
+        ("SELECT ?s WHERE { ?s ?p ?o }", "not an update"),
+        ("INSERT DATA { }", "empty"),
+    ]:
+        with pytest.raises(ValueError):
+            parse_sparql_update(bad), why
+
+
+# ---------------------------------------------------------------------------
+# snapshot-store copy-on-write path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from logset_spark.sources.snapshots import SnapshotTableIO
+
+    st = SnapshotTableIO(root=str(tmp_path / "triples"), n_buckets=4)
+    rows = [
+        (f"conv:c{i}", "hasTurn", f"turn:c{i}/0", f"c{i}", 0,
+         f"2025-01-0{1 + i % 3} 00:00:00", 1.0)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, conv_id string, "
+              "turn_idx int, ts string, conf double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    st.commit(df)
+    return st
+
+
+def _mapping(st):
+    return st._load_snapshot(st.current_version())["mapping"]
+
+
+def test_store_modify_is_one_atomic_commit(spark, store):
+    v, n_del, n_ins = apply_update(
+        store, spark,
+        "DELETE { ?c hasTurn ?t } INSERT { ?c hadTurn ?t } "
+        "WHERE { ?c hasTurn ?t . FILTER(regex(?c, 'conv:c1$')) }")
+    assert (v, n_del, n_ins) == (2, 1, 1)
+    cur = store.read(spark)
+    got = {(r["pred"], r["count"])
+           for r in cur.groupBy("pred").count().collect()}
+    assert got == {("hasTurn", 11), ("hadTurn", 1)}
+    # time travel: v1 still answers with the pre-update graph
+    v1 = store.read(spark, version=1)
+    assert v1.where(F.col("pred") == "hadTurn").count() == 0
+    assert v1.count() == 12
+
+
+def test_store_untouched_partitions_keep_their_commit(spark, store):
+    before = _mapping(store)
+    apply_update(
+        store, spark,
+        "DELETE WHERE { conv:c1 hasTurn ?t }")
+    after = _mapping(store)
+    changed = {k for k in before if after.get(k) != before[k]}
+    # conv:c1 lives in exactly one (day, bucket) partition — only that
+    # mapping entry may move to the new commit
+    assert len(changed) == 1
+    kept = {k for k in before if after.get(k) == before[k]}
+    assert kept == set(before) - changed
+
+
+def test_store_insert_only_appends_new_partition(spark, store):
+    v, n_del, n_ins = apply_update(
+        store, spark, "INSERT DATA { conv:zz hasTag 'gold' }",
+        insert_ts="2025-02-01 00:00:00")
+    assert (n_del, n_ins) == (0, 1)
+    cur = store.read(spark)
+    assert cur.count() == 13
+    row = cur.where(F.col("pred") == "hasTag").collect()[0]
+    assert (row["subj"], row["obj"], row["conv_id"]) == \
+        ("conv:zz", "gold", "zz")
+
+
+def test_store_insert_into_existing_partition_keeps_rows(spark, store):
+    # the inserted triple lands in an EXISTING partition (same conv/ts
+    # as conv:c0's rows): the CoW rewrite must carry that partition's
+    # current rows along, not repoint it to only the new file
+    day0 = store.read(spark).where(F.col("conv_id") == "c0") \
+        .select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")) \
+        .collect()[0][0]
+    v, _, n_ins = apply_update(
+        store, spark, "INSERT DATA { conv:c0 hasTag 'gold' }",
+        insert_conv=F.lit("c0"), insert_ts=day0)
+    assert n_ins == 1
+    cur = store.read(spark)
+    assert cur.count() == 13
+    assert cur.where(F.col("conv_id") == "c0").count() == 2
+
+
+def test_store_noop_keeps_version(spark, store):
+    v0 = store.current_version()
+    v, n_del, n_ins = apply_update(
+        store, spark, "DELETE DATA { nosuch p q }")
+    assert (v, n_del, n_ins) == (v0, 0, 0)
+
+
+def test_store_delete_can_empty_a_partition(spark, store):
+    # delete EVERYTHING — every partition empties; reads must show none
+    v, n_del, _ = apply_update(store, spark, "DELETE WHERE { ?s ?p ?o }")
+    assert n_del == 12
+    # the fully-emptied partitions are DROPPED from the mapping (the
+    # replaced_partitions contract) — an empty snapshot raises on read,
+    # same as delete_where's all-rows case
+    assert _mapping(store) == {}
+    with pytest.raises(ValueError, match="empty"):
+        store.read(spark)
+
+
+def test_cow_update_empty_table_rejected(spark, tmp_path):
+    from logset_spark.sources.snapshots import SnapshotTableIO
+
+    st = SnapshotTableIO(root=str(tmp_path / "t2"), n_buckets=2)
+    with pytest.raises(ValueError):
+        st.cow_update(spark, deletes=None, inserts=None)
