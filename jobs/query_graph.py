@@ -31,6 +31,12 @@ def main(argv=None) -> int:
     p.add_argument("--follow-links", action="store_true",
                    help="with --catalog: follow rdfs:seeAlso/dcat:catalog links"
                         " to linked .ttl files (cycle-safe) and query the union")
+    p.add_argument("--named-graphs", action="store_true",
+                   dest="named_graphs",
+                   help="with --catalog: load QUADS — each triple's named "
+                        "graph is the .ttl file it came from, so "
+                        "GRAPH ?g { ... } answers provenance and "
+                        "GRAPH <file://...> confines a query to one file")
     p.add_argument("--query", help="SPARQL query text")
     p.add_argument("--query-file", help="file containing the query")
     p.add_argument("--out", help="write full result parquet here instead of printing")
@@ -70,6 +76,12 @@ def main(argv=None) -> int:
     from logset_spark.sources.tableio import TableIO
     from logset_spark.sources.turtle import load_catalog
 
+    if args.named_graphs and not args.catalog:
+        p.error("--named-graphs needs --catalog (file-provenance quads)")
+    if args.named_graphs and (args.rdfs or args.owl):
+        p.error("--named-graphs cannot combine with --rdfs/--owl "
+                "(entailment is defined over the merged default graph; "
+                "materialized inferences have no single source file)")
     spark = get_spark("query_graph", cpus=args.cpus)
     snap_flags = args.as_of is not None or args.changed_since is not None
     if args.catalog:
@@ -77,7 +89,8 @@ def main(argv=None) -> int:
             p.error("--as-of/--changed-since need a --warehouse built "
                     "with --snapshots")
         triples = load_catalog(spark, args.catalog,
-                               follow_links=args.follow_links)
+                               follow_links=args.follow_links,
+                               named_graphs=args.named_graphs)
     else:
         import os
 

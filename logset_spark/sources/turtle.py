@@ -472,6 +472,7 @@ def _is_link_pred(pred: str, link_preds) -> bool:
 def load_catalog(
     spark, entry_path: str, follow_links: bool = True,
     link_preds=LINK_PREDS, max_files: int = 10_000,
+    named_graphs: bool = False,
 ):
     """Entry .ttl plus (optionally) every catalog it links to, unioned
     into ONE triples DataFrame — the reference's multi-catalog Graph
@@ -481,7 +482,13 @@ def load_catalog(
     file's directory ('file://' prefix stripped); http(s) targets and
     missing files are skipped (recorded in the returned frame is only
     what parsed).  Each file is visited ONCE (cycle-safe visited set);
-    `max_files` bounds a pathological link mesh."""
+    `max_files` bounds a pathological link mesh.
+
+    `named_graphs=True` returns QUADS: each triple carries the file it
+    was parsed from as its named graph (`graph` = file://<abspath>) —
+    the SPARQL-dataset view of a catalog mesh, so `GRAPH ?g { ... }`
+    answers provenance ("which linked catalog asserted this") and a
+    constant `GRAPH <file://...>` confines a query to one source file."""
     frames = []
     seen: set[str] = set()
     queue = [os.path.abspath(entry_path)]
@@ -494,7 +501,7 @@ def load_catalog(
             raise ValueError(f"catalog link mesh exceeds {max_files} files")
         with open(path, encoding="utf-8") as f:
             trips, _ = parse_turtle(f.read())
-        frames.append(trips)
+        frames.append((path, trips))
         if not follow_links:
             break
         for s, p, o in trips:
@@ -512,7 +519,13 @@ def load_catalog(
             cand = os.path.abspath(cand)
             if os.path.exists(cand) and cand not in seen:
                 queue.append(cand)
-    rows = [t for f in frames for t in f]
+    if named_graphs:
+        rows = [(s, p, o, f"file://{path}")
+                for path, ts in frames for s, p, o in ts]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, graph string"
+        ).distinct()
+    rows = [t for _, ts in frames for t in ts]
     return spark.createDataFrame(
         rows, "subj string, pred string, obj string"
     ).distinct()

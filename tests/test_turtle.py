@@ -167,3 +167,27 @@ def test_save_turtle_rejects_control_chars(spark, tmp_path):
         from logset_spark.sources.turtle import save_turtle
 
         save_turtle(df, str(tmp_path / "bad"))
+
+
+def test_load_catalog_named_graphs_provenance(spark):
+    from logset_spark.operators.sparql import sparql
+
+    quads = load_catalog(spark, os.path.join(FIX, "catalog_entry.ttl"),
+                         follow_links=True, named_graphs=True)
+    assert quads.columns == ["subj", "pred", "obj", "graph"]
+    # per-file counts match the per-file loads
+    per_g = {os.path.basename(r["g"]): r["n"] for r in sparql(
+        quads,
+        "SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }",
+    ).collect()}
+    assert per_g == {"catalog_entry.ttl": 8, "catalog_a.ttl": 5,
+                     "catalog_b.ttl": 2}
+    # constant graph confines to one source file; default-graph patterns
+    # still match the union
+    entry = os.path.join(FIX, "catalog_entry.ttl")
+    one = sparql(
+        quads,
+        f"SELECT ?s ?p ?o WHERE {{ GRAPH <file://{entry}> "
+        "{ ?s ?p ?o } }")
+    assert one.count() == 8
+    assert sparql(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }").count() == 15
