@@ -353,3 +353,25 @@ def test_sparql_order_limit_uses_take_ordered(spark):
                      "ORDER BY ?tool DESC LIMIT 2")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sparql_constant_graph_prunes_partitions(spark, tmp_path):
+    """A constant GRAPH term over a graph-partitioned quads table must
+    arrive as a partition filter — only that named graph's files are
+    read; and a constant graph + constant pred both reach the scan."""
+    from logset_spark.operators.sparql import sparql
+
+    quads = spark.createDataFrame(
+        [("s1", "p", "o1", "g1"), ("s2", "p", "o2", "g2"),
+         ("s3", "q", "o3", "g1")],
+        "subj string, pred string, obj string, graph string",
+    )
+    path = str(tmp_path / "quads")
+    quads.write.partitionBy("graph").parquet(path)
+    stored = spark.read.parquet(path)
+    df = sparql(stored, "SELECT ?s ?o WHERE { GRAPH g1 { ?s p ?o } }")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "g1" in plan.split("PartitionFilters")[1][:250]
+    # the constant pred is a pushed data filter on the same scan
+    assert "PushedFilters: [" in plan
