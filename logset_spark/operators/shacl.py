@@ -1,0 +1,252 @@
+"""SHACL-subset shape validation over the triples DataFrame.
+
+LogSet catalogs are schema'd data: every ConcreteLog needs a
+describedBy, every LogSeries a validity interval — the reference
+enforces this shape implicitly in its build code.  This module makes
+the contract explicit and checkable at warehouse scale: shapes are
+declared as triples (the W3C SHACL vocabulary, loadable from a .ttl
+file through this engine's own Turtle parser — anonymous property
+shapes `[ sh:path ...; sh:minCount 1 ]` and `sh:in (a b c)` collections
+included), compiled once on the driver (shapes are metadata-scale),
+and validated as a DataFrame plan over the instance graph.
+
+Subset (constraints that matter for a transcript KG; anything else in
+the shapes graph is rejected loudly — a validator that silently skips
+a constraint certifies garbage):
+
+    node shapes:  sh:targetClass C      focus = { s | s rdf:type C }
+                  sh:targetSubjectsOf p focus = { s | s p ? }
+    property shapes (sh:property [ sh:path p ; ... ]):
+                  sh:minCount n   focus with fewer than n p-values
+                  sh:maxCount n   focus with more than n p-values
+                  sh:pattern 're' p-values not matching the regex
+                  sh:in (v ...)   p-values outside the list
+                  sh:class C      p-values lacking rdf:type C
+                  sh:hasValue v   focus with no p-value equal to v
+
+`sh:path` takes a plain predicate (property paths inside shapes are
+outside the subset).  Both the full SHACL IRIs and the bare `sh:`
+prefixed spellings are accepted.
+
+Returns a violations DataFrame (focus, shape, path, constraint,
+value) — empty means conformant.  Per constraint the plan is a
+filtered, column-pruned scan plus at most one aggregation or one
+anti-join; value-level checks never shuffle the graph (the constraint
+side is a literal or an ontology-scale broadcast).  Count constraints
+aggregate only the single predicate's rows — on a pred-partitioned
+(vertical) layout that scan prunes to one partition.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHACL_NS = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "rdf:type"
+_FIRST, _REST, _NIL = "rdf:first", "rdf:rest", "rdf:nil"
+
+
+def _sh_local(term: str) -> str | None:
+    """`http://www.w3.org/ns/shacl#X` or `sh:X` -> `X` (else None)."""
+    for head in (SHACL_NS, "sh:"):
+        if term.startswith(head):
+            return term[len(head):]
+    return None
+
+
+@dataclass
+class PropertyShape:
+    path: str
+    min_count: int | None = None
+    max_count: int | None = None
+    pattern: str | None = None
+    in_values: list[str] | None = None
+    class_: str | None = None
+    has_value: str | None = None
+
+
+@dataclass
+class NodeShape:
+    name: str
+    target_class: str | None = None
+    target_subjects_of: str | None = None
+    properties: list[PropertyShape] = field(default_factory=list)
+
+
+def compile_shapes(shape_triples) -> list[NodeShape]:
+    """Compile a shapes graph (list of (s, p, o) or a small DataFrame)
+    into NodeShape specs.  Driver-side on purpose: a shapes graph is
+    metadata (dozens of rows), the same class of input as the RDFS
+    ontology in operators/inference.py."""
+    if isinstance(shape_triples, DataFrame):
+        shape_triples = [
+            (r["subj"], r["pred"], r["obj"])
+            for r in shape_triples.select("subj", "pred", "obj").collect()
+        ]
+    by_subj: dict[str, list[tuple[str, str]]] = {}
+    for s, p, o in shape_triples:
+        by_subj.setdefault(s, []).append((p, o))
+
+    def rdf_list(head: str) -> list[str]:
+        out, seen = [], set()
+        while head != _NIL:
+            if head in seen:
+                raise ValueError(f"cyclic rdf:List at {head}")
+            seen.add(head)
+            props = dict(by_subj.get(head, ()))
+            if _FIRST not in props or _REST not in props:
+                raise ValueError(f"malformed rdf:List node {head}")
+            out.append(props[_FIRST])
+            head = props[_REST]
+        return out
+
+    def prop_shape(node: str) -> PropertyShape:
+        ps = PropertyShape(path="")
+        for p, o in by_subj.get(node, ()):
+            loc = _sh_local(p)
+            if loc == "path":
+                if not re.fullmatch(r"[^\s|/^*+?!()]+", o):
+                    raise ValueError(
+                        f"sh:path takes a plain predicate, got {o!r} "
+                        "(property paths in shapes are outside the subset)")
+                ps.path = o
+            elif loc == "minCount":
+                ps.min_count = int(o)
+            elif loc == "maxCount":
+                ps.max_count = int(o)
+            elif loc == "pattern":
+                ps.pattern = o
+            elif loc == "in":
+                ps.in_values = rdf_list(o)
+            elif loc == "class":
+                ps.class_ = o
+            elif loc == "hasValue":
+                ps.has_value = o
+            else:
+                raise ValueError(
+                    f"unsupported SHACL constraint {p!r} on {node!r} — "
+                    "supported: path/minCount/maxCount/pattern/in/class/"
+                    "hasValue")
+        if not ps.path:
+            raise ValueError(f"property shape {node!r} has no sh:path")
+        return ps
+
+    shapes: list[NodeShape] = []
+    for s, pos in by_subj.items():
+        if not any(p == RDF_TYPE and _sh_local(o) == "NodeShape"
+                   for p, o in pos):
+            continue
+        ns = NodeShape(name=s)
+        for p, o in pos:
+            loc = _sh_local(p)
+            if p == RDF_TYPE or loc is None:
+                continue  # the type row / non-SHACL annotation triples
+            if loc == "targetClass":
+                ns.target_class = o
+            elif loc == "targetSubjectsOf":
+                ns.target_subjects_of = o
+            elif loc == "property":
+                ns.properties.append(prop_shape(o))
+            else:
+                raise ValueError(
+                    f"unsupported SHACL term {p!r} on shape {s!r}")
+        if ns.target_class is None and ns.target_subjects_of is None:
+            raise ValueError(f"shape {s!r} declares no target")
+        if not ns.properties:
+            raise ValueError(f"shape {s!r} has no sh:property constraints")
+        shapes.append(ns)
+    if not shapes:
+        raise ValueError("shapes graph declares no sh:NodeShape")
+    return shapes
+
+
+_VIOLATION_COLS = ("focus", "shape", "path", "constraint", "value")
+
+
+def validate(graph: DataFrame, shapes) -> DataFrame:
+    """Validate `graph` (subj, pred, obj triples) against `shapes`
+    (a shapes-graph DataFrame / triple list, or pre-compiled
+    [NodeShape]).  Returns violations (focus, shape, path, constraint,
+    value); empty = conformant."""
+    if not (isinstance(shapes, list) and shapes
+            and isinstance(shapes[0], NodeShape)):
+        shapes = compile_shapes(shapes)
+    spark = graph.sparkSession
+    parts: list[DataFrame] = []
+
+    def viol(df, shape, path, constraint, value_col=None):
+        v = value_col if value_col is not None else F.lit(None).cast("string")
+        parts.append(df.select(
+            F.col("focus"),
+            F.lit(shape).alias("shape"),
+            F.lit(path).alias("path"),
+            F.lit(constraint).alias("constraint"),
+            v.alias("value"),
+        ))
+
+    for ns in shapes:
+        if ns.target_class is not None:
+            focus = graph.where(
+                (F.col("pred") == RDF_TYPE) & (F.col("obj") == ns.target_class)
+            ).select(F.col("subj").alias("focus")).distinct()
+        else:
+            focus = graph.where(
+                F.col("pred") == ns.target_subjects_of
+            ).select(F.col("subj").alias("focus")).distinct()
+        for ps in ns.properties:
+            vals = graph.where(F.col("pred") == ps.path).select(
+                F.col("subj").alias("focus"), F.col("obj").alias("value")
+            ).join(focus, "focus", "left_semi")
+            if ps.min_count is not None or ps.max_count is not None \
+                    or ps.has_value is not None:
+                # one aggregation serves all three count-family checks
+                agg = vals.groupBy("focus").agg(
+                    F.count("*").alias("_n"),
+                    F.max((F.col("value") == ps.has_value).cast("int"))
+                    .alias("_hit") if ps.has_value is not None
+                    else F.lit(1).alias("_hit"),
+                )
+                cnt = focus.join(agg, "focus", "left").select(
+                    "focus",
+                    F.coalesce("_n", F.lit(0)).alias("_n"),
+                    F.coalesce("_hit", F.lit(0)).alias("_hit"),
+                )
+                if ps.min_count is not None:
+                    viol(cnt.where(F.col("_n") < ps.min_count), ns.name,
+                         ps.path, "minCount",
+                         F.col("_n").cast("string"))
+                if ps.max_count is not None:
+                    viol(cnt.where(F.col("_n") > ps.max_count), ns.name,
+                         ps.path, "maxCount",
+                         F.col("_n").cast("string"))
+                if ps.has_value is not None:
+                    viol(cnt.where(F.col("_hit") == 0), ns.name, ps.path,
+                         "hasValue", F.lit(ps.has_value))
+            if ps.pattern is not None:
+                viol(vals.where(~F.col("value").rlike(ps.pattern)),
+                     ns.name, ps.path, "pattern", F.col("value"))
+            if ps.in_values is not None:
+                viol(vals.where(~F.col("value").isin(ps.in_values)),
+                     ns.name, ps.path, "in", F.col("value"))
+            if ps.class_ is not None:
+                typed = graph.where(
+                    (F.col("pred") == RDF_TYPE) & (F.col("obj") == ps.class_)
+                ).select(F.col("subj").alias("_typed_value")).distinct()
+                viol(
+                    vals.join(
+                        typed,
+                        vals["value"] == typed["_typed_value"],
+                        "left_anti"),
+                    ns.name, ps.path, "class", F.col("value"))
+    if not parts:
+        return spark.createDataFrame(
+            [], "focus string, shape string, path string, "
+                "constraint string, value string")
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out

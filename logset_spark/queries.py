@@ -4602,6 +4602,70 @@ FROM term GROUP BY doc_id
 """
 
 
+_SHACL_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:TurnShape a sh:NodeShape ;
+  sh:targetSubjectsOf partOf ;
+  sh:property [ sh:path hasRole ;
+                sh:in ("role:user" "role:assistant" "role:tool") ] .
+ex:ConvShape a sh:NodeShape ;
+  sh:targetSubjectsOf hasTurn ;
+  sh:property [ sh:path hasTurn ; sh:minCount 2 ; sh:maxCount 50 ] ;
+  sh:property [ sh:path hasTurn ; sh:pattern "^turn:u[0-9]+/[0-9]+$" ] .
+"""
+
+
+def q_shacl(spark, sf):
+    """SHACL-subset validation (operators/shacl.py) over the structural
+    transcript KG: shapes declared in Turtle (anonymous property shapes
+    + an sh:in collection, through this engine's own parser), compiled
+    driver-side (shapes are metadata-scale), validated as a DataFrame
+    plan — per constraint a filtered pruned scan plus at most one
+    aggregation or anti-join.  The shapes flag system-role turns
+    (outside the sh:in list), single-turn conversations (minCount 2)
+    and >50-turn conversations (maxCount 50); the pattern constraint
+    conforms everywhere, exercising the empty-violation path.  The
+    oracle replays each constraint family as explicit SQL over the same
+    graph, so the validator's semantics — not just its row count — are
+    cross-engine checked."""
+    from .operators.shacl import validate
+    from .sources.turtle import parse_turtle
+
+    shape_triples, _ = parse_turtle(_SHACL_SHAPES_TTL)
+    return validate(q_kg_structural(spark, sf), shape_triples)
+
+
+SQL_SHACL = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+turn_focus AS (SELECT DISTINCT subj AS focus FROM g WHERE pred = 'partOf'),
+conv_focus AS (SELECT DISTINCT subj AS focus FROM g WHERE pred = 'hasTurn'),
+role_vals AS (
+  SELECT g.subj AS focus, g.obj AS value
+  FROM g JOIN turn_focus f ON g.subj = f.focus WHERE g.pred = 'hasRole'),
+turn_counts AS (
+  SELECT f.focus, count(g.subj) AS n
+  FROM conv_focus f
+  LEFT JOIN g ON g.subj = f.focus AND g.pred = 'hasTurn'
+  GROUP BY f.focus),
+hasturn_vals AS (
+  SELECT g.subj AS focus, g.obj AS value
+  FROM g JOIN conv_focus f ON g.subj = f.focus WHERE g.pred = 'hasTurn')
+SELECT focus, 'ex:TurnShape' AS shape, 'hasRole' AS path,
+       'in' AS "constraint", value
+FROM role_vals
+WHERE value NOT IN ('role:user', 'role:assistant', 'role:tool')
+UNION ALL
+SELECT focus, 'ex:ConvShape', 'hasTurn', 'minCount', CAST(n AS VARCHAR)
+FROM turn_counts WHERE n < 2
+UNION ALL
+SELECT focus, 'ex:ConvShape', 'hasTurn', 'maxCount', CAST(n AS VARCHAR)
+FROM turn_counts WHERE n > 50
+UNION ALL
+SELECT focus, 'ex:ConvShape', 'hasTurn', 'pattern', value
+FROM hasturn_vals WHERE NOT regexp_matches(value, '^turn:u[0-9]+/[0-9]+$')
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4617,6 +4681,8 @@ FROM term GROUP BY doc_id
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-5 additions
+    "q_shacl": (q_shacl, SQL_SHACL),
     # round-3 session-4 additions
     "q_owl_infer": (q_owl_infer, SQL_OWL_INFER),
     "q_sparql_in": (q_sparql_in, SQL_SPARQL_IN),

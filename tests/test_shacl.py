@@ -1,0 +1,121 @@
+"""SHACL-subset validator (operators/shacl.py): shapes compiled from
+Turtle (anonymous property shapes + sh:in collections through this
+engine's own parser), every constraint family exercised against a
+hand-checked graph, and the rejection discipline for anything outside
+the subset."""
+
+from __future__ import annotations
+
+import pytest
+
+from logset_spark.operators.shacl import (
+    NodeShape,
+    PropertyShape,
+    compile_shapes,
+    validate,
+)
+from logset_spark.sources.turtle import parse_turtle
+
+SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:TurnShape a sh:NodeShape ;
+  sh:targetClass logset:Turn ;
+  sh:property [ sh:path hasRole ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:in ("role:user" "role:assistant" "role:tool") ] ;
+  sh:property [ sh:path partOf ; sh:minCount 1 ;
+                sh:class logset:Conversation ] .
+ex:ConvShape a sh:NodeShape ;
+  sh:targetSubjectsOf hasTurn ;
+  sh:property [ sh:path hasLabel ; sh:maxCount 1 ;
+                sh:pattern "^[a-z-]+$" ] .
+"""
+
+G = [
+    ("conv:a", "rdf:type", "logset:Conversation"),
+    ("conv:a", "hasTurn", "turn:a0"),
+    ("conv:a", "hasLabel", "good-label"),
+    ("turn:a0", "rdf:type", "logset:Turn"),
+    ("turn:a0", "hasRole", "role:user"),
+    ("turn:a0", "partOf", "conv:a"),
+    # violators
+    ("turn:bad1", "rdf:type", "logset:Turn"),      # both minCounts
+    ("turn:bad2", "rdf:type", "logset:Turn"),
+    ("turn:bad2", "hasRole", "role:user"),
+    ("turn:bad2", "hasRole", "role:alien"),        # maxCount + in
+    ("turn:bad2", "partOf", "conv:ghost"),         # class (untyped)
+    ("conv:b", "hasTurn", "turn:x"),
+    ("conv:b", "hasLabel", "BAD LABEL"),           # pattern
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return spark.createDataFrame(G, "subj string, pred string, obj string")
+
+
+def test_all_constraint_families(g):
+    trips, _ = parse_turtle(SHAPES_TTL)
+    got = sorted(tuple(r) for r in validate(g, trips).collect())
+    assert got == [
+        ("conv:b", "ex:ConvShape", "hasLabel", "pattern", "BAD LABEL"),
+        ("turn:bad1", "ex:TurnShape", "hasRole", "minCount", "0"),
+        ("turn:bad1", "ex:TurnShape", "partOf", "minCount", "0"),
+        ("turn:bad2", "ex:TurnShape", "hasRole", "in", "role:alien"),
+        ("turn:bad2", "ex:TurnShape", "hasRole", "maxCount", "2"),
+        ("turn:bad2", "ex:TurnShape", "partOf", "class", "conv:ghost"),
+    ]
+
+
+def test_conformant_graph_is_empty(spark):
+    trips, _ = parse_turtle(SHAPES_TTL)
+    clean = spark.createDataFrame(
+        [r for r in G if "bad" not in r[0] and r[0] != "conv:b"
+         and "bad" not in r[2]],
+        "subj string, pred string, obj string")
+    v = validate(clean, trips)
+    assert v.count() == 0
+    assert v.columns == ["focus", "shape", "path", "constraint", "value"]
+
+
+def test_has_value_and_precompiled_shapes(spark):
+    shapes = [NodeShape(
+        name="s", target_class="logset:Turn",
+        properties=[PropertyShape(path="hasRole", has_value="role:user")],
+    )]
+    g2 = spark.createDataFrame(
+        [("t1", "rdf:type", "logset:Turn"),
+         ("t1", "hasRole", "role:user"),
+         ("t2", "rdf:type", "logset:Turn"),
+         ("t2", "hasRole", "role:tool")],
+        "subj string, pred string, obj string")
+    got = [tuple(r) for r in validate(g2, shapes).collect()]
+    assert got == [("t2", "s", "hasRole", "hasValue", "role:user")]
+
+
+def test_shapes_from_dataframe(spark, g):
+    trips, _ = parse_turtle(SHAPES_TTL)
+    sdf = spark.createDataFrame(
+        trips, "subj string, pred string, obj string")
+    assert validate(g, sdf).count() == 6
+
+
+def test_rejections():
+    def shapes_of(ttl):
+        trips, _ = parse_turtle(
+            "@prefix sh: <http://www.w3.org/ns/shacl#> .\n" + ttl)
+        return compile_shapes(trips)
+
+    with pytest.raises(ValueError, match="plain predicate"):
+        shapes_of("ex:S a sh:NodeShape ; sh:targetClass C ;"
+                  " sh:property [ sh:path p+ ; sh:minCount 1 ] .")
+    with pytest.raises(ValueError, match="unsupported SHACL constraint"):
+        shapes_of("ex:S a sh:NodeShape ; sh:targetClass C ;"
+                  " sh:property [ sh:path p ; sh:nodeKind sh:IRI ] .")
+    with pytest.raises(ValueError, match="no target"):
+        shapes_of("ex:S a sh:NodeShape ;"
+                  " sh:property [ sh:path p ; sh:minCount 1 ] .")
+    with pytest.raises(ValueError, match="no sh:path"):
+        shapes_of("ex:S a sh:NodeShape ; sh:targetClass C ;"
+                  " sh:property [ sh:minCount 1 ] .")
+    with pytest.raises(ValueError, match="no sh:NodeShape"):
+        shapes_of("ex:S sh:targetClass C .")
