@@ -532,3 +532,160 @@ def shortest_paths(
         )
         frontier = improved
     return dist
+
+
+def neighbor_jaccard(
+    incidence: DataFrame, min_common: int = 1, min_sim: float = 0.0,
+    max_feat_degree: int | None = None,
+) -> DataFrame:
+    """incidence: DataFrame[node:string, feat:string] — a node-feature
+    membership list (an undirected graph's adjacency qualifies with
+    feat = neighbor).  Returns DataFrame[u, v, common, union_n,
+    jaccard] for node pairs u < v sharing >= min_common features with
+    Jaccard(u, v) = |F(u) n F(v)| / |F(u) u F(v)| >= min_sim — the
+    set-overlap scorer entity resolution ranks candidate merges with.
+
+    Plan: dedupe the incidence once, count features per node (one
+    groupBy), generate co-membership pairs per feature (one self-join
+    keyed on feat, u < v so each pair appears once), count pairs (one
+    groupBy), then two node-keyed joins attach the degrees; union size
+    is du + dv - common by inclusion-exclusion — never a set
+    materialization.  The min_sim cut is evaluated in EXACT integer
+    arithmetic (common * 1e6 >= round(min_sim*1e6) * union), so the
+    float `jaccard` column is presentation only and the filter can
+    never flip on a rounding boundary across engines.
+
+    Scale: work is sum over features of C(feat_degree, 2) — inherent to
+    EXACT Jaccard (every pair sharing a feature must surface).  A hub
+    feature (a stopword-like token shared by millions of nodes) makes
+    that quadratic; `max_feat_degree` drops features above the cap
+    BEFORE pair generation (one extra groupBy), under-counting `common`
+    for pairs that co-occur only in hub features — the standard
+    prefix-filter trade, documented rather than silent.  When the
+    feature space has no usable cap, the scale path is MinHash-LSH
+    (operators/link.py): banded signatures bound candidate pairs by
+    similarity instead of by feature degree."""
+    inc = incidence.select("node", "feat").distinct()
+    if max_feat_degree is not None:
+        keep = (
+            inc.groupBy("feat")
+            .agg(F.count("*").alias("fd"))
+            .where(F.col("fd") <= max_feat_degree)
+            .select("feat")
+        )
+        inc = inc.join(keep, "feat", "left_semi")
+    inc = inc.localCheckpoint(eager=True)  # feeds deg AND both join sides
+    deg = inc.groupBy("node").agg(F.count("*").alias("d"))
+    a = inc.select("feat", F.col("node").alias("u"))
+    b = inc.select("feat", F.col("node").alias("v"))
+    common = (
+        a.join(b, "feat")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    sim_scaled = round(min_sim * 1_000_000)
+    return (
+        common.join(deg.select(F.col("node").alias("u"),
+                               F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("d").alias("dv")), "v")
+        .select(
+            "u", "v", "common",
+            (F.col("du") + F.col("dv") - F.col("common")).alias("union_n"),
+        )
+        .where(
+            F.col("common") * F.lit(1_000_000)
+            >= F.lit(sim_scaled) * F.col("union_n")
+        )
+        .select(
+            "u", "v", "common", "union_n",
+            F.round(
+                F.col("common").cast("double") / F.col("union_n"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame, n_iter: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """edges: DataFrame[src:string, dst:string] directed.  HITS hubs &
+    authorities in SCALED 64-BIT INTEGER arithmetic (same discipline as
+    pagerank above: float sums are partial-merge-order-dependent and
+    can diverge across engines; integer sums are exact, so n_iter
+    rounds hash-match any engine replaying the same recurrence).
+
+    Recurrence per round, max-normalized: auth_raw(v) = sum of hub(u)
+    over in-edges u->v, then auth = auth_raw * scale DIV max(auth_raw)
+    (the max rides as a broadcast 1-row aggregate — never a driver
+    collect); hub_raw(u) = sum of auth(v) over out-edges, normalized
+    the same way.  hub(x) = scale initially.  Nodes lacking out-edges
+    get hub 0, lacking in-edges auth 0 (explicit, via the node-list
+    left join).
+
+    Overflow headroom, exact: normalized values <= scale = 1e6, so a
+    contribution sum over degree d is <= d * 1e6 — safe to d ~ 9.2e12.
+    The normalization itself never multiplies an unbounded raw sum by
+    scale: it first right-shifts raw and the max by
+    shift = mx DIV (1000 * scale) + 1 and only then rescales, so every
+    intermediate is <= 1000 * scale^2 = 1e15 regardless of degree.
+    The shift is exact integer arithmetic on both engines; it collapses
+    to 1 — the direct, truncation-free raw*scale DIV mx — whenever
+    mx < 1e9, i.e. until max degree exceeds ~1000, and beyond that the
+    relative truncation error is < 1e-9 per round.
+
+    Plan: 2 shuffles per round (the two contribution groupBys); the
+    normalizing max and the node list are broadcast; localCheckpoint
+    per round truncates lineage."""
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(
+            F.max(col).alias("_mx")
+        ).select(
+            F.expr("greatest(_mx, CAST(1 AS BIGINT))").alias("_mx"),
+            F.expr(
+                f"greatest(_mx, CAST(1 AS BIGINT)) DIV (1000 * {scale})"
+                " + CAST(1 AS BIGINT)"
+            ).alias("_shift"),
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce({col}, CAST(0 AS BIGINT)) DIV _shift)"
+                    f" * {scale} DIV greatest(_mx DIV _shift,"
+                    " CAST(1 AS BIGINT))"
+                ).alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        auth = _norm(
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth")),
+            "auth",
+        )
+        hub = _norm(
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub")),
+            "hub",
+        )
+    return nodes.join(hub, "node").join(auth, "node")

@@ -4666,6 +4666,114 @@ FROM hasturn_vals WHERE NOT regexp_matches(value, '^turn:u[0-9]+/[0-9]+$')
 """
 
 
+def q_jaccard(spark, sf):
+    """Neighbor-set Jaccard similarity (operators/graph.py
+    neighbor_jaccard) over the part-order incidence: parts are similar
+    when they recur in the same orders — the set-overlap scorer entity
+    resolution ranks candidate merges with.  The order side is the
+    wedge pivot and its degree is naturally bounded (lineitems per
+    order), so pair generation is linear in orders; min_common=2 keeps
+    only recurring co-occurrence.  The min_sim cut (0 here) is integer-
+    exact by construction; the oracle replays the inclusion-exclusion
+    union and the join shape directly."""
+    from .operators.graph import neighbor_jaccard
+
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "node"
+        ),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias(
+            "feat"
+        ),
+    )
+    return neighbor_jaccard(li, min_common=2)
+
+
+SQL_JACCARD = """
+WITH inc AS (SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS node,
+                             'o:' || CAST(l_orderkey AS VARCHAR) AS feat
+             FROM lineitem),
+deg AS (SELECT node, count(*) AS d FROM inc GROUP BY node),
+pairs AS (SELECT x.node AS u, y.node AS v, count(*) AS common
+          FROM inc x JOIN inc y ON x.feat = y.feat AND x.node < y.node
+          GROUP BY 1, 2)
+SELECT u, v, common, du.d + dv.d - common AS union_n,
+       round(CAST(common AS DOUBLE) / (du.d + dv.d - common), 6) AS jaccard
+FROM pairs JOIN deg du ON pairs.u = du.node
+           JOIN deg dv ON pairs.v = dv.node
+WHERE common >= 2
+"""
+
+
+_HITS_ITER_SQL = """
+ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS raw
+          FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
+am{i} AS (SELECT greatest(max(raw), CAST(1 AS BIGINT)) AS mx,
+                 greatest(max(raw), CAST(1 AS BIGINT)) // 1000000000
+                 + CAST(1 AS BIGINT) AS sh
+          FROM ar{i}),
+a{i} AS (SELECT n.node,
+                (coalesce(r.raw, CAST(0 AS BIGINT)) // sh) * 1000000
+                // greatest(mx // sh, CAST(1 AS BIGINT)) AS auth
+         FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node CROSS JOIN am{i}),
+hr{i} AS (SELECT e.src AS node, sum(a.auth) AS raw
+          FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+hm{i} AS (SELECT greatest(max(raw), CAST(1 AS BIGINT)) AS mx,
+                 greatest(max(raw), CAST(1 AS BIGINT)) // 1000000000
+                 + CAST(1 AS BIGINT) AS sh
+          FROM hr{i}),
+h{i} AS (SELECT n.node,
+                (coalesce(r.raw, CAST(0 AS BIGINT)) // sh) * 1000000
+                // greatest(mx // sh, CAST(1 AS BIGINT)) AS hub
+         FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node CROSS JOIN hm{i})
+"""
+
+_HITS_ROUNDS = 2
+
+
+def q_hits(spark, sf):
+    """HITS hubs & authorities (operators/graph.py hits) on the
+    directed supplier->part supply graph: suppliers are hubs, parts
+    authorities.  Scaled 64-bit integer recurrence (exact cross-engine,
+    same discipline as q_pagerank) with overflow-free max
+    normalization; supplier raw sums exceed 1e9 here, so the
+    normalization's right-shift path — the part that matters at
+    mega-hub scale — is exercised and value-hash-checked against the
+    oracle's replay, not just the easy direct path."""
+    from .operators.graph import hits
+
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return hits(li, n_iter=_HITS_ROUNDS)
+
+
+SQL_HITS = (
+    """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p:' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+                       UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),"""
+    + ",".join(
+        _HITS_ITER_SQL.format(i=i, p=i - 1)
+        for i in range(1, _HITS_ROUNDS + 1)
+    )
+    + f"""
+SELECT n.node, h.hub, a.auth
+FROM nodes n JOIN h{_HITS_ROUNDS} h ON n.node = h.node
+             JOIN a{_HITS_ROUNDS} a ON n.node = a.node
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4683,6 +4791,8 @@ REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
     # round-3 session-5 additions
     "q_shacl": (q_shacl, SQL_SHACL),
+    "q_jaccard": (q_jaccard, SQL_JACCARD),
+    "q_hits": (q_hits, SQL_HITS),
     # round-3 session-4 additions
     "q_owl_infer": (q_owl_infer, SQL_OWL_INFER),
     "q_sparql_in": (q_sparql_in, SQL_SPARQL_IN),

@@ -387,3 +387,158 @@ def test_shortest_paths_random_graphs_match_dijkstra(spark):
         got = {r["node"]: r["dist"]
                for r in shortest_paths(e, s).collect()}
         assert got == _py_dijkstra(weighted, sources), f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# neighbor_jaccard
+# ---------------------------------------------------------------------------
+
+
+def _py_jaccard(
+    pairs: list[tuple[str, str]], min_common: int, min_sim: float
+) -> dict[tuple[str, str], tuple[int, int]]:
+    feats: dict[str, set[str]] = {}
+    for n, f in pairs:
+        feats.setdefault(n, set()).add(f)
+    out = {}
+    nodes = sorted(feats)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            c = len(feats[u] & feats[v])
+            un = len(feats[u] | feats[v])
+            if c >= min_common and c / un >= min_sim:
+                out[(u, v)] = (c, un)
+    return out
+
+
+def test_neighbor_jaccard_matches_python_sets(spark):
+    from logset_spark.operators.graph import neighbor_jaccard
+
+    rng = random.Random(7)
+    inc = [
+        (f"n{rng.randrange(12)}", f"f{rng.randrange(20)}") for _ in range(120)
+    ]
+    df = spark.createDataFrame(inc, "node string, feat string")
+    for min_common, min_sim in ((1, 0.0), (2, 0.0), (1, 0.25)):
+        got = {
+            (r["u"], r["v"]): (r["common"], r["union_n"])
+            for r in neighbor_jaccard(df, min_common, min_sim).collect()
+        }
+        assert got == _py_jaccard(inc, min_common, min_sim), (
+            min_common,
+            min_sim,
+        )
+
+
+def test_neighbor_jaccard_min_sim_cut_is_integer_exact(spark):
+    """1/3 against min_sim=1/3: float representation of the threshold
+    (0.3333...) must not drop the exactly-at-threshold pair, and the
+    integer-domain filter (common*1e6 >= round(min_sim*1e6)*union)
+    keeps it because round(1/3 * 1e6) * 3 = 999999 <= 1e6."""
+    from logset_spark.operators.graph import neighbor_jaccard
+
+    df = spark.createDataFrame(
+        [("a", "f1"), ("a", "f2"), ("b", "f1"), ("b", "f3")],
+        "node string, feat string",
+    )
+    got = neighbor_jaccard(df, min_sim=1 / 3).collect()
+    assert [(r["u"], r["v"], r["common"], r["union_n"]) for r in got] == [
+        ("a", "b", 1, 3)
+    ]
+
+
+def test_neighbor_jaccard_hub_cap_drops_hub_features_only(spark):
+    from logset_spark.operators.graph import neighbor_jaccard
+
+    inc = (
+        [("a", "stop"), ("b", "stop"), ("c", "stop"), ("d", "stop")]
+        + [("a", "rare"), ("b", "rare")]
+    )
+    df = spark.createDataFrame(inc, "node string, feat string")
+    # uncapped: every pair shares 'stop'
+    assert neighbor_jaccard(df).count() == 6
+    # cap 3 drops the 4-node hub feature; only the rare co-occurrence
+    # survives, and its degrees are recomputed on the CAPPED incidence
+    got = neighbor_jaccard(df, max_feat_degree=3).collect()
+    assert [(r["u"], r["v"], r["common"], r["union_n"]) for r in got] == [
+        ("a", "b", 1, 1)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# hits
+# ---------------------------------------------------------------------------
+
+
+def _py_hits(
+    edges: list[tuple[str, str]], n_iter: int, scale: int = 1_000_000
+) -> dict[str, tuple[int, int]]:
+    """Independent integer replay of the documented recurrence."""
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(raw: dict[str, int]) -> dict[str, int]:
+        mx = max(max(raw.values(), default=0), 1)
+        sh = mx // (1000 * scale) + 1
+        return {
+            n: (raw.get(n, 0) // sh) * scale // max(mx // sh, 1)
+            for n in nodes
+        }
+
+    for _ in range(n_iter):
+        araw: dict[str, int] = {}
+        for u, v in es:
+            araw[v] = araw.get(v, 0) + hub[u]
+        auth = norm(araw)
+        hraw: dict[str, int] = {}
+        for u, v in es:
+            hraw[u] = hraw.get(u, 0) + auth[v]
+        hub = norm(hraw)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_python_integer_replay(spark):
+    from logset_spark.operators.graph import hits
+
+    rng = random.Random(11)
+    edges = [
+        (f"s{rng.randrange(6)}", f"p{rng.randrange(9)}") for _ in range(40)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["auth"]) for r in hits(df, n_iter=3).collect()
+    }
+    assert got == _py_hits(edges, 3)
+
+
+def test_hits_shift_path_matches_replay_on_hub_graph(spark):
+    """A 2000-in-degree authority pushes raw sums past 1e9, forcing the
+    normalization's overflow-guard right-shift; the distributed result
+    must still equal the integer replay bit-for-bit."""
+    from logset_spark.operators.graph import hits
+
+    edges = [(f"s{i}", "hub") for i in range(2000)] + [("s0", "p1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub"], r["auth"]) for r in hits(df, n_iter=2).collect()
+    }
+    assert got == _py_hits(edges, 2)
+    assert max(a for _, a in got.values()) == 1_000_000  # max-normalized
+
+
+def test_hits_semantics_and_guards(spark):
+    from logset_spark.operators.graph import hits
+
+    import pytest
+
+    e = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], "src string, dst string"
+    )
+    out = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, 1).collect()}
+    # a1 (2 in-links) outranks a2; pure authorities have hub 0
+    assert out["a1"][1] > out["a2"][1]
+    assert out["a1"][0] == 0 and out["h1"][1] == 0
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(e, 0)
