@@ -40,6 +40,15 @@ def main(argv=None) -> int:
                         "semantics) table: immutable commits, time travel "
                         "across runs, atomic publish; query with "
                         "query_graph --as-of N")
+    p.add_argument("--full-refresh", action="store_true",
+                   dest="full_refresh",
+                   help="with --snapshots: publish this build as a FULL "
+                        "table replace (commit mode overwrite_table) — "
+                        "partitions the new input no longer produces are "
+                        "dropped from the snapshot instead of surviving a "
+                        "dynamic overwrite; prior versions stay readable "
+                        "via --as-of.  Use when rebuilding from changed "
+                        "upstream data whose rows moved across partitions")
     args = p.parse_args(argv)
 
     from logset_spark.pipeline import build_graph
@@ -58,8 +67,12 @@ def main(argv=None) -> int:
         transcripts = spark.read.parquet(args.input)
         dictionary = spark.read.parquet(args.dict_path)
 
+    if args.full_refresh and not args.snapshots:
+        p.error("--full-refresh needs --snapshots")
     io_cls = SnapshotTriplesIO if args.snapshots else TableIO
     io = io_cls(args.out, n_buckets=args.buckets, n_write_salts=args.write_salts)
+    if args.full_refresh:
+        io.full_refresh = True
     timings: dict = {}
     result = build_graph(
         spark, transcripts, dictionary, io,

@@ -31,6 +31,12 @@ def main(argv=None) -> int:
                    help="with --catalog: follow catalog links")
     p.add_argument("--as-of", type=int, default=None, dest="as_of",
                    help="validate the snapshot at this version")
+    p.add_argument("--changed-since", type=int, default=None,
+                   dest="changed_since",
+                   help="incremental: re-check only nodes touched by "
+                        "triples added after this snapshot version "
+                        "(each against the FULL graph, so counts are "
+                        "true cardinalities)")
     p.add_argument("--out", help="write violations parquet here")
     p.add_argument("--show", type=int, default=20,
                    help="max violations to print without --out")
@@ -49,7 +55,10 @@ def main(argv=None) -> int:
     shapes = compile_shapes(shape_triples)
 
     spark = get_spark("validate_graph", cpus=args.cpus)
+    focus_scope = None
     if args.catalog:
+        if args.changed_since is not None:
+            p.error("--changed-since needs a snapshot --warehouse")
         triples = load_catalog(spark, args.catalog,
                                follow_links=args.follow_links)
     elif os.path.isdir(os.path.join(args.warehouse, "triples", "_meta")):
@@ -57,12 +66,19 @@ def main(argv=None) -> int:
 
         store = SnapshotTriplesIO(root=args.warehouse).store
         triples = store.read(spark, version=args.as_of)
+        if args.changed_since is not None:
+            focus_scope = store.incremental_read(
+                spark, args.changed_since, to_version=args.as_of
+            ).select("subj")
     else:
-        if args.as_of is not None:
-            p.error("--as-of needs a --warehouse built with --snapshots")
+        if args.as_of is not None or args.changed_since is not None:
+            p.error("--as-of/--changed-since need a --warehouse built "
+                    "with --snapshots")
         triples = TableIO(root=args.warehouse).read(spark, "triples")
 
-    violations = validate(triples.select("subj", "pred", "obj"), shapes)
+    violations = validate(
+        triples.select("subj", "pred", "obj"), shapes,
+        focus_scope=focus_scope)
     if args.out:
         violations.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
@@ -74,6 +90,8 @@ def main(argv=None) -> int:
     print(json.dumps({
         "violations": n, "shapes": len(shapes),
         "conformant": n == 0,
+        **({"changed_since": args.changed_since}
+           if args.changed_since is not None else {}),
         **({"out": args.out} if args.out else {}),
     }))
     spark.stop()

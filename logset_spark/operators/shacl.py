@@ -167,14 +167,33 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
 _VIOLATION_COLS = ("focus", "shape", "path", "constraint", "value")
 
 
-def validate(graph: DataFrame, shapes) -> DataFrame:
+def validate(
+    graph: DataFrame, shapes, focus_scope: DataFrame | None = None,
+) -> DataFrame:
     """Validate `graph` (subj, pred, obj triples) against `shapes`
     (a shapes-graph DataFrame / triple list, or pre-compiled
     [NodeShape]).  Returns violations (focus, shape, path, constraint,
-    value); empty = conformant."""
+    value); empty = conformant.
+
+    focus_scope (optional): a one-column DataFrame of node names; every
+    shape's focus set is narrowed to it (semi-join) BEFORE any
+    constraint work.  This is the INCREMENTAL validation hook: after a
+    delta lands, pass the delta's subjects and only touched nodes are
+    re-checked — but each is checked against the FULL graph, so
+    count-family constraints see true cardinalities (validating a delta
+    in isolation would see partial counts and certify garbage).  The
+    narrowing reaches the scans through the semi-joins, so constraint
+    work scales with the delta, not the graph."""
     if not (isinstance(shapes, list) and shapes
             and isinstance(shapes[0], NodeShape)):
         shapes = compile_shapes(shapes)
+    if focus_scope is not None:
+        if len(focus_scope.columns) != 1:
+            raise ValueError(
+                "focus_scope must have exactly one column of node names")
+        focus_scope = focus_scope.select(
+            F.col(focus_scope.columns[0]).alias("focus")
+        ).distinct()
     spark = graph.sparkSession
     parts: list[DataFrame] = []
 
@@ -197,6 +216,8 @@ def validate(graph: DataFrame, shapes) -> DataFrame:
             focus = graph.where(
                 F.col("pred") == ns.target_subjects_of
             ).select(F.col("subj").alias("focus")).distinct()
+        if focus_scope is not None:
+            focus = focus.join(focus_scope, "focus", "left_semi")
         for ps in ns.properties:
             vals = graph.where(F.col("pred") == ps.path).select(
                 F.col("subj").alias("focus"), F.col("obj").alias("value")

@@ -363,6 +363,18 @@ def build_graph(
             pending_final.unpersist()
             return {"run_id": run_id, "rows_in": 0, "triples": 0, "wall_ms": 0,
                     "skipped": True}
+        # A RESUMED write covers only the pending partitions; publishing it
+        # as a table-replacing commit would drop the partitions this same
+        # run already landed.  The first (fresh) attempt's commit already
+        # did the table replace, so the resume completes it partition-wise.
+        # A manifest from OTHER runs doesn't make this run a resume — only
+        # progress recorded under THIS run_id does.
+        if getattr(io, "full_refresh", False):
+            this_run_done = materialize.completed_partitions(
+                spark, io, run_id, "materialize"
+            )
+            if this_run_done.limit(1).count() > 0:
+                io.full_refresh = False
         s1_done = materialize.completed_buckets(spark, io, run_id, STAGE1)
         s1_pending = sorted(set(range(io.n_buckets)) - s1_done)
         if not s1_pending:

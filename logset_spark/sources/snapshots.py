@@ -162,6 +162,14 @@ class SnapshotTableIO:
             keep their prior files (the idempotent-resume primitive, S4).
         mode="append": this commit's files are ADDED to each partition's
             file set (Iceberg fast-append).
+        mode="overwrite_table": FULL replace — the new mapping holds only
+            this commit's partitions; prior partitions whose (day, bucket)
+            the new data no longer produces are dropped from the snapshot
+            (still readable via time travel).  The full-rebuild mode: a
+            dynamic overwrite after upstream data moved rows ACROSS
+            partitions would leave the old partitions' stale rows live —
+            correct Iceberg semantics, but not what "rebuild the table"
+            means.
 
         `finisher`/`pre_sort` are TableIO.prepare's plan hooks (exchange-
         fused dedup, post-sort wide-column reconstruction) so the KG
@@ -190,7 +198,7 @@ class SnapshotTableIO:
         knows no NEW rows were added.
 
         Returns the new version number."""
-        if mode not in ("overwrite_partitions", "append"):
+        if mode not in ("overwrite_partitions", "append", "overwrite_table"):
             raise ValueError(f"unknown commit mode {mode!r}")
         parent = self.current_version()
         version = parent + 1
@@ -210,7 +218,8 @@ class SnapshotTableIO:
             .parquet(commit_dir)
         )
         mapping: dict[str, list[int]] = (
-            dict(self._load_snapshot(parent)["mapping"]) if parent else {}
+            dict(self._load_snapshot(parent)["mapping"])
+            if parent and mode != "overwrite_table" else {}
         )
         written = self._written_partitions(version)
         written_keys = set()
@@ -675,9 +684,9 @@ class SnapshotTableIO:
         rescanning the table): the union of the file sets the versions in
         (from_version, to_version] wrote, for versions whose operation
         added data.  An append contributes exactly its new rows; a
-        dynamic overwrite contributes its replacement rows (rewriting a
-        partition IS the change); compactions and rollbacks contribute
-        nothing (a rewrite of old rows is not new data — Iceberg likewise
+        dynamic overwrite or table replace contributes its replacement
+        rows (rewriting a partition IS the change); compactions and
+        rollbacks contribute nothing (a rewrite of old rows is not new data — Iceberg likewise
         skips replace operations).  Commit dirs are immutable, so this
         stays exact even when a LATER compaction folded the appended
         files into a new commit.  Cost is proportional to what changed,
@@ -697,7 +706,7 @@ class SnapshotTableIO:
         data_commits = set()
         for v in range(from_version + 1, to_v + 1):
             op = self._load_snapshot(v)["operation"]  # raises if expired
-            if op in ("append", "overwrite_partitions"):
+            if op in ("append", "overwrite_partitions", "overwrite_table"):
                 commit_dir = os.path.join(self._data, f"commit={v}")
                 if not os.path.isdir(commit_dir):
                     raise ValueError(
@@ -845,6 +854,12 @@ class SnapshotTriplesIO(TableIO):
     """
 
     snapshot_table: str = "triples"
+    # True routes the pipeline's "overwrite" through commit
+    # mode="overwrite_table" (full rebuild) instead of the dynamic
+    # partition overwrite (idempotent resume).  Set it only for a
+    # from-scratch rebuild: it defeats partition-wise resume (a resumed
+    # partial write would PUBLISH only the resumed partitions).
+    full_refresh: bool = False
 
     @property
     def store(self) -> SnapshotTableIO:
@@ -859,7 +874,12 @@ class SnapshotTriplesIO(TableIO):
         if name != self.snapshot_table:
             return super().write(df, name, mode, finisher=finisher,
                                  pre_sort=pre_sort)
-        cmode = "append" if mode == "append" else "overwrite_partitions"
+        if mode == "append":
+            cmode = "append"
+        elif self.full_refresh:
+            cmode = "overwrite_table"
+        else:
+            cmode = "overwrite_partitions"
         self.store.commit(df, mode=cmode, finisher=finisher,
                           pre_sort=pre_sort)
 

@@ -119,3 +119,41 @@ def test_rejections():
                   " sh:property [ sh:minCount 1 ] .")
     with pytest.raises(ValueError, match="no sh:NodeShape"):
         shapes_of("ex:S sh:targetClass C .")
+
+
+def test_focus_scope_narrows_but_counts_stay_global(spark, g):
+    """Incremental semantics: scoped validation re-checks ONLY the
+    scoped nodes, but each against the FULL graph — turn:bad2's
+    maxCount=2 violation needs both its hasRole triples visible, and
+    unscoped violators (bad1, conv:b) must not reappear."""
+    trips, _ = parse_turtle(SHAPES_TTL)
+    scope = spark.createDataFrame([("turn:bad2",)], "subj string")
+    got = sorted(tuple(r) for r in validate(g, trips, scope).collect())
+    assert got == [
+        ("turn:bad2", "ex:TurnShape", "hasRole", "in", "role:alien"),
+        ("turn:bad2", "ex:TurnShape", "hasRole", "maxCount", "2"),
+        ("turn:bad2", "ex:TurnShape", "partOf", "class", "conv:ghost"),
+    ]
+
+
+def test_focus_scope_equals_full_validation_filtered(spark, g):
+    trips, _ = parse_turtle(SHAPES_TTL)
+    scope_nodes = ["turn:bad1", "conv:b", "turn:a0"]
+    scope = spark.createDataFrame(
+        [(n,) for n in scope_nodes], "node string")
+    scoped = sorted(tuple(r) for r in validate(g, trips, scope).collect())
+    full = sorted(
+        tuple(r) for r in validate(g, trips).collect()
+        if r["focus"] in scope_nodes)
+    assert scoped == full and len(scoped) == 3
+
+
+def test_focus_scope_rejects_multicolumn(spark):
+    g2 = spark.createDataFrame(
+        [("x", "p", "y")], "subj string, pred string, obj string")
+    scope2 = spark.createDataFrame([("x", "y")], "a string, b string")
+    shapes = [NodeShape(
+        name="s", target_subjects_of="p",
+        properties=[PropertyShape(path="p", min_count=1)])]
+    with pytest.raises(ValueError, match="one column"):
+        validate(g2, shapes, scope2)

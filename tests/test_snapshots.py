@@ -484,3 +484,41 @@ def test_stats_pruning_timestamp_bounds_and_statless_commits(spark, store):
     paths2, _ = store.pruned_partition_dirs("ts", lo=lo)
     assert any("commit=3" in p for p in paths2)
     assert store.read_pruned(spark, "ts", lo=lo).count() == 1
+
+
+def test_overwrite_table_drops_moved_partitions(spark, store):
+    """Rebuild semantics: when upstream rows MOVE across partitions, a
+    dynamic overwrite leaves the old partitions' stale rows live (that
+    is its contract); overwrite_table publishes only the new data, and
+    the previous version stays time-travel readable."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    # the rebuild shifts every row to day 2024-03-03 — all old
+    # (day, bucket) partitions become stale
+    moved = _frame(
+        spark,
+        [(c, t, f"2024-03-03 0{t}:00:00", "rebuilt")
+         for c in (f"c{i}" for i in range(6)) for t in range(3)],
+    )
+    # dynamic overwrite: old days survive (correct, but not a rebuild)
+    v2 = store.commit(moved)
+    assert store.read(spark).count() == df.count() + moved.count()
+    # table replace: only the new data is live
+    v3 = store.commit(moved, mode="overwrite_table")
+    latest = store.read(spark)
+    assert latest.count() == moved.count()
+    assert latest.filter(F.col("etype") != "rebuilt").count() == 0
+    # prior versions still fully readable
+    assert store.read(spark, version=v2).count() == df.count() + moved.count()
+    assert store.read(spark, version=1).count() == df.count()
+    assert v3 == 3
+
+
+def test_overwrite_table_incremental_read_sees_only_new_commit(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    moved = _frame(spark, [("cX", 0, "2024-03-04 00:00:00", "new")])
+    v2 = store.commit(moved, mode="overwrite_table")
+    inc = store.incremental_read(spark, 1, to_version=v2)
+    assert inc.count() == 1
+    assert inc.collect()[0]["etype"] == "new"
