@@ -53,6 +53,13 @@ def main(argv=None) -> int:
                    help="incremental scan: query ONLY triples added after "
                         "this snapshot version (reads just the new commits' "
                         "files — the polling-consumer mode)")
+    p.add_argument("--provenance", action="store_true",
+                   help="with --warehouse: union PROV-O quads derived from "
+                        "the lineage/manifest control tables (one named "
+                        "graph per run, prov:run/<id>) with the data "
+                        "triples (named graph kg:data), so SPARQL answers "
+                        "'which run generated partition X, when, with how "
+                        "many rows' next to the data itself")
     p.add_argument("--rdfs", action="store_true",
                    help="query under RDFS entailment: materialize "
                         "subClassOf/subPropertyOf/domain/range inferences "
@@ -82,6 +89,12 @@ def main(argv=None) -> int:
         p.error("--named-graphs cannot combine with --rdfs/--owl "
                 "(entailment is defined over the merged default graph; "
                 "materialized inferences have no single source file)")
+    if args.provenance and not args.warehouse:
+        p.error("--provenance needs a --warehouse (control tables)")
+    if args.provenance and (args.rdfs or args.owl):
+        p.error("--provenance cannot combine with --rdfs/--owl "
+                "(entailment is defined over the merged default graph; "
+                "provenance quads are per-run named graphs)")
     spark = get_spark("query_graph", cpus=args.cpus)
     snap_flags = args.as_of is not None or args.changed_since is not None
     if args.catalog:
@@ -108,6 +121,15 @@ def main(argv=None) -> int:
                     "with --snapshots")
         else:
             triples = TableIO(root=args.warehouse).read(spark, "triples")
+    if args.provenance:
+        from logset_spark.operators.provenance import (
+            provenance_quads,
+            with_provenance,
+        )
+
+        io = TableIO(root=args.warehouse)
+        triples = with_provenance(
+            triples, provenance_quads(spark, io))
     if args.rdfs:
         from logset_spark.operators.inference import rdfs_materialize
 
