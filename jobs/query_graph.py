@@ -71,6 +71,11 @@ def main(argv=None) -> int:
                         "rewrite; operators/inference.py owl_materialize) "
                         "before evaluating; composes with --rdfs (RDFS "
                         "first, then OWL)")
+    p.add_argument("--explain", action="store_true",
+                   help="print the compiled Catalyst physical plan "
+                        "(explain formatted) instead of executing — the "
+                        "pushed-down filters / join strategies / exchanges "
+                        "a SPARQL query lowers to")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -139,6 +144,11 @@ def main(argv=None) -> int:
 
         triples = owl_materialize(triples.select("subj", "pred", "obj"))
     result = sparql(triples, query)
+
+    if args.explain:
+        result.explain("formatted")
+        spark.stop()
+        return 0
 
     if args.out_ttl:
         from logset_spark.sources.turtle import save_turtle

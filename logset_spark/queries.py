@@ -4666,6 +4666,31 @@ FROM hasturn_vals WHERE NOT regexp_matches(value, '^turn:u[0-9]+/[0-9]+$')
 """
 
 
+def q_char_sets(spark, sf):
+    """Characteristic sets (operators/quality.py) of the structural
+    transcript KG: every distinct predicate-combination a subject
+    carries, with subject and triple counts — the Neumann & Moerkotte
+    structure summary RDF engines drive cardinality estimation with.
+    Two exchanges; output bounded by vocabulary combinations, not
+    subjects.  The oracle rebuilds the sorted set string with
+    list_sort/array_to_string."""
+    from .operators.quality import characteristic_sets
+
+    return characteristic_sets(q_kg_structural(spark, sf))
+
+
+SQL_CHAR_SETS = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+s AS (
+  SELECT subj,
+         array_to_string(list_sort(list(DISTINCT pred)), ';') AS cs,
+         count(*) AS n_t
+  FROM g GROUP BY subj)
+SELECT cs, count(*) AS n_subjects, CAST(sum(n_t) AS BIGINT) AS n_triples
+FROM s GROUP BY cs
+"""
+
+
 def q_jaccard(spark, sf):
     """Neighbor-set Jaccard similarity (operators/graph.py
     neighbor_jaccard) over the part-order incidence: parts are similar
@@ -4793,6 +4818,7 @@ REGISTRY: dict[str, tuple] = {
     "q_shacl": (q_shacl, SQL_SHACL),
     "q_jaccard": (q_jaccard, SQL_JACCARD),
     "q_hits": (q_hits, SQL_HITS),
+    "q_char_sets": (q_char_sets, SQL_CHAR_SETS),
     # round-3 session-4 additions
     "q_owl_infer": (q_owl_infer, SQL_OWL_INFER),
     "q_sparql_in": (q_sparql_in, SQL_SPARQL_IN),

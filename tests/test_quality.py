@@ -52,3 +52,17 @@ def test_expectations_clean_table_zero_violations(spark):
         expect_references(child, "fk", parent, "id"),
     ]).collect()
     assert all(r["violations"] == 0 and r["total"] == 2 for r in rep)
+
+
+def test_characteristic_sets(spark):
+    from logset_spark.operators.quality import characteristic_sets
+
+    g = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "q", "2"), ("a", "q", "3"),
+         ("b", "p", "1"), ("b", "q", "4"),
+         ("c", "p", "9")],
+        "subj string, pred string, obj string")
+    got = {r["cs"]: (r["n_subjects"], r["n_triples"])
+           for r in characteristic_sets(g).collect()}
+    # a and b share shape {p,q} (a holds 3 triples, b holds 2); c is {p}
+    assert got == {"p;q": (2, 5), "p": (1, 1)}
