@@ -37,6 +37,13 @@ def main(argv=None) -> int:
                         "commit dirs no retained snapshot references")
     p.add_argument("--history", action="store_true",
                    help="include the snapshot history table in the output")
+    p.add_argument("--diff", nargs=2, type=int, default=None,
+                   metavar=("FROM", "TO"),
+                   help="row-level changelog between two snapshot versions "
+                        "(op '+'/'-'): reads only partitions whose file "
+                        "mapping changed; requires --diff-out")
+    p.add_argument("--diff-out", default=None,
+                   help="write the --diff changelog parquet here")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -54,6 +61,22 @@ def main(argv=None) -> int:
             spark, min_commits=args.min_commits)
     if args.expire_keep_from is not None:
         out["removed_commits"] = store.expire_snapshots(args.expire_keep_from)
+    if args.diff:
+        if not args.diff_out:
+            p.error("--diff requires --diff-out")
+        chg = store.diff(spark, args.diff[0], to_version=args.diff[1])
+        chg.write.mode("overwrite").parquet(args.diff_out)
+        import pyspark.sql.functions as F
+
+        counts = {
+            r["op"]: r["n"]
+            for r in spark.read.parquet(args.diff_out)
+            .groupBy("op").agg(F.count("*").alias("n")).collect()
+        }
+        out["diff"] = {"from": args.diff[0], "to": args.diff[1],
+                       "added": counts.get("+", 0),
+                       "removed": counts.get("-", 0),
+                       "out": args.diff_out}
     out["version_after"] = store.current_version()
     if args.history:
         out["history"] = [r.asDict() for r in store.history(spark).collect()]

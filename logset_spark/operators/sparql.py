@@ -29,6 +29,14 @@ Grammar (documented subset — one line per clause, '.'-separated
 patterns):
 
     SELECT [DISTINCT] ?v1 ?v2 | *
+           [ FROM term ]* [ FROM NAMED term ]*
+             -- SPARQL 1.1 dataset clause (also after ASK/CONSTRUCT
+             -- heads): needs a quads frame; the default graph becomes
+             -- the MERGE of the FROM graphs (replacing the no-clause
+             -- convention below of matching ALL quads) and GRAPH
+             -- patterns range over the FROM NAMED graphs only —
+             -- lowered as a frame rewrite + pattern pinning, so the
+             -- restriction reaches the scans as pushed-down equalities
            | ?g1 ... (AGG(?v) AS ?name) ...   -- SPARQL 1.1 aggregates:
              COUNT/MIN/MAX/SUM/AVG/GROUP_CONCAT/SAMPLE over a var, or
              COUNT(*); GROUP_CONCAT sorts values then joins with ';'
@@ -198,6 +206,10 @@ class ParsedQuery:
     # { SELECT ... } subqueries (one nesting level): each is evaluated
     # independently and joined into the outer group on shared vars
     subqueries: list["ParsedQuery"] = field(default_factory=list)
+    # FROM / FROM NAMED dataset clause (term form until prefix
+    # expansion; _const_term'd by parse_sparql before returning)
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 # quoted literals are replaced by \x00<n>\x00 placeholders before ANY
@@ -285,10 +297,54 @@ def parse_sparql(query: str) -> ParsedQuery:
     prefixed strings with no prefix table."""
     q, lits = _protect_literals(" ".join(query.split()))
     q, prefixes = _strip_prefix_headers(q, lits)
+    q, from_graphs, from_named = _extract_dataset(q, lits)
     pq = _parse_protected(q, lits)
+    pq.from_graphs = [
+        _const_term(_expand_term(t, prefixes)) for t in from_graphs
+    ]
+    pq.from_named = [
+        _const_term(_expand_term(t, prefixes)) for t in from_named
+    ]
     if prefixes:
         _expand_prefixes(pq, prefixes)
     return pq
+
+
+def _extract_dataset(
+    q: str, lits: list
+) -> tuple[str, list[str], list[str]]:
+    """Strip `FROM term` / `FROM NAMED term` dataset clauses (SPARQL
+    1.1 dataset specification) from the BRACE-DEPTH-0 part of the query
+    — between the select head and WHERE, or after a CONSTRUCT template
+    — returning them in term form.  Inside braces FROM stays inert, so
+    a pattern can never be silently eaten."""
+    fg: list[str] = []
+    fn: list[str] = []
+
+    def _from(mo: re.Match) -> str:
+        term = _restore_content(mo.group(2), lits)
+        (fn if mo.group(1) else fg).append(term)
+        return " "
+
+    def _sub(span: str) -> str:
+        return re.sub(r"\bFROM\s+(NAMED\s+)?(\S+)", _from, span,
+                      flags=re.IGNORECASE)
+
+    out: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(q):
+        if ch == "{":
+            if depth == 0:
+                out.append(_sub(q[start:i]))
+                start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                out.append(q[start:i + 1])
+                start = i + 1
+    out.append(_sub(q[start:]) if depth == 0 else q[start:])
+    return "".join(out), fg, fn
 
 
 def _expand_term(t: str, prefixes: dict[str, str]) -> str:
@@ -1003,6 +1059,10 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
             continue  # the NOT IN filter above is the whole constraint
         if _is_var(term):
             v = term[1:]
+            if pos == "graph":
+                # GRAPH ?g never binds the dataset clause's reserved
+                # merged-default rows (nor an absent/null graph)
+                df = df.where(F.col("graph") != DEFAULT_GRAPH)
             if v in first_pos_of:
                 df = df.where(F.col(first_pos_of[v]) == F.col(pos))
             else:
@@ -1234,10 +1294,72 @@ def bgp(
     return out.distinct() if distinct else out
 
 
+# reserved graph name for the dataset clause's merged default graph
+# (\x01 cannot appear in real graph names — the parser's own reserved
+# alphabet is \x00<n>\x00, and loader-produced graphs are file paths /
+# run ids)
+DEFAULT_GRAPH = "\x01default-graph"
+
+
+def _dataset_frame(quads: DataFrame, pq: ParsedQuery) -> DataFrame:
+    """Lower the FROM / FROM NAMED dataset clause to a frame rewrite:
+    the merged FROM graphs become rows under the reserved DEFAULT_GRAPH
+    name (default-graph patterns are rewritten to match exactly that),
+    and only FROM NAMED graphs stay under their own names for GRAPH
+    patterns.  With a dataset clause present, a graph outside it is
+    invisible — the SPARQL 1.1 dataset semantics, replacing this
+    module's no-clause convention (default patterns match ALL quads)."""
+    if "graph" not in quads.columns:
+        raise ValueError(
+            "FROM / FROM NAMED need a quads frame with a 'graph' column "
+            f"(got columns {quads.columns})")
+    parts = []
+    if pq.from_graphs:
+        parts.append(
+            quads.where(F.col("graph").isin(pq.from_graphs))
+            .withColumn("graph", F.lit(DEFAULT_GRAPH))
+        )
+    if pq.from_named and pq.describe is None:
+        parts.append(quads.where(F.col("graph").isin(pq.from_named)))
+    if not parts:  # FROM NAMED only + DESCRIBE: empty default graph
+        return quads.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _rewrite_default_patterns(pq: ParsedQuery) -> None:
+    """With a dataset clause, every default-graph (3-term) pattern in
+    every group becomes a quad pattern pinned to DEFAULT_GRAPH, so it
+    matches exactly the FROM merge; GRAPH-group quads keep their own
+    graph terms.  In place, recursing into subqueries."""
+
+    def _add_g(pats):
+        return [p if len(p) == 4 else (*p, DEFAULT_GRAPH) for p in pats]
+
+    pq.patterns = _add_g(pq.patterns)
+    pq.optionals = [
+        (_add_g(g[0]), g[1]) if isinstance(g, tuple) else _add_g(g)
+        for g in pq.optionals
+    ]
+    pq.unions = [(_add_g(arm), fl) for arm, fl in pq.unions]
+    pq.not_exists = [(_add_g(g), fl) for g, fl in pq.not_exists]
+    pq.exists = [(_add_g(g), fl) for g, fl in pq.exists]
+    pq.minus = [(_add_g(g), fl) for g, fl in pq.minus]
+    for sub in pq.subqueries:
+        sub.from_graphs, sub.from_named = pq.from_graphs, pq.from_named
+        _rewrite_default_patterns(sub)
+
+
 def sparql(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame."""
-    return _eval_parsed(triples, parse_sparql(query))
+    pq = parse_sparql(query)
+    if pq.from_graphs or pq.from_named:
+        triples = _dataset_frame(triples, pq)
+        _rewrite_default_patterns(pq)
+    return _eval_parsed(triples, pq)
 
 
 def _eval_parsed(triples: DataFrame, pq: ParsedQuery) -> DataFrame:

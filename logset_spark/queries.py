@@ -2777,16 +2777,9 @@ WHERE h.pred = 'hasTurn'
 """
 
 
-def q_sparql_graph(spark, sf):
-    """GRAPH (named-graph) clause over a QUADS frame: nations grouped
-    into one named graph per region.  The GRAPH ?g group binds ?g from
-    the frame's `graph` column (patterns inside one group sharing ?g
-    equi-join on it); the default-graph pattern outside matches ALL
-    quads (SPARQL union default graph).  A constant graph term compiles
-    to a pushed-down equality instead — partition pruning over a
-    graph-partitioned quads table."""
-    from .operators.sparql import sparql
-
+def _region_quads(spark, sf):
+    """Nations as quads, one named graph per region (shared by
+    q_sparql_graph / q_sparql_from)."""
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
     base = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
@@ -2795,7 +2788,7 @@ def q_sparql_graph(spark, sf):
         F.concat(F.lit("region:"), "r_name").alias("reg"),
         F.concat(F.lit("graph:"), "r_name").alias("g"),
     )
-    quads = base.select(
+    return base.select(
         F.col("s").alias("subj"),
         F.lit("locatedIn").alias("pred"),
         F.col("reg").alias("obj"),
@@ -2808,6 +2801,19 @@ def q_sparql_graph(spark, sf):
             F.col("g").alias("graph"),
         )
     )
+
+
+def q_sparql_graph(spark, sf):
+    """GRAPH (named-graph) clause over a QUADS frame: nations grouped
+    into one named graph per region.  The GRAPH ?g group binds ?g from
+    the frame's `graph` column (patterns inside one group sharing ?g
+    equi-join on it); the default-graph pattern outside matches ALL
+    quads (SPARQL union default graph).  A constant graph term compiles
+    to a pushed-down equality instead — partition pruning over a
+    graph-partitioned quads table."""
+    from .operators.sparql import sparql
+
+    quads = _region_quads(spark, sf)
     return sparql(
         quads,
         """SELECT ?g ?n ?k WHERE {
@@ -2830,6 +2836,44 @@ SELECT q1.graph AS g, q1.subj AS n, q1.obj AS k
 FROM quads q1 JOIN quads q2 ON q2.subj = q1.subj
 WHERE q1.pred = 'hasKey' AND q2.pred = 'locatedIn'
   AND q2.obj = 'region:AMERICA'
+ORDER BY n
+"""
+
+
+def q_sparql_from(spark, sf):
+    """FROM / FROM NAMED dataset clause (SPARQL 1.1 dataset
+    specification): the default graph becomes the MERGE of the FROM
+    graphs (here one region's graph — the unconstrained `?n locatedIn
+    ?reg` pattern sees only it), and GRAPH patterns range over the
+    FROM NAMED list only.  Lowered as a frame rewrite + pattern
+    pinning, so the graph restriction reaches the scans as pushed-down
+    equalities; with no dataset clause the module's union-default
+    convention is unchanged (q_sparql_graph covers that)."""
+    from .operators.sparql import sparql
+
+    quads = _region_quads(spark, sf)
+    return sparql(
+        quads,
+        """SELECT ?n ?reg ?k FROM graph:EUROPE FROM NAMED graph:EUROPE
+           WHERE { ?n locatedIn ?reg .
+                   GRAPH graph:EUROPE { ?n hasKey ?k } }
+           ORDER BY ?n""",
+    )
+
+
+SQL_SPARQL_FROM = """
+WITH base AS (
+  SELECT 'nation:'||n_name AS s, CAST(n_nationkey AS VARCHAR) AS k,
+         'region:'||r_name AS reg, 'graph:'||r_name AS g
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+quads AS (
+  SELECT s AS subj, 'locatedIn' AS pred, reg AS obj, g AS graph FROM base
+  UNION ALL
+  SELECT s, 'hasKey', k, g FROM base)
+SELECT q1.subj AS n, q1.obj AS reg, q2.obj AS k
+FROM quads q1 JOIN quads q2 ON q2.subj = q1.subj
+WHERE q1.pred = 'locatedIn' AND q1.graph = 'graph:EUROPE'
+  AND q2.pred = 'hasKey' AND q2.graph = 'graph:EUROPE'
 ORDER BY n
 """
 
@@ -4819,6 +4863,7 @@ REGISTRY: dict[str, tuple] = {
     "q_jaccard": (q_jaccard, SQL_JACCARD),
     "q_hits": (q_hits, SQL_HITS),
     "q_char_sets": (q_char_sets, SQL_CHAR_SETS),
+    "q_sparql_from": (q_sparql_from, SQL_SPARQL_FROM),
     # round-3 session-4 additions
     "q_owl_infer": (q_owl_infer, SQL_OWL_INFER),
     "q_sparql_in": (q_sparql_in, SQL_SPARQL_IN),

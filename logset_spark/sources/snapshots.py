@@ -726,6 +726,74 @@ class SnapshotTableIO:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths).drop("commit")
 
+    def diff(
+        self, spark: SparkSession, from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots: DataFrame[op, ...]
+        with op '+' for rows present in `to` but not `from` and '-' for
+        the reverse (the changelog view a CDC consumer that also needs
+        DELETES reads; `incremental_read` is the cheaper adds-only
+        scan).
+
+        Cost is proportional to what CHANGED, never to the table: the
+        two snapshots' partition→file mappings are compared as metadata
+        (driver-side, partition-count-scale), and only partitions whose
+        file set differs are read on either side — an untouched
+        partition contributes no IO.  Within the changed partitions the
+        diff is two exceptAll anti-aggregations (multiset semantics, so
+        duplicate-row multiplicity changes surface too)."""
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(
+                f"from_version {from_version} is newer than {to_v}")
+        m_from = (
+            dict(self._load_snapshot(from_version)["mapping"])
+            if from_version else {}
+        )
+        m_to = dict(self._load_snapshot(to_v)["mapping"])
+
+        def _paths(mapping, keys):
+            return [
+                os.path.join(self._data, f"commit={c}",
+                             f"ts_day={day}", f"conv_bucket={bucket}")
+                for k in sorted(keys)
+                for c in mapping[k]
+                for day, bucket in [k.split("|", 1)]
+            ]
+
+        changed = {
+            k for k in set(m_from) | set(m_to)
+            if m_from.get(k) != m_to.get(k)
+        }
+        empty = self.read(spark, to_v).limit(0)
+
+        def _side(mapping):
+            keys = changed & set(mapping)
+            if not keys:
+                return empty
+            commits = {c for k in keys for c in mapping[k]}
+            reader = spark.read.option("basePath", self._data)
+            if self._needs_merge(commits):
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*_paths(mapping, keys)).drop("commit")
+
+        old, new = _side(m_from), _side(m_to)
+        from pyspark.sql import functions as F
+
+        # schema evolution across the range: align the old side to the
+        # new schema (add-column only — pre-evolution rows surface the
+        # new columns as null, same rule as read())
+        for name, dtype in new.dtypes:
+            if name not in old.columns:
+                old = old.withColumn(name, F.lit(None).cast(dtype))
+        old = old.select(*new.columns)
+        return (
+            new.exceptAll(old).withColumn("op", F.lit("+"))
+            .unionByName(old.exceptAll(new).withColumn("op", F.lit("-")))
+            .select("op", *new.columns)
+        )
+
     def history(self, spark: SparkSession) -> DataFrame:
         """One row per retained snapshot: version, parent, operation,
         n_partitions — the `table.history()` metadata surface."""

@@ -522,3 +522,56 @@ def test_overwrite_table_incremental_read_sees_only_new_commit(spark, store):
     inc = store.incremental_read(spark, 1, to_version=v2)
     assert inc.count() == 1
     assert inc.collect()[0]["etype"] == "new"
+
+
+def test_diff_changelog_between_versions(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)  # v1
+    # v2: overwrite day 2 with edits + append a brand-new day
+    upd = df.filter(F.to_date("ts") == "2024-03-02") \
+            .withColumn("etype", F.lit("edited"))
+    store.commit(upd)  # v2: day-2 partitions replaced
+    store.commit(_frame(spark, [("cN", 0, "2024-03-09 00:00:00", "new")]),
+                 mode="append")  # v3
+    chg = store.diff(spark, 1)
+    rows = [(r["op"], r["conv_id"], r["etype"]) for r in chg.collect()]
+    adds = [r for r in rows if r[0] == "+"]
+    drops = [r for r in rows if r[0] == "-"]
+    # every day-2 row was replaced (old '-' / edited '+') plus 1 append
+    n_day2 = upd.count()
+    assert len(adds) == n_day2 + 1 and len(drops) == n_day2
+    assert all(r[2] == "edited" for r in adds if r[1] != "cN")
+    assert all(r[2] == "msg" for r in drops)
+    # intermediate range: v2 -> v3 sees only the append
+    chg23 = store.diff(spark, 2, to_version=3)
+    assert [(r["op"], r["conv_id"]) for r in chg23.collect()] == [("+", "cN")]
+    # identical versions: empty
+    assert store.diff(spark, 3, to_version=3).count() == 0
+    with pytest.raises(ValueError, match="newer"):
+        store.diff(spark, 3, to_version=1)
+
+
+def test_diff_reads_only_changed_partitions(spark, store):
+    """The metadata prune: an untouched partition contributes no input
+    files to the diff plan."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    upd = df.filter(
+        (F.to_date("ts") == "2024-03-02") & (F.col("conv_id") == "c1")
+    ).withColumn("etype", F.lit("edited"))
+    store.commit(upd)
+    chg = store.diff(spark, 1)
+    plan = chg._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    scanned = set(_re.findall(r"commit=\d+/ts_day=[^,\]\s]+", plan))
+    # only partitions containing c1@day2 (old and new commit) are read
+    assert scanned, "expected file-scan paths in the plan"
+    assert all("2024-03-02" in s for s in scanned), scanned
+
+
+def test_diff_after_delete_shows_removals(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)
+    store.delete_where(spark, "conv_id = 'c3'")
+    chg = store.diff(spark, 1)
+    assert {(r["op"], r["conv_id"]) for r in chg.collect()} == {("-", "c3")}

@@ -987,3 +987,71 @@ def test_graph_rejections(quads, tri):
     assert got == [("o1",)]
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?s WHERE { GRAPH { ?s p ?o } }")
+
+
+# ---------------------------------------------------------------------------
+# FROM / FROM NAMED dataset clause
+# ---------------------------------------------------------------------------
+
+
+def test_from_merges_named_graphs_into_default(quads):
+    # default graph = g1 only: g2's rows are invisible to plain patterns
+    got = _rows(sparql(
+        quads, "SELECT ?s ?o FROM g1 WHERE { ?s p ?o }"))
+    assert got == [("s1", "o1")]
+    # merge of both graphs
+    got = _rows(sparql(
+        quads, "SELECT ?s ?o FROM g1 FROM g2 WHERE { ?s p ?o }"))
+    assert got == [("s1", "o1"), ("s1", "o9"), ("s2", "o2"), ("s3", "o3")]
+
+
+def test_from_named_restricts_graph_patterns(quads):
+    # GRAPH ?g ranges over FROM NAMED graphs only
+    got = _rows(sparql(quads, """
+        SELECT ?g ?s FROM NAMED g2 WHERE { GRAPH ?g { ?s p ?o } }"""))
+    assert got == [("g2", "s1"), ("g2", "s2"), ("g2", "s3")]
+    # a constant GRAPH outside FROM NAMED sees nothing
+    assert sparql(quads, """
+        SELECT ?s FROM NAMED g2 WHERE { GRAPH g1 { ?s p ?o } }"""
+    ).count() == 0
+    # FROM NAMED only -> the default graph is EMPTY
+    assert sparql(
+        quads, "SELECT ?s FROM NAMED g1 WHERE { ?s p ?o }").count() == 0
+
+
+def test_from_and_from_named_compose(quads):
+    # default = g1, named = g2: join a default pattern with a GRAPH one
+    got = _rows(sparql(quads, """
+        SELECT ?s ?o2 FROM g1 FROM NAMED g2
+        WHERE { ?s q x . GRAPH g2 { ?s p ?o2 } }"""))
+    assert got == [("s1", "o9")]
+    # without the clause, default patterns match ALL quads (the
+    # no-dataset union convention is unchanged)
+    assert len(_rows(sparql(quads, "SELECT ?s WHERE { ?s p ?o }"))) == 4
+
+
+def test_from_inside_groups_and_literals_stays_inert(quads):
+    # bareword FROM inside braces is a term, not a clause
+    pq = parse_sparql("SELECT ?s WHERE { ?s FROM ?o }")
+    assert pq.patterns == [("?s", "FROM", "?o")] and not pq.from_graphs
+    # dataset applies inside OPTIONAL/EXISTS groups too
+    got = _rows(sparql(quads, """
+        SELECT ?s ?x FROM g2 WHERE {
+          ?s p ?o . OPTIONAL { ?s q ?x } }"""))
+    # s1's q-triple lives in g1 -> invisible, OPTIONAL leaves null
+    assert got == [("s1", None), ("s2", None), ("s3", None)]
+
+
+def test_from_needs_quads_and_paths_follow_dataset(spark, quads):
+    tri = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="graph"):
+        sparql(tri, "SELECT ?s FROM g1 WHERE { ?s p ?o }").collect()
+    # property path over the merged default graph: closure confined to g1
+    g = spark.createDataFrame(
+        [("a", "n", "b", "g1"), ("b", "n", "c", "g2")],
+        "subj string, pred string, obj string, graph string")
+    got = _rows(sparql(g, "SELECT ?x FROM g1 WHERE { a n+ ?x }"))
+    assert got == [("b",)]  # b->c lives in g2, outside the dataset
+    got = _rows(sparql(g, "SELECT ?x FROM g1 FROM g2 WHERE { a n+ ?x }"))
+    assert got == [("b",), ("c",)]
