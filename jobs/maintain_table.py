@@ -44,6 +44,22 @@ def main(argv=None) -> int:
                         "mapping changed; requires --diff-out")
     p.add_argument("--diff-out", default=None,
                    help="write the --diff changelog parquet here")
+    p.add_argument("--tag", nargs="+", default=None,
+                   metavar=("NAME", "VERSION"),
+                   help="pin an immutable named ref to a version (default: "
+                        "current); tagged snapshots survive expiration")
+    p.add_argument("--branch", nargs="+", default=None,
+                   metavar=("NAME", "VERSION"),
+                   help="create a writable branch head (default: at "
+                        "current); commit to it via the API, publish with "
+                        "--fast-forward")
+    p.add_argument("--drop-ref", default=None, metavar="NAME",
+                   help="delete a tag or branch")
+    p.add_argument("--fast-forward", default=None, metavar="BRANCH",
+                   help="advance main to this branch's head (requires main "
+                        "to be an ancestor)")
+    p.add_argument("--refs", action="store_true",
+                   help="include the named-refs table in the output")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -77,7 +93,22 @@ def main(argv=None) -> int:
                        "added": counts.get("+", 0),
                        "removed": counts.get("-", 0),
                        "out": args.diff_out}
+    if args.tag:
+        v = int(args.tag[1]) if len(args.tag) > 1 else None
+        out["tagged"] = {"name": args.tag[0],
+                         "version": store.tag(args.tag[0], v)}
+    if args.branch:
+        v = int(args.branch[1]) if len(args.branch) > 1 else None
+        out["branched"] = {"name": args.branch[0],
+                           "version": store.branch(args.branch[0], v)}
+    if args.drop_ref:
+        store.drop_ref(args.drop_ref)
+        out["dropped_ref"] = args.drop_ref
+    if args.fast_forward:
+        out["fast_forwarded_to"] = store.fast_forward(args.fast_forward)
     out["version_after"] = store.current_version()
+    if args.refs:
+        out["refs"] = [r.asDict() for r in store.refs(spark).collect()]
     if args.history:
         out["history"] = [r.asDict() for r in store.history(spark).collect()]
     print(json.dumps(out))

@@ -44,10 +44,13 @@ def main(argv=None) -> int:
                                      " (CONSTRUCT/DESCRIBE results, or any"
                                      " subj/pred/obj-shaped result)")
     p.add_argument("--show", type=int, default=20, help="max rows to print without --out")
-    p.add_argument("--as-of", type=int, default=None, dest="as_of",
+    p.add_argument("--as-of", default=None, dest="as_of",
+                   type=lambda s: int(s) if s.isdigit() else s,
                    help="time-travel: query the triples snapshot at this "
-                        "version (warehouse built with build_graph "
-                        "--snapshots; default = latest)")
+                        "version number OR named ref (tag/branch created "
+                        "via maintain_table --tag/--branch; warehouse "
+                        "built with build_graph --snapshots; default = "
+                        "latest)")
     p.add_argument("--changed-since", type=int, default=None,
                    dest="changed_since",
                    help="incremental scan: query ONLY triples added after "
@@ -116,6 +119,8 @@ def main(argv=None) -> int:
             from logset_spark.sources.snapshots import SnapshotTriplesIO
 
             store = SnapshotTriplesIO(root=args.warehouse).store
+            if isinstance(args.as_of, str):  # named ref -> version
+                args.as_of = store.ref_version(args.as_of)
             if args.changed_since is not None:
                 triples = store.incremental_read(
                     spark, args.changed_since, to_version=args.as_of)

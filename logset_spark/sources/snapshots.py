@@ -115,18 +115,145 @@ class SnapshotTableIO:
         with open(path) as f:
             return json.load(f)
 
-    def _publish(self, snap: dict) -> None:
+    def _publish(self, snap: dict, branch: str | None = None) -> None:
         """Write the snapshot file, then atomically advance the pointer.
         A reader that races the commit sees either the old or the new
         version — never a torn state — because data files for the new
-        commit are fully written before the pointer moves."""
+        commit are fully written before the pointer moves.  With
+        `branch`, the BRANCH head advances instead of `current` (main):
+        main readers never see branch commits until fast_forward."""
         os.makedirs(self._meta, exist_ok=True)
         with open(self._snap_path(snap["version"]), "w") as f:
             json.dump(snap, f, sort_keys=True)
+        if branch is not None:
+            refs = self._load_refs()
+            refs["branches"][branch] = snap["version"]
+            self._save_refs(refs)
+            return
         fd, tmp = tempfile.mkstemp(dir=self._meta)
         with os.fdopen(fd, "w") as f:
             f.write(str(snap["version"]))
         os.replace(tmp, os.path.join(self._meta, "current"))
+
+    def _next_version(self) -> int:
+        """Next free GLOBAL version number.  `current + 1` is only right
+        on a branchless table: branch commits allocate from the same
+        sequence (Iceberg snapshot ids are likewise table-global), so the
+        allocator scans retained snapshot files, never just the main
+        pointer."""
+        best = self.current_version()
+        if os.path.isdir(self._meta):
+            for fname in os.listdir(self._meta):
+                if fname.startswith("v") and fname.endswith(".json"):
+                    best = max(best, int(fname[1:-5]))
+        return best + 1
+
+    # ---- named refs (tags & branches) ---------------------------------------
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self._meta, "refs.json")
+
+    def _load_refs(self) -> dict:
+        if not os.path.exists(self._refs_path):
+            return {"tags": {}, "branches": {}}
+        with open(self._refs_path) as f:
+            return json.load(f)
+
+    def _save_refs(self, refs: dict) -> None:
+        os.makedirs(self._meta, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._meta)
+        with os.fdopen(fd, "w") as f:
+            json.dump(refs, f, sort_keys=True)
+        os.replace(tmp, self._refs_path)
+
+    def tag(self, name: str, version: int | None = None,
+            force: bool = False) -> int:
+        """Pin `name` to a snapshot (default: current) — an immutable
+        named ref (Iceberg tag).  Tagged snapshots survive
+        `expire_snapshots`; re-pointing an existing tag needs `force`."""
+        v = self.current_version() if version is None else version
+        self._load_snapshot(v)  # must exist
+        refs = self._load_refs()
+        if name == "main" or name in refs["branches"]:
+            raise ValueError(f"ref {name!r} already names a branch")
+        if name in refs["tags"] and refs["tags"][name] != v and not force:
+            raise ValueError(
+                f"tag {name!r} already points at v{refs['tags'][name]}; "
+                "pass force=True to move it")
+        refs["tags"][name] = v
+        self._save_refs(refs)
+        return v
+
+    def branch(self, name: str, from_version: int | None = None) -> int:
+        """Create a writable branch head at `from_version` (default:
+        current).  `commit(..., branch=name)` then advances the branch
+        without touching main; `fast_forward` publishes it."""
+        v = self.current_version() if from_version is None else from_version
+        if v:
+            self._load_snapshot(v)
+        refs = self._load_refs()
+        if name == "main" or name in refs["tags"] or name in refs["branches"]:
+            raise ValueError(f"ref {name!r} already exists")
+        refs["branches"][name] = v
+        self._save_refs(refs)
+        return v
+
+    def drop_ref(self, name: str) -> None:
+        refs = self._load_refs()
+        for kind in ("tags", "branches"):
+            if name in refs[kind]:
+                del refs[kind][name]
+                self._save_refs(refs)
+                return
+        raise ValueError(f"unknown ref {name!r}")
+
+    def ref_version(self, name: str) -> int:
+        """Resolve a ref name (tag, branch, or 'main') to its version."""
+        if name == "main":
+            return self.current_version()
+        refs = self._load_refs()
+        for kind in ("tags", "branches"):
+            if name in refs[kind]:
+                return refs[kind][name]
+        raise ValueError(
+            f"unknown ref {name!r} (tags: {sorted(refs['tags'])}, "
+            f"branches: {sorted(refs['branches'])})")
+
+    def refs(self, spark: SparkSession) -> DataFrame:
+        """One row per named ref (+ main): name, kind, version."""
+        refs = self._load_refs()
+        rows = [("main", "branch", self.current_version())]
+        rows += [(n, "tag", v) for n, v in sorted(refs["tags"].items())]
+        rows += [(n, "branch", v) for n, v in sorted(refs["branches"].items())]
+        return spark.createDataFrame(
+            rows, "name string, kind string, version int")
+
+    def _is_ancestor(self, anc: int, desc: int) -> bool:
+        """True when `anc` is on `desc`'s parent chain (or equal)."""
+        v = desc
+        while v > 0:
+            if v == anc:
+                return True
+            v = self._load_snapshot(v)["parent"]
+        return anc == 0
+
+    def fast_forward(self, name: str) -> int:
+        """Advance main to branch `name`'s head (Iceberg
+        fastForwardBranch).  Requires main to be an ancestor of the head
+        — a diverged main must merge through data ops, never a pointer
+        jump that would silently drop its commits."""
+        head = self.ref_version(name)
+        cur = self.current_version()
+        if not self._is_ancestor(cur, head):
+            raise ValueError(
+                f"main (v{cur}) is not an ancestor of {name!r} (v{head}); "
+                "fast-forward would drop main's commits")
+        fd, tmp = tempfile.mkstemp(dir=self._meta)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, os.path.join(self._meta, "current"))
+        return head
 
     # ---- write path --------------------------------------------------------
 
@@ -154,6 +281,7 @@ class SnapshotTableIO:
         replaced_partitions=None,
         stats_cols: list[str] | None = None,
         operation: str | None = None,
+        branch: str | None = None,
     ) -> int:
         """Write `df` as a new immutable commit and publish the snapshot.
 
@@ -197,11 +325,19 @@ class SnapshotTableIO:
         mode); `delete` commits use it so the incremental append scan
         knows no NEW rows were added.
 
+        `branch`: commit onto a named branch (created with `branch()`)
+        instead of main — parent is the BRANCH head and only the branch
+        pointer advances (Iceberg write-to-branch / WAP); main readers
+        are isolated until `fast_forward`.
+
         Returns the new version number."""
         if mode not in ("overwrite_partitions", "append", "overwrite_table"):
             raise ValueError(f"unknown commit mode {mode!r}")
-        parent = self.current_version()
-        version = parent + 1
+        if branch is not None and branch not in self._load_refs()["branches"]:
+            raise ValueError(f"{branch!r} is not a branch")
+        parent = (self.ref_version(branch) if branch is not None
+                  else self.current_version())
+        version = self._next_version()
         commit_dir = os.path.join(self._data, f"commit={version}")
         if os.path.isdir(commit_dir):
             # a crashed earlier attempt wrote data but never published —
@@ -254,7 +390,7 @@ class SnapshotTableIO:
             snap["stats"] = self._partition_stats(
                 df.sparkSession, commit_dir, stats_cols
             )
-        self._publish(snap)
+        self._publish(snap, branch=branch)
         return version
 
     def _partition_stats(
@@ -627,7 +763,7 @@ class SnapshotTableIO:
         Nothing is deleted — the rolled-back-over versions stay readable
         (Iceberg rollback semantics)."""
         old = self._load_snapshot(to_version)
-        version = self.current_version() + 1
+        version = self._next_version()
         self._publish({
             "version": version,
             "parent": self.current_version(),
@@ -638,11 +774,20 @@ class SnapshotTableIO:
 
     # ---- read path ---------------------------------------------------------
 
-    def partition_dirs(self, version: int | None = None) -> list[str]:
+    def _resolve(self, version) -> int:
+        """None -> current, ref name -> its version, int -> itself."""
+        if version is None:
+            return self.current_version()
+        if isinstance(version, str):
+            return self.ref_version(version)
+        return version
+
+    def partition_dirs(self, version: int | str | None = None) -> list[str]:
         """Physical (ts_day, conv_bucket) leaf dirs constituting a snapshot
         (default: latest) — the manifest answer to TableIO.partition_dirs.
-        One logical partition may map to several dirs (append commits)."""
-        v = self.current_version() if version is None else version
+        One logical partition may map to several dirs (append commits).
+        `version` also takes a ref name (tag/branch/'main')."""
+        v = self._resolve(version)
         snap = self._load_snapshot(v)
         return [
             os.path.join(self._data, f"commit={c}",
@@ -652,7 +797,9 @@ class SnapshotTableIO:
             for day, bucket in [k.split("|", 1)]
         ]
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self, spark: SparkSession, version: int | str | None = None
+    ) -> DataFrame:
         """Read the table as of `version` (default: latest).  Hands Spark
         the snapshot's partition directories with a shared basePath so
         ts_day/conv_bucket come back as partition columns and partition
@@ -663,8 +810,9 @@ class SnapshotTableIO:
         merges parquet schemas — rows from pre-evolution commits surface
         the new columns as null.  The decision comes from snapshot
         metadata alone; the common single-schema case never pays the
-        footer-scan cost of mergeSchema."""
-        v = self.current_version() if version is None else version
+        footer-scan cost of mergeSchema.  `version` also takes a ref
+        name (tag/branch/'main')."""
+        v = self._resolve(version)
         snap = self._load_snapshot(v)
         paths = self.partition_dirs(v)
         if not paths:
@@ -702,10 +850,22 @@ class SnapshotTableIO:
             raise ValueError(
                 f"from_version {from_version} is newer than {to_v}"
             )
+        # walk the PARENT CHAIN down from to_v, not a numeric range:
+        # version numbers are table-global, so with branches in play a
+        # number in (from, to] can belong to another branch's history
+        chain = []
+        v = to_v
+        while v > from_version:
+            snap = self._load_snapshot(v)  # raises if expired
+            chain.append((v, snap["operation"]))
+            v = snap["parent"]
+            if v < from_version:
+                raise ValueError(
+                    f"v{from_version} is not an ancestor of v{to_v} "
+                    "(different branch lineage)")
         paths = []
         data_commits = set()
-        for v in range(from_version + 1, to_v + 1):
-            op = self._load_snapshot(v)["operation"]  # raises if expired
+        for v, op in reversed(chain):
             if op in ("append", "overwrite_partitions", "overwrite_table"):
                 commit_dir = os.path.join(self._data, f"commit={v}")
                 if not os.path.isdir(commit_dir):
@@ -829,7 +989,7 @@ class SnapshotTableIO:
                    if len(v) >= min_commits}
         if not targets:
             return None
-        version = current + 1
+        version = self._next_version()
         commit_dir = os.path.join(self._data, f"commit={version}")
         if os.path.isdir(commit_dir):  # crashed earlier attempt
             shutil.rmtree(commit_dir)
@@ -872,15 +1032,21 @@ class SnapshotTableIO:
     def expire_snapshots(self, keep_from: int) -> list[int]:
         """Drop snapshot metadata older than `keep_from` and GC commit
         directories no retained snapshot references (Iceberg
-        expireSnapshots + orphan-file cleanup).  Returns removed commits."""
+        expireSnapshots + orphan-file cleanup).  Snapshots a tag or
+        branch points at are retained regardless of age (Iceberg ref
+        retention) — drop the ref first to let them expire.  Returns
+        removed commits."""
         current = self.current_version()
         keep_from = min(keep_from, current)
+        refs = self._load_refs()
+        ref_pinned = set(refs["tags"].values()) | set(
+            refs["branches"].values())
         retained_commits: set[int] = set()
         for fname in list(os.listdir(self._meta)):
             if not (fname.startswith("v") and fname.endswith(".json")):
                 continue
             v = int(fname[1:-5])
-            if v < keep_from:
+            if v < keep_from and v not in ref_pinned:
                 os.remove(os.path.join(self._meta, fname))
                 continue
             snap = self._load_snapshot(v)

@@ -575,3 +575,100 @@ def test_diff_after_delete_shows_removals(spark, store):
     store.delete_where(spark, "conv_id = 'c3'")
     chg = store.diff(spark, 1)
     assert {(r["op"], r["conv_id"]) for r in chg.collect()} == {("-", "c3")}
+
+
+# ---------------------------------------------------------------------------
+# named refs: tags & branches
+# ---------------------------------------------------------------------------
+
+
+def test_tag_pins_and_survives_expiry(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)  # v1
+    store.tag("prod")  # pin v1
+    upd = df.withColumn("etype", F.lit("edited"))
+    store.commit(upd)  # v2
+    store.commit(upd)  # v3
+    assert store.ref_version("prod") == 1
+    # read by ref name
+    assert store.read(spark, version="prod") \
+                .filter(F.col("etype") == "edited").count() == 0
+    # expire everything before v3: the tagged v1 (and its commit) is
+    # retained anyway; the untagged v2's superseded commit is GC'd
+    removed = store.expire_snapshots(3)
+    assert store.read(spark, version="prod").count() == df.count()
+    assert removed == [2]
+    # re-pointing needs force (and expired versions can't be tagged)
+    with pytest.raises(ValueError, match="force"):
+        store.tag("prod", 3)
+    assert store.tag("prod", 3, force=True) == 3
+    with pytest.raises(ValueError, match="expired"):
+        store.tag("gone", 2)
+    with pytest.raises(ValueError, match="unknown ref"):
+        store.ref_version("nope")
+    store.drop_ref("prod")
+    with pytest.raises(ValueError):
+        store.ref_version("prod")
+
+
+def test_branch_commits_isolate_main_until_fast_forward(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)  # v1 (main)
+    store.branch("audit")
+    upd = df.filter(F.to_date("ts") == "2024-03-02") \
+            .withColumn("etype", F.lit("branch-edit"))
+    vb = store.commit(upd, branch="audit")  # v2, branch head
+    assert vb == 2
+    # main is untouched: pointer still v1, no branch rows visible
+    assert store.current_version() == 1
+    assert store.read(spark).filter(
+        F.col("etype") == "branch-edit").count() == 0
+    # branch read sees the edit
+    br = store.read(spark, version="audit")
+    assert br.filter(F.col("etype") == "branch-edit").count() == upd.count()
+    # publish: fast-forward main to the branch head
+    assert store.fast_forward("audit") == 2
+    assert store.read(spark).filter(
+        F.col("etype") == "branch-edit").count() == upd.count()
+    # a commit on main now allocates PAST the branch's numbers
+    v3 = store.commit(df.limit(1), mode="append")
+    assert v3 == 3
+    # refs table lists main + named refs
+    refs = {(r["name"], r["kind"]): r["version"]
+            for r in store.refs(spark).collect()}
+    assert refs[("main", "branch")] == 3
+    assert refs[("audit", "branch")] == 2
+
+
+def test_fast_forward_rejects_diverged_main(spark, store):
+    df = _frame(spark, _base_rows())
+    store.commit(df)  # v1
+    store.branch("wip")
+    store.commit(df.withColumn("etype", F.lit("b")), branch="wip")  # v2
+    store.commit(df.withColumn("etype", F.lit("m")))  # v3 on main: diverged
+    with pytest.raises(ValueError, match="ancestor"):
+        store.fast_forward("wip")
+    # unknown branch on commit is rejected (typo guard)
+    with pytest.raises(ValueError, match="not a branch"):
+        store.commit(df, branch="typo")
+
+
+def test_incremental_read_walks_lineage_not_numbers(spark, store):
+    """With a branch interleaved in the global numbering, the
+    incremental scan must follow parent pointers, never the numeric
+    range (v2 below belongs to the branch, not main's history)."""
+    df = _frame(spark, _base_rows())
+    store.commit(df)  # v1 main
+    store.branch("side")
+    store.commit(
+        _frame(spark, [("cB", 0, "2024-03-05 00:00:00", "branch-only")]),
+        mode="append", branch="side")  # v2 branch
+    store.commit(
+        _frame(spark, [("cM", 0, "2024-03-06 00:00:00", "main-add")]),
+        mode="append")  # v3 main (parent v1)
+    inc = store.incremental_read(spark, 1)  # main lineage: v3 only
+    assert [r["etype"] for r in inc.collect()] == ["main-add"]
+    # the branch commit v2 is NOT on main's lineage: scanning main's
+    # tip "since the branch head" must raise, not mix histories
+    with pytest.raises(ValueError, match="ancestor"):
+        store.incremental_read(spark, 2, to_version=3)
