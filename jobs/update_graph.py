@@ -47,8 +47,15 @@ def main(argv=None) -> int:
         p.error("one of --update / --update-file is required")
     update = args.update or open(args.update_file).read()
 
-    from logset_spark.operators.sparql_update import apply_update
+    from logset_spark.operators.sparql_update import (
+        apply_update, is_graph_management)
     from logset_spark.session import get_spark
+
+    if is_graph_management(update):
+        p.error("graph-management forms (CLEAR/DROP/CREATE/COPY/MOVE/ADD/"
+                "LOAD) operate on quads frames — use operators."
+                "sparql_update.graph_update over a named-graph source; "
+                "the warehouse triples table is a single default graph")
 
     if not os.path.isdir(os.path.join(args.warehouse, "triples", "_meta")):
         p.error("--warehouse must be snapshot-versioned (build_graph "

@@ -272,3 +272,186 @@ def apply_update(
     return store.cow_update(
         spark, deletes=deletes, on=list(_SPO), inserts=inserts,
         stats_cols=stats_cols)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update — graph management over QUADS frames
+# ---------------------------------------------------------------------------
+
+_MGMT_RE = re.compile(
+    r"^(CLEAR|DROP|CREATE|COPY|MOVE|ADD|LOAD)\b", re.IGNORECASE)
+
+
+def is_graph_management(update: str) -> bool:
+    """True when the request is a graph-management form (CLEAR/DROP/
+    CREATE/COPY/MOVE/ADD/LOAD) rather than a triple-template form."""
+    return bool(_MGMT_RE.match(update.strip()))
+
+
+def _mgmt_target(tok: list[str], allow_classes: bool = True) -> str:
+    """Consume one graph designator from the token list: `GRAPH <g>`,
+    a bare term, `DEFAULT`, or (when allowed) `NAMED` / `ALL`.
+    Returns the term, or the markers '\x02default'/'\x02named'/
+    '\x02all'."""
+    if not tok:
+        raise ValueError("graph-management request is missing its target")
+    head = tok[0].upper()
+    if head == "DEFAULT":
+        tok.pop(0)
+        return "\x02default"
+    if allow_classes and head in ("NAMED", "ALL"):
+        tok.pop(0)
+        return "\x02" + head.lower()
+    if head == "GRAPH":
+        tok.pop(0)
+        if not tok:
+            raise ValueError("GRAPH keyword without a graph term")
+    return _const_term(tok.pop(0))
+
+
+def graph_update(
+    quads: DataFrame, update: str,
+    load_fn=None,
+) -> DataFrame:
+    """SPARQL 1.1 Update graph management, functional form: apply one
+    CLEAR / DROP / CREATE / COPY / MOVE / ADD / LOAD request to a quads
+    frame (subj, pred, obj, graph) and return the new frame.
+
+    Dataset representation (documented, same discipline as the query
+    side): named graphs are non-null `graph` values; THE DEFAULT GRAPH
+    IS the rows whose `graph` IS NULL.  A DataFrame records no empty
+    graphs, so (per the spec's note for such stores) DROP == CLEAR and
+    CREATE is a no-op — except that non-SILENT forms still raise when
+    the target graph has no rows, because on a store that cannot record
+    emptiness, "absent" is the only checkable notion of "does not
+    exist".  SILENT downgrades every such error to a no-op.
+
+    LOAD reads a local Turtle file (sources/turtle.py parser — the
+    catalog-scale path, driver-parsed) into the target graph; pass
+    `load_fn(path) -> DataFrame[subj,pred,obj]` to override (tests, or
+    a future remote fetcher).
+
+    Scale: every form is a filter/union over the quads frame — one
+    predicate pushdown against a graph-partitioned table, never a scan
+    of untargeted graphs' data.
+    """
+    if "graph" not in quads.columns:
+        raise ValueError(
+            "graph management needs a quads frame with a 'graph' column "
+            f"(got columns {quads.columns})")
+    q, lits = _protect_literals(" ".join(update.split()))
+    q, prefixes = _strip_prefix_headers(q, lits)
+    tok = q.split()
+    verb = tok.pop(0).upper()
+    silent = bool(tok) and tok[0].upper() == "SILENT"
+    if silent:
+        tok.pop(0)
+
+    from .sparql import _restore_content
+
+    def term(t):
+        t = _restore_content(t, lits)
+        return _expand_term(t, prefixes) if prefixes else t
+
+    toks = [term(t) for t in tok]
+
+    def done(label):  # trailing tokens = a clause we'd misinterpret
+        if toks:
+            raise ValueError(f"{label}: unexpected trailing {toks[0]!r}")
+
+    def g_pred(g):  # Column predicate selecting graph g's rows
+        if g == "\x02default":
+            return F.col("graph").isNull()
+        if g == "\x02named":
+            return F.col("graph").isNotNull()
+        if g == "\x02all":
+            return F.lit(True)
+        # null-safe: ~(graph == g) must KEEP default-graph (NULL) rows
+        return F.col("graph").eqNullSafe(g)
+
+    def require_nonempty(g, label):
+        if silent or g in ("\x02named", "\x02all"):
+            return
+        if quads.where(g_pred(g)).limit(1).count() == 0:
+            name = "DEFAULT" if g == "\x02default" else repr(g)
+            raise ValueError(
+                f"{label}: graph {name} has no rows "
+                "(SILENT downgrades this to a no-op)")
+
+    if verb in ("CLEAR", "DROP"):
+        g = _mgmt_target(toks)
+        done(verb)
+        require_nonempty(g, verb)
+        return quads.where(~g_pred(g))
+
+    if verb == "CREATE":
+        g = _mgmt_target(toks, allow_classes=False)
+        done(verb)
+        if g.startswith("\x02"):
+            raise ValueError("CREATE takes GRAPH <g>")
+        if not silent and quads.where(g_pred(g)).limit(1).count() > 0:
+            raise ValueError(f"CREATE: graph {g!r} already exists")
+        return quads  # no empty-graph record on a DataFrame store
+
+    if verb in ("COPY", "MOVE", "ADD"):
+        src = _mgmt_target(toks, allow_classes=False)
+        if not toks or toks.pop(0).upper() != "TO":
+            raise ValueError(f"{verb} needs '{verb} <src> TO <dst>'")
+        dst = _mgmt_target(toks, allow_classes=False)
+        done(verb)
+        if src.startswith("\x02n") or dst.startswith("\x02n"):
+            raise ValueError(f"{verb} takes GRAPH <g> or DEFAULT operands")
+        require_nonempty(src, verb)
+        if src == dst:
+            return quads  # spec: same-graph COPY/MOVE/ADD is a no-op
+        moved = quads.where(g_pred(src)).withColumn(
+            "graph",
+            F.lit(None).cast("string") if dst == "\x02default"
+            else F.lit(dst))
+        out = quads
+        if verb in ("COPY", "MOVE"):
+            out = out.where(~g_pred(dst))  # dst is REPLACED, not merged
+        if verb == "MOVE":
+            out = out.where(~g_pred(src))
+        if verb == "ADD":
+            # set semantics WITHIN the destination: re-adding a triple the
+            # dst already holds is a no-op (anti-join, never a frame-wide
+            # distinct — untargeted graphs' row multiplicity is not ours
+            # to change)
+            moved = moved.join(
+                quads.where(g_pred(dst)).select(*_SPO).distinct(),
+                on=list(_SPO), how="left_anti").distinct()
+        return out.unionByName(moved.select(*out.columns))
+
+    if verb == "LOAD":
+        if not toks:
+            raise ValueError("LOAD needs a source uri/path")
+        src = toks.pop(0)
+        path = src[1:-1] if src.startswith("<") and src.endswith(">") else src
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        g = None
+        if toks:
+            if toks.pop(0).upper() != "INTO":
+                raise ValueError("LOAD: want 'LOAD <src> [INTO GRAPH <g>]'")
+            g = _mgmt_target(toks, allow_classes=False)
+            done("LOAD")
+            if g.startswith("\x02"):
+                g = None  # INTO DEFAULT
+        try:
+            if load_fn is not None:
+                tri = load_fn(path)
+            else:
+                from ..sources.turtle import load_turtle
+
+                tri = load_turtle(quads.sparkSession, path)
+        except Exception:
+            if silent:
+                return quads
+            raise
+        new = tri.select(
+            "subj", "pred", "obj",
+            F.lit(g).cast("string").alias("graph"))
+        return quads.unionByName(new).distinct()
+
+    raise ValueError(f"unknown graph-management verb {verb!r}")

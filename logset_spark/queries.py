@@ -2926,6 +2926,47 @@ SELECT subj, 'inRegion' AS pred, obj FROM d
 """
 
 
+def q_graph_mgmt(spark, sf):
+    """SPARQL 1.1 Update graph management (operators/sparql_update.py
+    graph_update): MOVE one named graph into an archive graph, ADD a
+    second one into it (set semantics in the destination), then CLEAR a
+    third — three requests chained functionally over the region quads.
+    Each form lowers to a pushed-down filter/union over the graph
+    column (partition pruning on a graph-partitioned store); the oracle
+    replays the same set algebra in SQL."""
+    from .operators.sparql_update import graph_update
+
+    quads = _region_quads(spark, sf)
+    out = graph_update(quads, "MOVE GRAPH graph:EUROPE TO graph:ARCHIVE")
+    out = graph_update(out, "ADD GRAPH graph:ASIA TO graph:ARCHIVE")
+    out = graph_update(out, "CLEAR GRAPH graph:AFRICA")
+    return out.select("subj", "pred", "obj", "graph")
+
+
+SQL_GRAPH_MGMT = """
+WITH base AS (
+  SELECT 'nation:'||n_name AS s, CAST(n_nationkey AS VARCHAR) AS k,
+         'region:'||r_name AS reg, 'graph:'||r_name AS g
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+quads AS (
+  SELECT s AS subj, 'locatedIn' AS pred, reg AS obj, g AS graph FROM base
+  UNION ALL
+  SELECT s, 'hasKey', k, g FROM base),
+moved AS (  -- MOVE EUROPE -> ARCHIVE (dst empty, src dropped)
+  SELECT subj, pred, obj,
+         CASE WHEN graph = 'graph:EUROPE' THEN 'graph:ARCHIVE'
+              ELSE graph END AS graph
+  FROM quads),
+added AS (  -- ADD ASIA -> ARCHIVE: union, set semantics in dst
+  SELECT * FROM moved
+  UNION
+  SELECT subj, pred, obj, 'graph:ARCHIVE' AS graph
+  FROM moved WHERE graph = 'graph:ASIA')
+SELECT subj, pred, obj, graph FROM added
+WHERE graph <> 'graph:AFRICA'  -- CLEAR AFRICA
+"""
+
+
 def q_snapshot_delete(spark, sf):
     """Copy-on-write DELETE on the snapshot store (sources/snapshots.py
     delete_where — Iceberg's DELETE FROM): events-as-transcript rows are
@@ -4876,6 +4917,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
     "q_sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
     "q_sparql_update": (q_sparql_update, SQL_SPARQL_UPDATE),
+    "q_graph_mgmt": (q_graph_mgmt, SQL_GRAPH_MGMT),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),

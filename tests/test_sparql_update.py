@@ -233,3 +233,108 @@ def test_cow_update_empty_table_rejected(spark, tmp_path):
     st = SnapshotTableIO(root=str(tmp_path / "t2"), n_buckets=2)
     with pytest.raises(ValueError):
         st.cow_update(spark, deletes=None, inserts=None)
+
+
+# ---------------------------------------------------------------------------
+# graph management (CLEAR/DROP/CREATE/COPY/MOVE/ADD/LOAD)
+# ---------------------------------------------------------------------------
+
+QG = [
+    ("s1", "p", "o1", "g1"),
+    ("s2", "p", "o2", "g2"),
+    ("s3", "p", "o3", "g2"),
+    ("d1", "p", "od", None),  # default graph = NULL rows
+]
+
+
+@pytest.fixture()
+def quads(spark):
+    return spark.createDataFrame(
+        QG, "subj string, pred string, obj string, graph string")
+
+
+def _q(df):
+    return sorted(((r["subj"], r["graph"]) for r in df.collect()),
+                  key=lambda t: (t[0], t[1] or ""))
+
+
+def test_clear_and_drop_targets(quads):
+    from logset_spark.operators.sparql_update import graph_update
+
+    assert _q(graph_update(quads, "CLEAR GRAPH g2")) == [
+        ("d1", None), ("s1", "g1")]
+    assert _q(graph_update(quads, "DROP g1")) == [
+        ("d1", None), ("s2", "g2"), ("s3", "g2")]
+    assert _q(graph_update(quads, "CLEAR DEFAULT")) == [
+        ("s1", "g1"), ("s2", "g2"), ("s3", "g2")]
+    assert _q(graph_update(quads, "CLEAR NAMED")) == [("d1", None)]
+    assert graph_update(quads, "CLEAR ALL").count() == 0
+    # absent graph: loud without SILENT, no-op with
+    with pytest.raises(ValueError, match="no rows"):
+        graph_update(quads, "CLEAR GRAPH nope")
+    assert _q(graph_update(quads, "CLEAR SILENT GRAPH nope")) == _q(quads)
+
+
+def test_copy_move_add_semantics(quads):
+    from logset_spark.operators.sparql_update import graph_update
+
+    # COPY replaces the destination and keeps the source
+    got = graph_update(quads, "COPY GRAPH g2 TO GRAPH g1")
+    assert _q(got) == [("d1", None), ("s2", "g1"), ("s2", "g2"),
+                       ("s3", "g1"), ("s3", "g2")]
+    # MOVE replaces the destination and drops the source
+    got = graph_update(quads, "MOVE g2 TO g1")
+    assert _q(got) == [("d1", None), ("s2", "g1"), ("s3", "g1")]
+    # ADD merges (set semantics) without touching the destination's rows
+    got = graph_update(quads, "ADD GRAPH g1 TO GRAPH g2")
+    assert _q(got) == [("d1", None), ("s1", "g1"), ("s1", "g2"),
+                       ("s2", "g2"), ("s3", "g2")]
+    # DEFAULT as operand; same-graph ops are no-ops
+    got = graph_update(quads, "COPY DEFAULT TO GRAPH gx")
+    assert ("d1", "gx") in _q(got) and ("d1", None) in _q(got)
+    assert _q(graph_update(quads, "MOVE g1 TO g1")) == _q(quads)
+    # ADD is idempotent: re-adding already-present triples changes nothing
+    once = graph_update(quads, "ADD g1 TO g2")
+    twice = graph_update(once, "ADD g1 TO g2")
+    assert _q(once) == _q(twice)
+
+
+def test_create_and_rejections(quads):
+    from logset_spark.operators.sparql_update import graph_update
+
+    assert _q(graph_update(quads, "CREATE GRAPH gnew")) == _q(quads)
+    with pytest.raises(ValueError, match="exists"):
+        graph_update(quads, "CREATE GRAPH g1")
+    assert _q(graph_update(quads, "CREATE SILENT GRAPH g1")) == _q(quads)
+    with pytest.raises(ValueError, match="trailing"):
+        graph_update(quads, "CLEAR GRAPH g1 junk")
+    with pytest.raises(ValueError, match="TO"):
+        graph_update(quads, "COPY g1 g2")
+    with pytest.raises(ValueError, match="quads frame"):
+        graph_update(quads.drop("graph"), "CLEAR ALL")
+    with pytest.raises(ValueError, match="unknown graph-management"):
+        graph_update(quads, "FROB g1")
+
+
+def test_load_turtle_into_graph(quads, tmp_path):
+    from logset_spark.operators.sparql_update import (
+        graph_update, is_graph_management)
+
+    ttl = tmp_path / "in.ttl"
+    ttl.write_text("@prefix ex: <http://x.org/> .\n"
+                   "ex:n1 ex:p ex:n2 ; ex:q ex:n3 .\n")
+    got = graph_update(quads, f"LOAD <file://{ttl}> INTO GRAPH gload")
+    loaded = got.filter(F.col("graph") == "gload")
+    assert loaded.count() == 2
+    assert got.count() == quads.count() + 2
+    # into the default graph when INTO is omitted
+    got = graph_update(quads, f"LOAD <file://{ttl}>")
+    assert got.filter(F.col("graph").isNull()).count() == 3  # d1 + 2
+    # missing file: loud unless SILENT
+    with pytest.raises(Exception):
+        graph_update(quads, "LOAD <file:///nope/missing.ttl>")
+    assert graph_update(
+        quads, "LOAD SILENT <file:///nope/missing.ttl>"
+    ).count() == quads.count()
+    assert is_graph_management("CLEAR ALL")
+    assert not is_graph_management("INSERT DATA { a b c }")
