@@ -689,3 +689,54 @@ def hits(
             "hub",
         )
     return nodes.join(hub, "node").join(auth, "node")
+
+
+def deterministic_walks(
+    edges: DataFrame, starts: DataFrame, n_steps: int,
+    salt: str = "w",
+) -> DataFrame:
+    """DeepWalk-style graph walks with DETERMINISTIC pseudo-randomness:
+    edges DataFrame[src, dst], starts DataFrame[walk_id:string,
+    node:string]; returns DataFrame[walk_id, step:int, node] — step 0 is
+    the start node, each next node is the out-neighbor minimizing
+    md5(salt:walk_id:step:dst).  A walk at a sink node ends (no row for
+    later steps).
+
+    The hash-argmin IS the sampler: md5 is uniform over neighbors, keyed
+    by (walk_id, step) so different walks and different steps of one
+    walk draw independently, and `salt` reseeds the whole corpus.
+    Determinism is what makes the op testable cross-engine (the DuckDB
+    oracle replays the identical argmin) and re-runnable at scale — a
+    resumed job regenerates byte-identical walks, so downstream
+    embedding training (skip-gram over these node sequences — the
+    DeepWalk/node2vec corpus) never sees a shifted corpus.
+
+    Plan per step: one equi-join frontier⋈edges on the current node +
+    one min_by hash-aggregate per walk (partial map-side combine, one
+    exchange per step).  Work per step is O(frontier out-degree);
+    O(n_steps) rounds total, localCheckpoint each to truncate lineage.
+    Walk count scales without limit (walks partition by walk_id); hot
+    high-out-degree nodes cost hash evaluations, never candidate
+    materialization beyond the join row stream.  Biased (node2vec p/q)
+    variants fit the same frame by weighting the hash, at the cost of
+    carrying the previous node in the frontier."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    out = starts.select(
+        "walk_id", F.lit(0).alias("step"), "node"
+    ).localCheckpoint(eager=True)
+    frontier = out
+    for step in range(1, n_steps + 1):
+        h = F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col("walk_id"), F.lit(step), F.col("dst")))
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy("walk_id")
+            .agg(F.min_by("dst", h).alias("node"))
+            .select("walk_id", F.lit(step).alias("step"), "node")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

@@ -192,7 +192,17 @@ def make_minhash_udf(num_hashes: int = 32, seed: int = 7, unit: str = "char"):
             out.append(_signature(hv, seeds).tolist())
         return pd.Series(out)
 
-    return minhash
+    # asNondeterministic is a pushdown FENCE, not a semantics statement
+    # (the signature is fully deterministic): band_signatures filters on
+    # `_sig IS NOT NULL`, and Catalyst pushes a deterministic filter —
+    # UDF INCLUDED — through joins and aggregates toward the scan.
+    # Measured on the KG pipeline: the null-check landed BELOW the
+    # distinct-forms aggregate, running MinHash once per mention
+    # OCCURRENCE (20.9M rows) instead of once per distinct form (100) —
+    # a 12x fuzzy-stage regression.  Nondeterministic expressions are
+    # never pushed, so the UDF stays exactly where the operator put it:
+    # above the dedup, evaluated once per distinct input.
+    return minhash.asNondeterministic()
 
 
 def band_signatures(

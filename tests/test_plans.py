@@ -375,3 +375,32 @@ def test_sparql_constant_graph_prunes_partitions(spark, tmp_path):
     assert "g1" in plan.split("PartitionFilters")[1][:250]
     # the constant pred is a pushed data filter on the same scan
     assert "PushedFilters: [" in plan
+
+
+def test_minhash_udf_never_pushed_below_dedup(spark, tmp_path):
+    """The MinHash pandas UDF is a pushdown FENCE (asNondeterministic):
+    band_signatures' `_sig IS NOT NULL` filter must stay ABOVE the
+    distinct aggregate.  A deterministic UDF gets pushed through the
+    aggregate to the scan side, evaluating MinHash once per mention
+    OCCURRENCE instead of once per distinct form — measured 12x on the
+    fuzzy stage at 20.9M turns (fuzzy 6.5s -> 78s at 2 cores)."""
+    from logset_spark.operators.link import band_signatures
+
+    src = str(tmp_path / "forms_src")
+    spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), (None,)], "form_key string"
+    ).write.parquet(src)
+    forms = (
+        spark.read.parquet(src)
+        .where(F.col("form_key").isNotNull())
+        .select(F.col("form_key").alias("form"))
+        .distinct()
+    )
+    fb = band_signatures(forms, "form")
+    plan = _plan(fb)
+    # exactly one python-eval node, sitting above the (post-exchange)
+    # aggregate — a second one below the exchange IS the regression
+    assert plan.count("ArrowEvalPython") == 1, plan
+    body = plan[plan.index("ArrowEvalPython"):]
+    assert "HashAggregate" in body, plan  # aggregate is downstream (below)
+    assert fb.count() == 2 * 8  # 2 distinct forms x 8 bands, nulls dropped
