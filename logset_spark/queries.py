@@ -2654,6 +2654,54 @@ WHERE h.pred = 'hasTurn'
 """
 
 
+def q_walks(spark, sf):
+    """DeepWalk-style graph walks with deterministic pseudo-randomness
+    (operators/graph.py deterministic_walks): from every nation, 8 steps
+    over the same-region neighbor graph, next node = out-neighbor
+    minimizing md5(salt:walk_id:step:dst).  One frontier⋈edges join +
+    one min_by hash-aggregate per step — O(steps) rounds, work per round
+    proportional to frontier out-degree, never all-paths.  The hash
+    argmin is the sampler AND the oracle handle: DuckDB replays the
+    identical argmin in a recursive CTE, and a resumed job regenerates
+    byte-identical walks (the skip-gram corpus downstream never sees a
+    shifted sequence)."""
+    from .operators.graph import deterministic_walks
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    a, b = n.alias("a"), n.alias("b")
+    edges = (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_nationkey") != F.col("b.n_nationkey")))
+        .select(F.col("a.n_name").alias("src"), F.col("b.n_name").alias("dst"))
+    )
+    starts = n.select(
+        F.concat(F.lit("walk:"), "n_name").alias("walk_id"),
+        F.col("n_name").alias("node"),
+    )
+    return deterministic_walks(edges, starts, n_steps=8)
+
+
+SQL_WALKS = """
+WITH RECURSIVE edges AS (
+  SELECT a.n_name AS src, b.n_name AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey),
+walk(walk_id, step, node) AS (
+  SELECT 'walk:'||n_name, 0, n_name FROM nation
+  UNION ALL
+  SELECT walk_id, step, dst FROM (
+    SELECT w.walk_id, w.step + 1 AS step, e.dst,
+           row_number() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5('w:'||w.walk_id||':'||(w.step+1)||':'||e.dst)
+           ) AS rn
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.step < 8)
+  WHERE rn = 1)
+SELECT walk_id, step, node FROM walk
+"""
+
+
 # SSSP fixture: chains capped like the OWL one so the oracle's
 # recursive path enumeration stays fixture-scale
 _SSSP_EDGE_FILTER = (
@@ -4913,6 +4961,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_strsplit": (q_sparql_strsplit, SQL_SPARQL_STRSPLIT),
     "q_sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
     "q_sssp": (q_sssp, SQL_SSSP),
+    "q_walks": (q_walks, SQL_WALKS),
     "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
     "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
     "q_sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),

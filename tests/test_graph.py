@@ -542,3 +542,59 @@ def test_hits_semantics_and_guards(spark):
     assert out["a1"][0] == 0 and out["h1"][1] == 0
     with pytest.raises(ValueError, match="n_iter"):
         hits(e, 0)
+
+
+# ---------------------------------------------------------------------------
+# deterministic_walks
+# ---------------------------------------------------------------------------
+
+
+def test_walks_end_at_sinks_and_replay_identically(spark):
+    from logset_spark.operators.graph import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],  # d is a sink
+        "src string, dst string")
+    starts = spark.createDataFrame(
+        [("w1", "a"), ("w2", "d")], "walk_id string, node string")
+    out = deterministic_walks(edges, starts, n_steps=5)
+    rows = {(r["walk_id"], r["step"]): r["node"] for r in out.collect()}
+    # w2 starts AT a sink: only step 0
+    assert [k for k in rows if k[0] == "w2"] == [("w2", 0)]
+    # w1: a -> {b|c} -> d, ends at the sink after step 2
+    assert rows[("w1", 0)] == "a"
+    assert rows[("w1", 1)] in ("b", "c")
+    assert rows[("w1", 2)] == "d"
+    assert ("w1", 3) not in rows
+    # byte-identical replay (the resume guarantee)
+    again = {(r["walk_id"], r["step"]): r["node"]
+             for r in deterministic_walks(edges, starts, n_steps=5).collect()}
+    assert again == rows
+
+
+def test_walks_salt_reseeds_and_walks_diverge(spark):
+    from logset_spark.operators.graph import deterministic_walks
+    import pyspark.sql.functions as F
+
+    # complete digraph over 6 nodes: every step has 5 choices
+    nodes = [chr(ord("a") + i) for i in range(6)]
+    edges = spark.createDataFrame(
+        [(u, v) for u in nodes for v in nodes if u != v],
+        "src string, dst string")
+    starts = spark.createDataFrame(
+        [(f"w{i}", "a") for i in range(8)], "walk_id string, node string")
+    w1 = deterministic_walks(edges, starts, n_steps=6, salt="s1")
+    w2 = deterministic_walks(edges, starts, n_steps=6, salt="s2")
+    seq1 = {r["walk_id"]: r["node"] for r in w1.collect() if r["step"] == 3}
+    seq2 = {r["walk_id"]: r["node"] for r in w2.collect() if r["step"] == 3}
+    # different salts produce a different corpus
+    assert seq1 != seq2
+    # walks draw independently: 8 walks from one start don't all agree
+    assert len(set(seq1.values())) > 1
+    # every walk has the full step count on a sink-free graph
+    assert w1.count() == 8 * 7
+    # step sequence per walk is contiguous 0..6
+    per = (w1.groupBy("walk_id").agg(
+        F.count("*").alias("n"), F.min("step").alias("lo"),
+        F.max("step").alias("hi")).collect())
+    assert all(r["n"] == 7 and r["lo"] == 0 and r["hi"] == 6 for r in per)
