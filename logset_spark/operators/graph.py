@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # rank unit: 1.0 == 10^12.  Headroom: total rank MASS is conserved-or-
 # shrinking in this recurrence (mass_0 = N*(scale DIV N) <= scale;
@@ -739,4 +740,35 @@ def deterministic_walks(
             break
         out = out.unionByName(nxt)
         frontier = nxt
+    return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pairs from walk sequences — the
+    word2vec-over-graphs training set DeepWalk feeds to the embedding
+    trainer.  walks: DataFrame[walk_id, step, node] (deterministic_walks
+    output); returns DataFrame[center, context] with one row per ordered
+    pair at distance 1..window within a walk.
+
+    Plan: ONE exchange (partitionBy walk_id, orderBy step), then `window`
+    lead() columns emit both directions per offset — no self-join, so no
+    O(len^2) candidate blowup and no skew by walk length (which is
+    bounded by n_steps anyway).  Output size is exactly
+    sum_d 2*(len-d) rows per walk — linear in corpus size."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = W.partitionBy("walk_id").orderBy("step")
+    cols = [F.lead("node", d).over(w).alias(f"_c{d}")
+            for d in range(1, window + 1)]
+    base = walks.select("node", *cols)
+    parts = []
+    for d in range(1, window + 1):
+        c = F.col(f"_c{d}")
+        parts.append(base.where(c.isNotNull()).select(
+            F.col("node").alias("center"), c.alias("context")))
+        parts.append(base.where(c.isNotNull()).select(
+            c.alias("center"), F.col("node").alias("context")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

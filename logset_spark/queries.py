@@ -2702,6 +2702,60 @@ SELECT walk_id, step, node FROM walk
 """
 
 
+def q_skipgram(spark, sf):
+    """Skip-gram training pairs from the q_walks corpus (operators/
+    graph.py skipgram_pairs): (center, context) at distance 1..2 within
+    a walk, aggregated to (center, context, n) — the word2vec-over-
+    graphs input with multiplicity (pair frequency is the training
+    signal).  Plan: one exchange for the per-walk window, lead() per
+    offset, no self-join; the oracle recomputes the pairs via an
+    ALGORITHM-INDEPENDENT self-join on |step distance|."""
+    from .operators.graph import deterministic_walks, skipgram_pairs
+
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    a, b = n.alias("a"), n.alias("b")
+    edges = (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_nationkey") != F.col("b.n_nationkey")))
+        .select(F.col("a.n_name").alias("src"), F.col("b.n_name").alias("dst"))
+    )
+    starts = n.select(
+        F.concat(F.lit("walk:"), "n_name").alias("walk_id"),
+        F.col("n_name").alias("node"),
+    )
+    walks = deterministic_walks(edges, starts, n_steps=8)
+    return (
+        skipgram_pairs(walks, window=2)
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_SKIPGRAM = """
+WITH RECURSIVE edges AS (
+  SELECT a.n_name AS src, b.n_name AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey),
+walk(walk_id, step, node) AS (
+  SELECT 'walk:'||n_name, 0, n_name FROM nation
+  UNION ALL
+  SELECT walk_id, step, dst FROM (
+    SELECT w.walk_id, w.step + 1 AS step, e.dst,
+           row_number() OVER (
+             PARTITION BY w.walk_id
+             ORDER BY md5('w:'||w.walk_id||':'||(w.step+1)||':'||e.dst)
+           ) AS rn
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.step < 8)
+  WHERE rn = 1)
+SELECT c.node AS center, x.node AS context, COUNT(*) AS n
+FROM walk c JOIN walk x
+  ON x.walk_id = c.walk_id
+ AND abs(x.step - c.step) BETWEEN 1 AND 2
+GROUP BY c.node, x.node
+"""
+
+
 # SSSP fixture: chains capped like the OWL one so the oracle's
 # recursive path enumeration stays fixture-scale
 _SSSP_EDGE_FILTER = (
@@ -4962,6 +5016,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sparql_bnode": (q_sparql_bnode, SQL_SPARQL_BNODE),
     "q_sssp": (q_sssp, SQL_SSSP),
     "q_walks": (q_walks, SQL_WALKS),
+    "q_skipgram": (q_skipgram, SQL_SKIPGRAM),
     "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
     "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
     "q_sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),
