@@ -772,3 +772,59 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bfs_distances_tagged(
+    edges: DataFrame, sources: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Per-source hop distances: like bfs_distances, but each source's
+    BFS keeps its own tag — returns DataFrame[src, node, dist] for every
+    (source, reachable node) pair.  One frontier loop runs ALL sources
+    simultaneously (the frontier carries the src column; settling is per
+    (src, node)), so the round count is max eccentricity over sources,
+    not sources x rounds.  Work per round is O(frontier out-degree)
+    summed over sources — the L-landmark trade the caller makes
+    explicitly by sizing `sources`."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col("node").alias("bsrc"))
+        .distinct()
+        .select("bsrc", F.col("bsrc").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("bsrc", F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+            .groupBy("bsrc", "node")
+            .agg(F.min("dist").alias("dist"))
+            .join(dist.select("bsrc", "node"), ["bsrc", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.select(F.col("bsrc").alias("src"), "node", "dist")
+
+
+def harmonic_centrality(
+    edges: DataFrame, landmarks: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality: for each node, the sum
+    of 1/d(landmark -> node) over the landmark set (self-distances
+    excluded).  With landmarks = all nodes this is exact harmonic
+    centrality (inbound form); at scale the caller samples landmarks —
+    the standard estimator, whose error is controlled by |landmarks|,
+    not graph size.  Returns DataFrame[node, harmonic:double].
+
+    Cost: one tagged multi-source BFS (per-round work proportional to
+    the union frontier) + one aggregate; nothing quadratic in nodes."""
+    d = bfs_distances_tagged(edges, landmarks, max_iter=max_iter)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )

@@ -4686,6 +4686,47 @@ SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY node
 """
 
 
+def q_harmonic(spark, sf):
+    """Landmark-approximated harmonic centrality (operators/graph.py
+    harmonic_centrality over bfs_distances_tagged): sum of 1/d(landmark
+    -> node) over a landmark set — here {p:1, p:50} on the same
+    containment tree q_bfs_dist walks, which makes the two queries a
+    pair: min-distance vs inverse-distance-mass from the same frontier
+    machinery.  The tagged BFS runs all landmarks in ONE frontier loop
+    (per-(src,node) settling), so rounds = max eccentricity, not
+    landmarks x rounds.  4dp rounding absorbs float-sum ordering.
+    Oracle: per-source recursive CTE minimum, then the same sum."""
+    from .operators.graph import harmonic_centrality
+
+    p = _t(spark, sf, "part")
+    edges = p.where(F.col("p_partkey").between(2, 255)).select(
+        F.concat(
+            F.lit("p:"), F.expr("p_partkey div 2").cast("string")
+        ).alias("src"),
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("dst"),
+    )
+    landmarks = spark.createDataFrame([("p:1",), ("p:50",)], "node string")
+    h = harmonic_centrality(edges, landmarks)
+    return h.select("node", F.round("harmonic", 4).alias("harmonic"))
+
+
+SQL_HARMONIC = """
+WITH RECURSIVE
+e AS (SELECT 'p:' || CAST(p_partkey // 2 AS VARCHAR) AS src,
+             'p:' || CAST(p_partkey AS VARCHAR) AS dst
+      FROM part WHERE p_partkey BETWEEN 2 AND 255),
+walk(src, node, dist) AS (
+  SELECT node, node, 0 FROM (VALUES ('p:1'), ('p:50')) s(node)
+  UNION
+  SELECT w.src, e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < 20
+),
+d AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY src, node)
+SELECT node, round(sum(1.0 / dist), 4) AS harmonic
+FROM d WHERE dist > 0 GROUP BY node
+"""
+
+
 _DUP_WINDOW = 8  # tokens per duplicate-detection window
 
 
@@ -5086,6 +5127,7 @@ REGISTRY: dict[str, tuple] = {
     "q_merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "q_label_prop": (q_label_prop, SQL_LPA),
     "q_bfs_dist": (q_bfs_dist, SQL_BFS_DIST),
+    "q_harmonic": (q_harmonic, SQL_HARMONIC),
     "q_sparql_negprop": (q_sparql_negprop, SQL_SPARQL_NEGPROP),
     "q_sparql_optpath": (q_sparql_optpath, SQL_SPARQL_OPTPATH),
     "q_sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),

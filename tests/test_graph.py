@@ -598,3 +598,27 @@ def test_walks_salt_reseeds_and_walks_diverge(spark):
         F.count("*").alias("n"), F.min("step").alias("lo"),
         F.max("step").alias("hi")).collect())
     assert all(r["n"] == 7 and r["lo"] == 0 and r["hi"] == 6 for r in per)
+
+
+def test_tagged_bfs_keeps_per_source_distances(spark):
+    from logset_spark.operators.graph import (
+        bfs_distances, bfs_distances_tagged, harmonic_centrality)
+    import pyspark.sql.functions as F
+
+    # a -> b -> c and a separate source directly at c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    srcs = spark.createDataFrame([("a",), ("c",)], "node string")
+    tagged = {(r["src"], r["node"]): r["dist"]
+              for r in bfs_distances_tagged(edges, srcs).collect()}
+    assert tagged[("a", "c")] == 2 and tagged[("c", "c")] == 0
+    assert ("c", "a") not in tagged  # c reaches nothing upstream
+    # min over sources == untagged multi-source BFS
+    untag = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs).collect()}
+    for node in untag:
+        mins = min(d for (s, n), d in tagged.items() if n == node)
+        assert mins == untag[node]
+    # harmonic: b gets 1/1 from a; c gets 1/2 from a (self excluded)
+    h = {r["node"]: r["harmonic"]
+         for r in harmonic_centrality(edges, srcs).collect()}
+    assert h["b"] == 1.0 and h["c"] == 0.5 and "a" not in h
