@@ -828,3 +828,92 @@ def harmonic_centrality(
         .groupBy("node")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
     )
+
+
+def _hash_u32(col) -> "F.Column":
+    """First 8 hex chars of md5 as a non-negative int64 — the shared
+    cross-engine uniform hash (DuckDB: CAST('0x'||substr(md5(x),1,8) AS
+    BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def unigram_slot_table(
+    vocab: DataFrame, power: float = 0.75, resolution: int = 1 << 16
+) -> DataFrame:
+    """Quantize a frequency table into a SLOT TABLE for O(1) categorical
+    sampling: vocab DataFrame[node, freq] -> DataFrame[slot:long,
+    node], where node i owns max(1, floor(freq_i^power / W * resolution))
+    consecutive slots.  A uniform draw `h mod n_slots` equi-joined on
+    `slot` then samples ~ freq^power — the word2vec negative-sampling
+    distribution — with quantization error <= 1/resolution per node (plus
+    the one-slot floor for rare nodes).
+
+    This is the alias-table job done with TWO window cumsums and an
+    explode — pure relational ops, so the construction (a) runs
+    distributed for vocabularies that don't fit a driver, and (b) replays
+    verbatim in SQL for the oracle.  Slot ids are assigned in node order,
+    making the table deterministic."""
+    w = vocab.select(
+        "node", F.pow(F.col("freq").cast("double"), F.lit(power)).alias("w"))
+    total = w.agg(F.sum("w").alias("tw"))
+    sized = w.crossJoin(F.broadcast(total)).select(
+        "node",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.col("w") / F.col("tw") * F.lit(resolution)),
+        ).cast("long").alias("n_slots"),
+    )
+    win = W.orderBy("node")
+    # global cumsum window: single-partition over the VOCAB (node-scale,
+    # not corpus-scale); for >>1e8-node vocabularies swap in the
+    # distributed prefix sum from operators/ordering.py
+    lo = sized.select(
+        "node", "n_slots",
+        (F.sum("n_slots").over(win) - F.col("n_slots")).alias("lo"),
+    )
+    exploded = lo.select(
+        "node", "lo",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_slots") - 1)).alias(
+            "_i", "_off"),
+    )
+    return exploded.select(
+        (F.col("lo") + F.col("_off")).alias("slot"), "node")
+
+
+def negative_samples(
+    pairs: DataFrame, vocab: DataFrame, k: int = 5,
+    power: float = 0.75, resolution: int = 1 << 16, salt: str = "neg",
+) -> DataFrame:
+    """Deterministic word2vec negative sampling: for each (center,
+    context) pair draw `k` negatives ~ freq^power via the quantized slot
+    table — returns DataFrame[center, context, j:int, negative].
+
+    draw_j = md5(salt:center:context:j) mod n_slots, equi-joined on the
+    slot table: one broadcast-able join, O(pairs * k) rows, no per-row
+    Python, replayable in SQL.  Duplicate input pairs draw the SAME
+    negatives (the hash sees only the pair values) — determinism over
+    independence, the discipline that makes re-runs byte-identical.
+    Draws that collide with the pair's own center/context are dropped
+    rather than redrawn (a bounded, documented undercount; resampling
+    loops would be data-dependent rounds)."""
+    n_slots = unigram_slot_table(vocab, power, resolution).persist()
+    total = n_slots.count()  # materializes the (vocab-scale) table too
+    j = F.posexplode(F.sequence(F.lit(1), F.lit(k))).alias("_p", "j")
+    drawn = pairs.select(
+        "center", "context", j
+    ).select(
+        "center", "context", F.col("j").cast("int").alias("j"),
+        F.pmod(
+            _hash_u32(F.concat_ws(
+                ":", F.lit(salt), F.col("center"), F.col("context"),
+                F.col("j"))),
+            F.lit(total),
+        ).alias("slot"),
+    )
+    out = (
+        drawn.join(F.broadcast(n_slots), "slot")
+        .where((F.col("node") != F.col("center"))
+               & (F.col("node") != F.col("context")))
+        .select("center", "context", "j", F.col("node").alias("negative"))
+    )
+    return out

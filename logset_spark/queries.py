@@ -2756,6 +2756,57 @@ GROUP BY c.node, x.node
 """
 
 
+def q_negatives(spark, sf):
+    """Deterministic word2vec negative sampling (operators/graph.py
+    negative_samples): unigram^0.75 distribution quantized into a slot
+    table (two cumsum windows + explode — pure relational construction,
+    distributed AND SQL-replayable), draws = md5(salt:center:context:j)
+    mod n_slots equi-joined on the table.  Fixture: nations as vocab
+    with freq = nationkey+1, pairs = one per (nation, region).  The
+    oracle rebuilds the identical slot table and draws in SQL — the
+    whole sampler, not just the output shape, is cross-engine checked."""
+    from .operators.graph import negative_samples
+
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    pairs = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("center"), F.col("r_name").alias("context"))
+    vocab = n.select(
+        F.col("n_name").alias("node"),
+        (F.col("n_nationkey") + 1).cast("long").alias("freq"))
+    return negative_samples(pairs, vocab, k=4, resolution=1024, salt="neg")
+
+
+SQL_NEGATIVES = """
+WITH w AS (
+  SELECT n_name AS node, pow(CAST(n_nationkey + 1 AS DOUBLE), 0.75) AS w
+  FROM nation),
+sized AS (
+  SELECT node,
+         greatest(1, CAST(floor(w / (SELECT sum(w) FROM w) * 1024) AS BIGINT))
+           AS n_slots
+  FROM w),
+slotted AS (
+  SELECT node,
+         sum(n_slots) OVER (ORDER BY node) - n_slots AS lo, n_slots
+  FROM sized),
+slots AS (
+  SELECT lo + off AS slot, node
+  FROM slotted, unnest(generate_series(0, n_slots - 1)) AS t(off)),
+pairs AS (
+  SELECT n_name AS center, r_name AS context
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+drawn AS (
+  SELECT center, context, CAST(j AS INTEGER) AS j,
+         CAST(('0x' || substr(md5('neg:'||center||':'||context||':'||j), 1, 8))
+              AS BIGINT) % (SELECT count(*) FROM slots) AS slot
+  FROM pairs, unnest(generate_series(1, 4)) AS g(j))
+SELECT center, context, j, s.node AS negative
+FROM drawn d JOIN slots s USING (slot)
+WHERE s.node <> d.center AND s.node <> d.context
+"""
+
+
 # SSSP fixture: chains capped like the OWL one so the oracle's
 # recursive path enumeration stays fixture-scale
 _SSSP_EDGE_FILTER = (
@@ -5058,6 +5109,7 @@ REGISTRY: dict[str, tuple] = {
     "q_sssp": (q_sssp, SQL_SSSP),
     "q_walks": (q_walks, SQL_WALKS),
     "q_skipgram": (q_skipgram, SQL_SKIPGRAM),
+    "q_negatives": (q_negatives, SQL_NEGATIVES),
     "q_sparql_grouppath": (q_sparql_grouppath, SQL_SPARQL_GROUPPATH),
     "q_sparql_groupfilter": (q_sparql_groupfilter, SQL_SPARQL_GROUPFILTER),
     "q_sparql_graph": (q_sparql_graph, SQL_SPARQL_GRAPH),

@@ -622,3 +622,38 @@ def test_tagged_bfs_keeps_per_source_distances(spark):
     h = {r["node"]: r["harmonic"]
          for r in harmonic_centrality(edges, srcs).collect()}
     assert h["b"] == 1.0 and h["c"] == 0.5 and "a" not in h
+
+
+def test_unigram_slot_table_covers_and_sampler_tracks_power_law(spark):
+    from logset_spark.operators.graph import (
+        negative_samples, unigram_slot_table)
+    import pyspark.sql.functions as F
+
+    vocab = spark.createDataFrame(
+        [("a", 1), ("b", 16), ("c", 81)], "node string, freq long")
+    slots = unigram_slot_table(vocab, power=0.75, resolution=1000)
+    rows = slots.collect()
+    ids = sorted(r["slot"] for r in rows)
+    # contiguous 0..n-1, no gaps or dup slots
+    assert ids == list(range(len(ids)))
+    share = {n: c / len(rows) for n, c in
+             slots.groupBy("node").count().rdd.map(
+                 lambda r: (r["node"], r["count"])).collect()}
+    # freq^0.75 = 1 : 8 : 27 -> shares ~ 1/36, 8/36, 27/36
+    assert abs(share["c"] - 27 / 36) < 0.01
+    assert abs(share["b"] - 8 / 36) < 0.01
+
+    # empirical draw distribution over many pairs tracks the slot shares
+    pairs = spark.range(2000).select(
+        F.concat(F.lit("p"), "id").alias("center"), F.lit("x").alias("context"))
+    neg = negative_samples(pairs, vocab, k=1, resolution=1000)
+    counts = {r["negative"]: r["count"]
+              for r in neg.groupBy("negative").count().collect()}
+    tot = sum(counts.values())
+    assert abs(counts["c"] / tot - share["c"]) < 0.05
+    # determinism: same pairs, same salt -> identical draws
+    again = {r["negative"]: r["count"]
+             for r in negative_samples(
+                 pairs, vocab, k=1, resolution=1000
+             ).groupBy("negative").count().collect()}
+    assert again == counts
