@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     p.add_argument("--salt", default="w",
                    help="corpus seed: a different salt draws a fresh "
                         "deterministic corpus")
+    p.add_argument("--negatives", type=int, default=0, metavar="K",
+                   help="also draw K deterministic unigram^0.75 negatives "
+                        "per pair (written to <out>_negatives)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -96,11 +99,26 @@ def main(argv=None) -> int:
         F.col("center") != F.col("context"))
     pairs.write.mode("overwrite").parquet(args.out)
 
+    n_neg = 0
+    if args.negatives > 0:
+        from logset_spark.operators.graph import negative_samples
+
+        # vocab = node visit frequencies from THIS corpus's walks — the
+        # word2vec convention (negatives drawn from the data distribution)
+        vocab = walks.groupBy(F.col("node")).agg(
+            F.count(F.lit(1)).alias("freq"))
+        neg = negative_samples(
+            spark.read.parquet(args.out), vocab, k=args.negatives,
+            salt=args.salt + ":neg")
+        neg.write.mode("overwrite").parquet(args.out + "_negatives")
+        n_neg = spark.read.parquet(args.out + "_negatives").count()
+
     n_pairs = spark.read.parquet(args.out).count()
     print(json.dumps({
         "nodes": nodes.count(),
         "walks": starts.count(),
         "pairs": n_pairs,
+        "negatives": n_neg,
         "out": args.out,
         "wall_ms": int((time.monotonic() - t0) * 1000),
     }))
