@@ -70,11 +70,18 @@ class PropertyShape:
 
 
 @dataclass
+class SparqlConstraint:
+    select: str           # sh:select query text; must bind ?this
+    message: str | None   # sh:message, reported in the `value` column
+
+
+@dataclass
 class NodeShape:
     name: str
     target_class: str | None = None
     target_subjects_of: str | None = None
     properties: list[PropertyShape] = field(default_factory=list)
+    sparql: list[SparqlConstraint] = field(default_factory=list)
 
 
 def compile_shapes(shape_triples) -> list[NodeShape]:
@@ -135,6 +142,33 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
             raise ValueError(f"property shape {node!r} has no sh:path")
         return ps
 
+    def sparql_constraint(node: str) -> SparqlConstraint:
+        """SHACL-SPARQL constraint component (sh:sparql [ sh:select
+        "..." ; sh:message "..." ]): the SELECT must project ?this —
+        each solution's ?this is a violating focus node."""
+        select, message = None, None
+        for p, o in by_subj.get(node, ()):
+            loc = _sh_local(p)
+            if loc == "select":
+                select = o
+            elif loc == "message":
+                message = o
+            elif loc in ("prefixes",):
+                raise ValueError(
+                    "sh:prefixes is outside the subset — inline PREFIX "
+                    "headers in the sh:select text instead")
+            else:
+                raise ValueError(
+                    f"unsupported term {p!r} on sh:sparql node {node!r}")
+        if not select:
+            raise ValueError(f"sh:sparql node {node!r} has no sh:select")
+        if "?this" not in select and "$this" not in select:
+            raise ValueError(
+                f"sh:select on {node!r} never mentions ?this — every "
+                "solution must identify its violating focus node")
+        return SparqlConstraint(select=select.replace("$this", "?this"),
+                                message=message)
+
     shapes: list[NodeShape] = []
     for s, pos in by_subj.items():
         if not any(p == RDF_TYPE and _sh_local(o) == "NodeShape"
@@ -151,13 +185,16 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
                 ns.target_subjects_of = o
             elif loc == "property":
                 ns.properties.append(prop_shape(o))
+            elif loc == "sparql":
+                ns.sparql.append(sparql_constraint(o))
             else:
                 raise ValueError(
                     f"unsupported SHACL term {p!r} on shape {s!r}")
         if ns.target_class is None and ns.target_subjects_of is None:
             raise ValueError(f"shape {s!r} declares no target")
-        if not ns.properties:
-            raise ValueError(f"shape {s!r} has no sh:property constraints")
+        if not ns.properties and not ns.sparql:
+            raise ValueError(
+                f"shape {s!r} has no sh:property/sh:sparql constraints")
         shapes.append(ns)
     if not shapes:
         raise ValueError("shapes graph declares no sh:NodeShape")
@@ -263,6 +300,24 @@ def validate(
                         vals["value"] == typed["_typed_value"],
                         "left_anti"),
                     ns.name, ps.path, "class", F.col("value"))
+        for sc in ns.sparql:
+            # SHACL-SPARQL: the spec evaluates the SELECT with $this
+            # pre-bound per focus node; over a DataFrame engine the
+            # equivalent (and distributed) lowering runs the query ONCE
+            # over the whole graph and SEMI-JOINS its ?this column with
+            # the focus set — per-focus re-execution would be a
+            # driver-side loop over data.
+            from .sparql import sparql as _sparql
+
+            res = _sparql(graph.select("subj", "pred", "obj"), sc.select)
+            if "this" not in res.columns:
+                raise ValueError(
+                    f"sh:select on shape {ns.name!r} does not project "
+                    f"?this (columns: {res.columns})")
+            hits = res.select(F.col("this").alias("focus")).distinct() \
+                      .join(focus, "focus", "left_semi")
+            viol(hits, ns.name, "sh:sparql", "sparql",
+                 F.lit(sc.message or sc.select[:80]))
     if not parts:
         return spark.createDataFrame(
             [], "focus string, shape string, path string, "

@@ -4945,6 +4945,45 @@ FROM hasturn_vals WHERE NOT regexp_matches(value, '^turn:u[0-9]+/[0-9]+$')
 """
 
 
+_SHACL_SPARQL_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:ToolTurn a sh:NodeShape ;
+  sh:targetSubjectsOf hasRole ;
+  sh:sparql [
+    sh:select "SELECT ?this WHERE { ?this hasRole 'role:tool' . FILTER NOT EXISTS { ?this usedTool ?t } }" ;
+    sh:message "tool-role turn without usedTool"
+  ] .
+"""
+
+
+def q_shacl_sparql(spark, sf):
+    """SHACL-SPARQL constraint component (sh:sparql / sh:select): a
+    cross-property rule the core constraint families can't express —
+    "a tool-role turn must carry a usedTool triple" — declared as a
+    SPARQL SELECT inside the shapes graph (spec's advanced profile) and
+    validated by running the query ONCE over the graph and semi-joining
+    its ?this column with the focus set (the distributed equivalent of
+    the spec's per-focus $this pre-binding; a per-focus loop would be
+    driver-side).  Oracle replays the rule as an anti-join in SQL."""
+    from .operators.shacl import validate
+    from .sources.turtle import parse_turtle
+
+    shape_triples, _ = parse_turtle(_SHACL_SPARQL_TTL)
+    return validate(q_kg_structural(spark, sf), shape_triples)
+
+
+SQL_SHACL_SPARQL = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+tool_turns AS (
+  SELECT subj FROM g WHERE pred = 'hasRole' AND obj = 'role:tool'),
+used AS (SELECT DISTINCT subj FROM g WHERE pred = 'usedTool')
+SELECT t.subj AS focus, 'ex:ToolTurn' AS shape, 'sh:sparql' AS path,
+       'sparql' AS "constraint",
+       'tool-role turn without usedTool' AS value
+FROM tool_turns t ANTI JOIN used u ON t.subj = u.subj
+"""
+
+
 def q_char_sets(spark, sf):
     """Characteristic sets (operators/quality.py) of the structural
     transcript KG: every distinct predicate-combination a subject
@@ -5095,6 +5134,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
     # round-3 session-5 additions
     "q_shacl": (q_shacl, SQL_SHACL),
+    "q_shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
     "q_jaccard": (q_jaccard, SQL_JACCARD),
     "q_hits": (q_hits, SQL_HITS),
     "q_char_sets": (q_char_sets, SQL_CHAR_SETS),

@@ -157,3 +157,69 @@ def test_focus_scope_rejects_multicolumn(spark):
         properties=[PropertyShape(path="p", min_count=1)])]
     with pytest.raises(ValueError, match="one column"):
         validate(g2, shapes, scope2)
+
+
+# ---------------------------------------------------------------------------
+# SHACL-SPARQL constraint component (sh:sparql / sh:select)
+# ---------------------------------------------------------------------------
+
+SPARQL_SHAPE_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:ToolTurnShape a sh:NodeShape ;
+  sh:targetClass logset:Turn ;
+  sh:sparql [
+    sh:select "SELECT ?this WHERE { ?this hasRole 'role:tool' . FILTER NOT EXISTS { ?this usedTool ?t } }" ;
+    sh:message "tool-role turn without a usedTool triple"
+  ] .
+"""
+
+G_SPARQL = [
+    ("turn:t1", "rdf:type", "logset:Turn"),
+    ("turn:t1", "hasRole", "role:tool"),
+    ("turn:t1", "usedTool", "tool:grep"),     # conformant
+    ("turn:t2", "rdf:type", "logset:Turn"),
+    ("turn:t2", "hasRole", "role:tool"),      # violator: no usedTool
+    ("turn:t3", "rdf:type", "logset:Turn"),
+    ("turn:t3", "hasRole", "role:user"),      # not a tool turn
+    ("x:loose", "hasRole", "role:tool"),      # matches query, NOT a focus
+]
+
+
+def test_sparql_constraint_flags_cross_property_rule(spark):
+    g2 = spark.createDataFrame(
+        G_SPARQL, "subj string, pred string, obj string")
+    trips, _ = parse_turtle(SPARQL_SHAPE_TTL)
+    out = validate(g2, trips).collect()
+    assert [(r["focus"], r["constraint"], r["value"]) for r in out] == [
+        ("turn:t2", "sparql", "tool-role turn without a usedTool triple")]
+    # the untyped x:loose matched the SELECT but is outside the shape's
+    # focus set -> the semi-join must drop it (asserted by the == above)
+
+
+def test_sparql_constraint_rejections(spark):
+    with pytest.raises(ValueError, match=r"\?this"):
+        compile_shapes([
+            ("ex:S", "rdf:type", "sh:NodeShape"),
+            ("ex:S", "sh:targetClass", "T"),
+            ("ex:S", "sh:sparql", "_:q"),
+            ("_:q", "sh:select", "SELECT ?x WHERE { ?x p ?o }"),
+        ])
+    with pytest.raises(ValueError, match="sh:select"):
+        compile_shapes([
+            ("ex:S", "rdf:type", "sh:NodeShape"),
+            ("ex:S", "sh:targetClass", "T"),
+            ("ex:S", "sh:sparql", "_:q"),
+            ("_:q", "sh:message", "no select"),
+        ])
+    # $this spelling is normalized; projecting this under another name fails
+    g2 = spark.createDataFrame(
+        G_SPARQL, "subj string, pred string, obj string")
+    shapes = compile_shapes([
+        ("ex:S", "rdf:type", "sh:NodeShape"),
+        ("ex:S", "sh:targetClass", "logset:Turn"),
+        ("ex:S", "sh:sparql", "_:q"),
+        ("_:q", "sh:select",
+         "SELECT (COUNT(?this) AS ?n) WHERE { ?this hasRole ?r }"),
+    ])
+    with pytest.raises(ValueError, match="project"):
+        validate(g2, shapes).collect()
