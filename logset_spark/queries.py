@@ -4163,6 +4163,31 @@ FROM read_csv('{TTL_FLAT_FIXTURE}', header=true, auto_detect=false,
 """
 
 
+TRIG_FIXTURE = _fixture("graphs.trig")
+TRIG_FLAT_FIXTURE = _fixture("graphs_flat.csv")
+
+
+def q_trig_source(spark, sf):
+    """TriG quads ingestion (sources/turtle.py parse_trig): GRAPH blocks
+    + default-graph statements + prefixes + an omitted final dot, loaded
+    into the quads frame the GRAPH / FROM / graph_update surfaces
+    consume.  The DuckDB oracle reads the committed pre-flattened CSV of
+    the same fixture (hand-verified), value-checking the parser + graph
+    attribution end-to-end."""
+    from .sources.turtle import load_trig
+
+    return load_trig(spark, TRIG_FIXTURE)
+
+
+SQL_TRIG_SOURCE = f"""
+SELECT subj, pred, obj, graph
+FROM read_csv('{TRIG_FLAT_FIXTURE}', header=true, auto_detect=false,
+              delim=',', quote='"', escape='"',
+              columns={{'subj': 'VARCHAR', 'pred': 'VARCHAR',
+                        'obj': 'VARCHAR', 'graph': 'VARCHAR'}})
+"""
+
+
 def q_csv_source(spark, sf):
     """S-family CSV transcript ingestion (sources/csvsrc.py): explicit
     north-rule schema, PERMISSIVE parse, malformed rows quarantined — the
@@ -5157,6 +5182,7 @@ REGISTRY: dict[str, tuple] = {
     "q_graph_mgmt": (q_graph_mgmt, SQL_GRAPH_MGMT),
     # round-3 additions: real Turtle + catalog links, SPARQL frontend
     "q_ttl_source": (q_ttl_source, SQL_TTL_SOURCE),
+    "q_trig_source": (q_trig_source, SQL_TRIG_SOURCE),
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),
     "q_dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "q_sparql_bind": (q_sparql_bind, SQL_SPARQL_BIND),

@@ -99,7 +99,7 @@ _TOKEN = re.compile(
             | "(?:[^"\\\n]|\\.)*"
             | '(?:[^'\\\n]|\\.)*')
     | (?P<iri><[^<>"{}|^`\\\s]*>)
-    | (?P<punct>\^\^|[;,\[\]()])
+    | (?P<punct>\^\^|[;,\[\](){}])
     | (?P<word>[^\s;,\[\]()"'<>]+)
     """,
     re.VERBOSE,
@@ -326,12 +326,184 @@ class _Parser:
             self.expect("dot")
         return self.triples
 
+    # ---- TriG (quads) layer --------------------------------------------
+
+    def _one_statement(self) -> None:
+        """One Turtle statement onto self.triples; the terminating '.'
+        is consumed here, except it may be omitted before a block's
+        closing '}' (TriG grammar)."""
+        was_bnode_list = self.peek() == ("punct", "[")
+        subj = self.term()
+        if was_bnode_list and self.peek()[0] == "dot":
+            self.next()
+            return
+        self._pred_obj_list(subj, bracket=False)
+        if self.peek()[0] == "dot":
+            self.next()
+        elif self.peek() != ("punct", "}"):
+            self.expect("dot")
+
+    def _graph_block(
+        self, graph: str | None,
+        quads: list[tuple[str, str, str, str | None]],
+    ) -> None:
+        self.expect("punct", "{")
+        while self.peek() != ("punct", "}"):
+            if self.peek()[0] is None:
+                raise ValueError("unterminated graph block (missing '}')")
+            before = len(self.triples)
+            self._one_statement()
+            quads.extend((s, p, o, graph)
+                         for s, p, o in self.triples[before:])
+        self.next()  # '}'
+
+    def trig_statements(self) -> list[tuple[str, str, str, str | None]]:
+        """TriG document -> quads.  `GRAPH term { ... }` and bare
+        `{ ... }` wrap Turtle statements; statements outside a block are
+        default-graph (graph=None).  GRAPH is a keyword only in the
+        `GRAPH term {` position, so a subject literally named GRAPH
+        still parses as a plain statement."""
+        self.triples = []
+        quads: list[tuple[str, str, str, str | None]] = []
+        while self.peek()[0] is not None:
+            if self.directive():
+                continue
+            k, v = self.peek()
+            if (k, v) == ("punct", "{"):
+                self._graph_block(None, quads)
+                continue
+            if k == "word" and v.upper() == "GRAPH":
+                save = self.i
+                self.next()
+                try:
+                    g = self.term()
+                    if self.peek() != ("punct", "{"):
+                        raise ValueError("not a GRAPH block")
+                except ValueError:
+                    self.i = save  # a subject named GRAPH: plain statement
+                else:
+                    self._graph_block(g, quads)
+                    continue
+            before = len(self.triples)
+            self._one_statement()
+            quads.extend((s, p, o, None)
+                         for s, p, o in self.triples[before:])
+        return quads
+
 
 def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]:
     """Full-subset parse -> (triples, prefix bindings)."""
     p = _Parser(_tokenize(text))
     trips = p.statements()
     return trips, p.prefixes
+
+
+def parse_trig(
+    text: str,
+) -> tuple[list[tuple[str, str, str, str | None]], dict[str, str]]:
+    """TriG (quads) parse -> ([(subj, pred, obj, graph)], prefixes).
+    Subset on top of the Turtle one: `GRAPH term { statements }` blocks
+    and bare `{ statements }` blocks (default graph); statements outside
+    any block are default-graph; the final statement of a block may omit
+    its '.'.  graph is None for default-graph quads."""
+    p = _Parser(_tokenize(text))
+    return p.trig_statements(), p.prefixes
+
+
+def to_trig(quads: pd.DataFrame) -> str:
+    """quads: DataFrame[subj, pred, obj, graph] (graph None/NaN =
+    default graph) -> deterministic TriG text: bare statements for the
+    default graph, one GRAPH block per named graph, everything sorted."""
+    rows = quads[["subj", "pred", "obj", "graph"]].drop_duplicates()
+    out: list[str] = []
+    default = rows[rows["graph"].isna()].sort_values(["subj", "pred", "obj"])
+    for s, p, o, _ in default.itertuples(index=False):
+        out.append(f"{_term(s)} <{p}> {_term(o)} .")
+    named = rows[rows["graph"].notna()]
+    for g in sorted(named["graph"].unique()):
+        out.append(f"GRAPH {_term(g)} {{")
+        block = named[named["graph"] == g].sort_values(
+            ["subj", "pred", "obj"])
+        for s, p, o, _ in block.itertuples(index=False):
+            out.append(f"  {_term(s)} <{p}> {_term(o)} .")
+        out.append("}")
+    return "\n".join(out) + "\n"
+
+
+def from_trig(text: str) -> pd.DataFrame:
+    """Parse TriG text into a quads frame (subj, pred, obj, graph;
+    graph None for the default graph)."""
+    quads, _ = parse_trig(text)
+    return pd.DataFrame(quads, columns=["subj", "pred", "obj", "graph"])
+
+
+def load_trig(spark, path: str):
+    """One .trig file -> Spark quads DataFrame[subj, pred, obj, graph].
+    Driver-parsed like load_turtle (catalog-scale input); the frame
+    feeds the quads surfaces (GRAPH patterns, FROM/FROM NAMED,
+    graph_update) directly."""
+    with open(path, encoding="utf-8") as f:
+        quads, _ = parse_trig(f.read())
+    return spark.createDataFrame(
+        quads, "subj string, pred string, obj string, graph string")
+
+
+def save_trig(quads, path: str, mode: str = "overwrite") -> None:
+    """DISTRIBUTED TriG sink: each quad becomes one self-contained
+    single-line `GRAPH <g> { s p o . }` block (default-graph rows a bare
+    statement) — valid TriG (a graph may repeat across blocks), and the
+    one-line framing keeps the writer a pure projection like
+    save_turtle, whose escape/rejection rules apply unchanged."""
+    from pyspark.sql import functions as F
+
+    def term(col):
+        is_uri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
+        esc = F.regexp_replace(col, r"\\", r"\\\\")
+        esc = F.regexp_replace(esc, '"', '\\\\"')
+        esc = F.regexp_replace(esc, "\n", r"\\n")
+        esc = F.regexp_replace(esc, "\r", r"\\r")
+        esc = F.regexp_replace(esc, "\t", r"\\t")
+        return F.when(is_uri, F.concat(F.lit("<"), col, F.lit(">"))) \
+            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+
+    bad = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+           "\\x{0085}\\x{2028}\\x{2029}]")
+    n_bad = (
+        quads.where(
+            F.col("subj").rlike(bad) | F.col("pred").rlike(bad)
+            | F.col("obj").rlike(bad)
+            | F.coalesce(F.col("graph"), F.lit("")).rlike(bad)
+        ).limit(1).count()
+    )
+    if n_bad:
+        raise ValueError(
+            "quads contain control characters outside the TriG sink's "
+            "escape subset — refusing to write a corrupt catalog")
+    stmt = F.concat(
+        term(F.col("subj")), F.lit(" "),
+        F.lit("<"), F.col("pred"), F.lit("> "),
+        term(F.col("obj")), F.lit(" ."),
+    )
+    lines = quads.select(
+        F.when(
+            F.col("graph").isNull(), stmt
+        ).otherwise(
+            F.concat(F.lit("GRAPH "), term(F.col("graph")),
+                     F.lit(" { "), stmt, F.lit(" }"))
+        ).alias("value")
+    )
+    lines.write.mode(mode).text(path)
+
+
+def load_trig_dir(spark, path: str):
+    """Read a save_trig output directory back into a quads DataFrame.
+    Driver-side parse of the shard text (same catalog-scale rationale
+    as load_turtle_dir); each line is a self-contained block."""
+    lines = spark.read.text(path)
+    text = "\n".join(r["value"] for r in lines.collect())
+    quads, _ = parse_trig(text)
+    return spark.createDataFrame(
+        quads, "subj string, pred string, obj string, graph string")
 
 
 def from_turtle(text: str) -> pd.DataFrame:

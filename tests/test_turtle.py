@@ -191,3 +191,68 @@ def test_load_catalog_named_graphs_provenance(spark):
         "{ ?s ?p ?o } }")
     assert one.count() == 8
     assert sparql(quads, "SELECT ?s ?p ?o WHERE { ?s ?p ?o }").count() == 15
+
+
+# ---------------------------------------------------------------------------
+# TriG (quads serialization)
+# ---------------------------------------------------------------------------
+
+
+def test_trig_parse_blocks_prefixes_and_default(spark):
+    from logset_spark.sources.turtle import parse_trig
+
+    quads, prefixes = parse_trig("""
+        @prefix ex: <http://x.org/> .
+        ex:top ex:p ex:o .                 # default graph, outside blocks
+        GRAPH ex:g1 {
+          ex:a ex:p ex:b ; ex:q "lit" .
+          ex:c ex:p ex:d                   # final dot omitted
+        }
+        { ex:bare ex:p ex:o . }            # bare block = default graph
+        GRAPH "g2" { ex:e ex:p ex:f . }
+    """)
+    assert prefixes == {"ex": "http://x.org/"}
+    X = "http://x.org/"
+    assert (f"{X}top", f"{X}p", f"{X}o", None) in quads
+    assert (f"{X}a", f"{X}q", "lit", f"{X}g1") in quads
+    assert (f"{X}c", f"{X}p", f"{X}d", f"{X}g1") in quads
+    assert (f"{X}bare", f"{X}p", f"{X}o", None) in quads
+    assert (f"{X}e", f"{X}p", f"{X}f", "g2") in quads
+    # a SUBJECT literally named GRAPH still parses as a plain statement
+    q2, _ = parse_trig("GRAPH ex:p ex:o .")
+    assert q2 == [("GRAPH", "ex:p", "ex:o", None)]
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_trig("GRAPH g { a b c .")
+
+
+def test_trig_roundtrip_text_and_distributed(spark, tmp_path):
+    import pandas as pd
+
+    from logset_spark.sources.turtle import (
+        from_trig, load_trig, load_trig_dir, save_trig, to_trig)
+
+    pdf = pd.DataFrame(
+        [("ent:a", "kg:p", "plain text", None),
+         ("ent:a", "kg:p", "ent:b", "kg:g1"),
+         ("ent:c", "kg:q", 'quo"te\nnl', "kg:g2")],
+        columns=["subj", "pred", "obj", "graph"])
+    # driver text round-trip
+    back = from_trig(to_trig(pdf))
+    assert sorted(map(tuple, back.itertuples(index=False))) == sorted(
+        map(tuple, pdf.itertuples(index=False)))
+    # distributed sink -> file -> parse round-trip
+    df = spark.createDataFrame(
+        pdf, "subj string, pred string, obj string, graph string")
+    out = str(tmp_path / "q.trig")
+    save_trig(df, out)
+    got = load_trig_dir(spark, out)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, pdf.itertuples(index=False)))
+    # single-file load feeds the quads surfaces
+    f = tmp_path / "one.trig"
+    f.write_text(to_trig(pdf))
+    tri = load_trig(spark, str(f))
+    from logset_spark.operators.sparql import sparql
+
+    r = sparql(tri, "SELECT ?s FROM kg:g1 WHERE { ?s kg:p ?o }")
+    assert [t["s"] for t in r.collect()] == ["ent:a"]
