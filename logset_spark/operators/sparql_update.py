@@ -441,6 +441,10 @@ def graph_update(
         try:
             if load_fn is not None:
                 tri = load_fn(path)
+            elif path.endswith(".trig"):
+                from ..sources.turtle import load_trig
+
+                tri = load_trig(quads.sparkSession, path)
             else:
                 from ..sources.turtle import load_turtle
 
@@ -449,9 +453,14 @@ def graph_update(
             if silent:
                 return quads
             raise
-        new = tri.select(
-            "subj", "pred", "obj",
-            F.lit(g).cast("string").alias("graph"))
+        if "graph" in tri.columns and g is None:
+            # a quads source (TriG) carries its own graph attribution;
+            # INTO GRAPH overrides it below
+            new = tri.select("subj", "pred", "obj", "graph")
+        else:
+            new = tri.select(
+                "subj", "pred", "obj",
+                F.lit(g).cast("string").alias("graph"))
         return quads.unionByName(new).distinct()
 
     raise ValueError(f"unknown graph-management verb {verb!r}")

@@ -338,3 +338,17 @@ def test_load_turtle_into_graph(quads, tmp_path):
     ).count() == quads.count()
     assert is_graph_management("CLEAR ALL")
     assert not is_graph_management("INSERT DATA { a b c }")
+
+
+def test_load_trig_preserves_graph_attribution(quads, tmp_path):
+    from logset_spark.operators.sparql_update import graph_update
+
+    f = tmp_path / "in.trig"
+    f.write_text('n1 p n2 .\nGRAPH gt { n3 p n4 . }\n')
+    got = graph_update(quads, f"LOAD <file://{f}>")
+    rows = {(r["subj"], r["graph"]) for r in got.collect()}
+    assert ("n1", None) in rows and ("n3", "gt") in rows
+    # INTO GRAPH overrides the source's own attribution
+    got = graph_update(quads, f"LOAD <file://{f}> INTO GRAPH gx")
+    rows = {(r["subj"], r["graph"]) for r in got.collect()}
+    assert ("n1", "gx") in rows and ("n3", "gx") in rows and ("n3", "gt") not in rows
