@@ -672,8 +672,17 @@ def load_catalog(
         if len(seen) > max_files:
             raise ValueError(f"catalog link mesh exceeds {max_files} files")
         with open(path, encoding="utf-8") as f:
-            trips, _ = parse_turtle(f.read())
-        frames.append((path, trips))
+            text = f.read()
+        if path.endswith(".trig"):
+            # a TriG catalog carries its own named graphs; with
+            # named_graphs=False they flatten into the union (the RDF
+            # merge), with True they override the per-file attribution
+            qds, _ = parse_trig(text)
+            trips = [(s, p, o) for s, p, o, _g in qds]
+            frames.append((path, trips, qds))
+        else:
+            trips, _ = parse_turtle(text)
+            frames.append((path, trips, None))
         if not follow_links:
             break
         for s, p, o in trips:
@@ -684,7 +693,7 @@ def load_catalog(
                 tgt = tgt[len("file://"):]
             if tgt.startswith(("http://", "https://")):
                 continue  # remote catalogs are outside the sandbox
-            if not tgt.endswith(".ttl"):
+            if not tgt.endswith((".ttl", ".trig")):
                 continue
             cand = tgt if os.path.isabs(tgt) else os.path.join(
                 os.path.dirname(path), tgt)
@@ -692,12 +701,19 @@ def load_catalog(
             if os.path.exists(cand) and cand not in seen:
                 queue.append(cand)
     if named_graphs:
-        rows = [(s, p, o, f"file://{path}")
-                for path, ts in frames for s, p, o in ts]
+        rows = []
+        for path, ts, qds in frames:
+            if qds is not None:
+                # TriG: keep the document's own graphs; default-graph
+                # statements attribute to the file like .ttl ones
+                rows.extend((s, p, o, g if g is not None else
+                             f"file://{path}") for s, p, o, g in qds)
+            else:
+                rows.extend((s, p, o, f"file://{path}") for s, p, o in ts)
         return spark.createDataFrame(
             rows, "subj string, pred string, obj string, graph string"
         ).distinct()
-    rows = [t for _, ts in frames for t in ts]
+    rows = [t for _, ts, _qds in frames for t in ts]
     return spark.createDataFrame(
         rows, "subj string, pred string, obj string"
     ).distinct()

@@ -256,3 +256,22 @@ def test_trig_roundtrip_text_and_distributed(spark, tmp_path):
 
     r = sparql(tri, "SELECT ?s FROM kg:g1 WHERE { ?s kg:p ?o }")
     assert [t["s"] for t in r.collect()] == ["ent:a"]
+
+
+def test_load_catalog_follows_trig_and_keeps_graphs(spark, tmp_path):
+    from logset_spark.sources.turtle import load_catalog
+
+    (tmp_path / "entry.ttl").write_text(
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "cat:entry rdfs:seeAlso <linked.trig> .\n")
+    (tmp_path / "linked.trig").write_text(
+        "d1 p o1 .\nGRAPH run:A { d2 p o2 . }\n")
+    # flattened union (RDF merge)
+    tri = load_catalog(spark, str(tmp_path / "entry.ttl"))
+    subs = {r["subj"] for r in tri.collect()}
+    assert {"cat:entry", "d1", "d2"} <= subs
+    # quads view: TriG graphs survive, default statements attribute to file
+    q = load_catalog(spark, str(tmp_path / "entry.ttl"), named_graphs=True)
+    gm = {(r["subj"], r["graph"]) for r in q.collect()}
+    assert ("d2", "run:A") in gm
+    assert any(s == "d1" and g.endswith("linked.trig") for s, g in gm)
