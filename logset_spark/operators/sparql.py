@@ -160,6 +160,7 @@ class AggItem:
     var: str | None  # None = COUNT(*)
     alias: str
     distinct: bool = False  # COUNT(DISTINCT ?v) etc.
+    sep: str = ";"  # GROUP_CONCAT(...; SEPARATOR='...') override
 
 
 @dataclass
@@ -503,12 +504,20 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             raise ValueError(f"{func}(*) is not in the subset (COUNT(*) only)")
         if var is None and dist:
             raise ValueError("COUNT(DISTINCT *) is not in the subset")
-        aggs.append(AggItem(func, var, mo.group(4)[1:], distinct=dist))
+        sep = ";"
+        if mo.group(4) is not None:  # ; SEPARATOR='...' (a literal, so a
+            if func != "GROUP_CONCAT":  # placeholder at this point)
+                raise ValueError(
+                    f"SEPARATOR applies to GROUP_CONCAT only, not {func}")
+            sep = _restore_content(mo.group(4), lits)
+        aggs.append(AggItem(func, var, mo.group(5)[1:], distinct=dist,
+                            sep=sep))
         return " "
 
     sel_raw = re.sub(
         r"\(\s*(COUNT|MIN|MAX|SUM|AVG|GROUP_CONCAT|SAMPLE)\s*\(\s*"
-        r"(DISTINCT\s+)?(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)",
+        r"(DISTINCT\s+)?(\?\w+|\*)\s*"
+        r"(?:;\s*SEPARATOR\s*=\s*(\x00\d+\x00)\s*)?\)\s+AS\s+(\?\w+)\s*\)",
         _agg, sel_raw, flags=re.IGNORECASE,
     ).strip()
     if sel_raw == "*":
@@ -1445,7 +1454,7 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery) -> DataFrame:
             if a.distinct:
                 if a.func == "GROUP_CONCAT":
                     return F.array_join(
-                        F.array_sort(F.collect_set(col)), ";"
+                        F.array_sort(F.collect_set(col)), a.sep
                     ).alias(a.alias)
                 inner = (f"CAST({a.var} AS DOUBLE)"
                          if a.func in ("SUM", "AVG") else a.var)
@@ -1456,9 +1465,9 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery) -> DataFrame:
                 # SPARQL leaves GROUP_CONCAT order unspecified; this
                 # engine SORTS the values first so the result is
                 # deterministic (and therefore oracle-checkable).
-                # Fixed ';' separator — SEPARATOR= is outside the subset.
+                # Separator defaults to ';', SEPARATOR='...' overrides.
                 return F.array_join(
-                    F.array_sort(F.collect_list(col)), ";"
+                    F.array_sort(F.collect_list(col)), a.sep
                 ).alias(a.alias)
             if a.func in ("SUM", "AVG"):
                 col = col.cast("double")

@@ -1055,3 +1055,26 @@ def test_from_needs_quads_and_paths_follow_dataset(spark, quads):
     assert got == [("b",)]  # b->c lives in g2, outside the dataset
     got = _rows(sparql(g, "SELECT ?x FROM g1 FROM g2 WHERE { a n+ ?x }"))
     assert got == [("b",), ("c",)]
+
+
+def test_group_concat_separator(tri, spark):
+    g = spark.createDataFrame(
+        [("s1", "p", "a"), ("s1", "p", "b"), ("s2", "p", "c"),
+         ("s1", "p", "a")],
+        "subj string, pred string, obj string")
+    got = _rows(sparql(g, """
+        SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=', ') AS ?all)
+        WHERE { ?s p ?o } ORDER BY ?s"""))
+    assert got == [("s1", "a, a, b"), ("s2", "c")]
+    got = _rows(sparql(g, """
+        SELECT ?s (GROUP_CONCAT(DISTINCT ?o; SEPARATOR='|') AS ?all)
+        WHERE { ?s p ?o } ORDER BY ?s"""))
+    assert got == [("s1", "a|b"), ("s2", "c")]
+    # default separator unchanged
+    got = _rows(sparql(g, """
+        SELECT ?s (GROUP_CONCAT(?o) AS ?all) WHERE { ?s p ?o }
+        ORDER BY ?s"""))
+    assert got == [("s1", "a;a;b"), ("s2", "c")]
+    with pytest.raises(ValueError, match="SEPARATOR"):
+        sparql(g, "SELECT ?s (SUM(?o; SEPARATOR=';') AS ?n) "
+                  "WHERE { ?s p ?o }")
