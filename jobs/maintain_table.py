@@ -60,6 +60,16 @@ def main(argv=None) -> int:
                         "to be an ancestor)")
     p.add_argument("--refs", action="store_true",
                    help="include the named-refs table in the output")
+    p.add_argument("--refresh-view", default=None, metavar="VIEW_ROOT",
+                   help="incrementally refresh an aggregate materialized "
+                        "view at this root to the table's current snapshot "
+                        "(first run builds it full; later runs apply only "
+                        "the changelog since the view's base version)")
+    p.add_argument("--view-group-cols", default="pred",
+                   help="comma-separated view grouping keys (default: pred "
+                        "— maintained per-predicate KG stats)")
+    p.add_argument("--view-sum-cols", default="",
+                   help="comma-separated exact-numeric columns to sum")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -106,6 +116,15 @@ def main(argv=None) -> int:
         out["dropped_ref"] = args.drop_ref
     if args.fast_forward:
         out["fast_forwarded_to"] = store.fast_forward(args.fast_forward)
+    if args.refresh_view:
+        from logset_spark.operators.matview import IncrementalAggView
+
+        view = IncrementalAggView(
+            args.refresh_view,
+            group_cols=[c for c in args.view_group_cols.split(",") if c],
+            sum_cols=[c for c in args.view_sum_cols.split(",") if c],
+        )
+        out["view_refresh"] = view.refresh(spark, store)
     out["version_after"] = store.current_version()
     if args.refs:
         out["refs"] = [r.asDict() for r in store.refs(spark).collect()]

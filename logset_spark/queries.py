@@ -3208,6 +3208,71 @@ WHERE ts >= t0.t + INTERVAL 3 DAY AND ts <= t0.t + INTERVAL 5 DAY
 """
 
 
+def q_mv_incremental(spark, sf):
+    """Incrementally-maintained aggregate materialized view
+    (operators/matview.py): events-as-transcript rows land in the
+    snapshot store (v1), the view is built FULL at v1, then the base
+    advances twice — a dynamic overwrite editing the earliest day's
+    etype, then a CoW DELETE of turn_idx % 11 = 0 — and the view is
+    refreshed INCREMENTALLY from the v1->v3 changelog (diff-driven
+    signed partial aggregates merged into only the touched view
+    buckets; work is delta-sized, never base-sized).  The query returns
+    the maintained view; the oracle recomputes the same aggregate
+    declaratively over the replayed final state — incremental
+    maintenance must be indistinguishable from full recomputation."""
+    import shutil
+    import tempfile
+
+    from .operators.matview import IncrementalAggView
+    from .sources.snapshots import SnapshotTableIO
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("etype"),
+    )
+    d0 = e.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_mv_incr_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotTableIO(root=f"{root}/base", n_buckets=8)
+    store.commit(e)  # v1: full table
+    view = IncrementalAggView(f"{root}/mv", group_cols=["etype"],
+                              sum_cols=["turn_idx"], n_buckets=4)
+    view.refresh(spark, store)  # full build at v1
+    upd = e.filter(F.to_date("ts") == F.lit(d0)).withColumn(
+        "etype", F.lit("edited"))
+    store.commit(upd)  # v2: dynamic overwrite of day d0
+    store.delete_where(spark, F.col("turn_idx") % 11 == 0)  # v3: CoW delete
+    view.refresh(spark, store)  # incremental v1 -> v3
+    return view.read(spark).select(
+        "etype",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_turn_idx").cast("long").alias("sum_turn"),
+    )
+
+
+SQL_MV_INCREMENTAL = """
+WITH base AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id AS INT) AS turn_idx, ts, event_type AS etype
+    FROM events
+),
+edited AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN CAST(ts AS DATE) =
+                     (SELECT MIN(CAST(ts AS DATE)) FROM base)
+                THEN 'edited' ELSE etype END AS etype
+    FROM base
+),
+final AS (SELECT * FROM edited WHERE turn_idx % 11 <> 0)
+SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn
+FROM final GROUP BY etype
+"""
+
+
 def q_sparql_negprop(spark, sf):
     """SPARQL negated property set !(p1|p2|...): ONE scan whose pred
     filter is NOT IN — still a pushed-down predicate, never a union of
@@ -5157,6 +5222,8 @@ FROM nodes n JOIN h{_HITS_ROUNDS} h ON n.node = h.node
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-7 additions
+    "q_mv_incremental": (q_mv_incremental, SQL_MV_INCREMENTAL),
     # round-3 session-5 additions
     "q_shacl": (q_shacl, SQL_SHACL),
     "q_shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
