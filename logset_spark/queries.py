@@ -3273,6 +3273,62 @@ FROM final GROUP BY etype
 """
 
 
+def q_zorder(spark, sf):
+    """Z-order clustering + file-level min/max skipping
+    (operators/zorder.py — the OPTIMIZE ZORDER BY layout): part rows are
+    rewritten in Morton order over (p_size, price-in-cents), per-file
+    [min,max] boxes land in a manifest, and a rectangle query then DROPS
+    whole files from metadata before Spark lists them.  The query reads
+    only the surviving files and applies the real predicate; the oracle
+    is the plain declarative filter — metadata pruning must be pure IO
+    elision (a skipped file containing a qualifying row would change the
+    row set and fail the hash).  Rectangle bounds derive from min/max
+    with integer-exact arithmetic so both engines compute identical
+    cuts."""
+    import shutil
+    import tempfile
+
+    from .operators.zorder import ZOrderedTable
+
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("int").alias("p_size"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+    )
+    mm = p.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx")).first()
+    lo_c = mm["mn"] + (mm["mx"] - mm["mn"]) // 4
+    hi_c = mm["mn"] + (mm["mx"] - mm["mn"]) // 2
+    tag = "".join(c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1])
+    root = f"{tempfile.gettempdir()}/logset_zorder_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = ZOrderedTable(root, "p_size", "cents", bits=12)
+    t.write(p, n_files=16)
+    return (
+        t.read_pruned(spark, lo_a=10, hi_a=25, lo_b=lo_c, hi_b=hi_c)
+        .filter(
+            (F.col("p_size") >= 10) & (F.col("p_size") <= 25)
+            & (F.col("cents") >= lo_c) & (F.col("cents") <= hi_c)
+        )
+        .select("p_partkey", "p_size", "cents")
+    )
+
+
+SQL_ZORDER = """
+WITH p AS (
+    SELECT p_partkey, CAST(p_size AS INT) AS p_size,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM part
+),
+mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM p)
+SELECT p_partkey, p_size, cents
+FROM p, mm
+WHERE p_size BETWEEN 10 AND 25
+  AND cents >= mm.mn + (mm.mx - mm.mn) // 4
+  AND cents <= mm.mn + (mm.mx - mm.mn) // 2
+"""
+
+
 def q_sparql_negprop(spark, sf):
     """SPARQL negated property set !(p1|p2|...): ONE scan whose pred
     filter is NOT IN — still a pushed-down predicate, never a union of
@@ -5224,6 +5280,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
     # round-3 session-7 additions
     "q_mv_incremental": (q_mv_incremental, SQL_MV_INCREMENTAL),
+    "q_zorder": (q_zorder, SQL_ZORDER),
     # round-3 session-5 additions
     "q_shacl": (q_shacl, SQL_SHACL),
     "q_shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
