@@ -4226,6 +4226,159 @@ def q_tfidf(spark, sf):
     )
 
 
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25(spark, sf):
+    """BM25 full-text retrieval: top-20 documents for a 3-term keyword
+    query, scored with the standard Okapi formula over an inverted
+    posting aggregation.  Plan shape is the 100 TB retrieval shape: the
+    corpus is scanned ONCE into the posting table (explode -> map-side-
+    combined (doc,term) tf agg — the inverted index, pinned with
+    localCheckpoint exactly where a real engine materializes it), and
+    everything else derives from postings: doc lengths as sum(tf),
+    corpus stats as a broadcast 1-row aggregate, query-term postings
+    filtered before the join so only matches shuffle.  Each term's
+    score is a scalar
+    float expression rounded to 8dp and summed as DECIMAL (order-
+    independent cross-engine, the q_lm_score discipline); the final
+    cut orders by the rounded score with doc_id tie-break so both
+    engines pick an identical top-20."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    postings = (
+        tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # the index: built once, read 3x
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(F.avg("dl").alias("avgdl"),
+                    F.count("*").alias("n_docs"))
+    tf = postings.where(F.col("word").isin(*_BM25_TERMS))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.round(term_score, 8).cast("decimal(18,8)"))
+            .alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_terms",
+                F.col("score").cast("double").alias("score"))
+    )
+
+
+SQL_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok
+  WHERE word IN {_BM25_TERMS!r} GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(CAST(round(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({_BM25_K1} + 1.0))
+             / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                   + {_BM25_B} * dl / avgdl)),
+             8) AS DECIMAL(18,8))) AS score,
+         count(*) AS n_terms
+  FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id)
+SELECT doc_id, n_terms, CAST(score AS DOUBLE) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_scd2(spark, sf):
+    """SCD2 (slowly-changing-dimension type 2) history build: the events
+    stream per user collapses into validity intervals — one row per RUN
+    of equal event_type carrying [valid_from, valid_to) and is_current,
+    valid_to = the next run's start (the dimension-history table every
+    warehouse keeps for point-in-time joins).  Change points via lag()
+    under a total order (ts, event_id), run ids via the cumulative-flag
+    idiom (q_session's W5 shape), interval bounds via min/lead — two
+    narrow window passes and one aggregate, all on the user_id
+    partitioning, no self-join.  Oracle replays the identical windows."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    ).withColumn("run_id", F.sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return iv.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w2).isNull(), True)
+        .otherwise(False).alias("is_current"),
+        "n_events",
+    )
+
+
+SQL_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, run_id, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_events
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+"""
+
+
 SQL_TFIDF = f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -5281,6 +5434,8 @@ REGISTRY: dict[str, tuple] = {
     # round-3 session-7 additions
     "q_mv_incremental": (q_mv_incremental, SQL_MV_INCREMENTAL),
     "q_zorder": (q_zorder, SQL_ZORDER),
+    "q_bm25": (q_bm25, SQL_BM25),
+    "q_scd2": (q_scd2, SQL_SCD2),
     # round-3 session-5 additions
     "q_shacl": (q_shacl, SQL_SHACL),
     "q_shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),
