@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -79,6 +80,12 @@ def main(argv=None) -> int:
                         "(explain formatted) instead of executing — the "
                         "pushed-down filters / join strategies / exchanges "
                         "a SPARQL query lowers to")
+    p.add_argument("--service", action="append", default=[],
+                   metavar="IRI=PATH",
+                   help="register a federation endpoint for SERVICE "
+                        "groups: IRI (as written in the query, sans "
+                        "brackets) = a second warehouse root or .ttl "
+                        "catalog; repeatable")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -148,7 +155,21 @@ def main(argv=None) -> int:
         from logset_spark.operators.inference import owl_materialize
 
         triples = owl_materialize(triples.select("subj", "pred", "obj"))
-    result = sparql(triples, query)
+    services = {}
+    for spec in args.service:
+        if "=" not in spec:
+            p.error(f"--service expects IRI=PATH, got {spec!r}")
+        iri, path = spec.split("=", 1)
+        if path.endswith(".ttl") or path.endswith(".trig"):
+            services[iri] = load_catalog(spark, path,
+                                         follow_links=args.follow_links)
+        elif os.path.isdir(os.path.join(path, "triples", "_meta")):
+            from logset_spark.sources.snapshots import SnapshotTriplesIO
+
+            services[iri] = SnapshotTriplesIO(root=path).store.read(spark)
+        else:
+            services[iri] = TableIO(root=path).read(spark, "triples")
+    result = sparql(triples, query, services=services or None)
 
     if args.explain:
         result.explain("formatted")

@@ -211,6 +211,14 @@ class ParsedQuery:
     # expansion; _const_term'd by parse_sparql before returning)
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
+    # SERVICE [SILENT] <endpoint> { patterns [FILTER]* } federation
+    # groups: (endpoint term, silent, patterns, group filters).  Each
+    # evaluates as its own BGP over the frame registered for the
+    # endpoint and joins the outer group on shared vars; SILENT turns an
+    # unregistered endpoint into a neutral (empty) contribution instead
+    # of an error (SPARQL 1.1 federated-query semantics)
+    services: list[tuple[str, bool, list, list]] = field(
+        default_factory=list)
 
 
 # quoted literals are replaced by \x00<n>\x00 placeholders before ANY
@@ -411,6 +419,10 @@ def _expand_prefixes(pq: ParsedQuery, prefixes: dict[str, str]) -> None:
         pq.construct = xp(pq.construct)
     if pq.describe is not None:
         pq.describe = _const_term(x(pq.describe))
+    pq.services = [
+        (x(ep), silent, xp(pats), fl)
+        for ep, silent, pats, fl in pq.services
+    ]
     for sub in pq.subqueries:
         _expand_prefixes(sub, prefixes)
 
@@ -593,6 +605,31 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
 
     body = re.sub(r"MINUS\s*\{([^{}]*)\}", _min, body, flags=re.IGNORECASE)
 
+    # SERVICE [SILENT] <endpoint> { ... } federation groups (top level
+    # of WHERE only, like GRAPH).  Matched BEFORE GRAPH so the two
+    # group keywords can't shadow each other; variable endpoints are
+    # outside the subset and rejected loudly.
+    services: list[tuple[str, bool, list, list]] = []
+
+    def _svc(mo: re.Match) -> str:
+        silent = bool(mo.group(1))
+        ep = _restore_content(mo.group(2), lits)
+        if ep.startswith("?"):
+            raise ValueError(
+                "variable SERVICE endpoints are outside the subset — "
+                "name the endpoint")
+        grp_filters: list[str] = []
+        sbody = _extract_filters(mo.group(3), grp_filters)
+        pats = _parse_patterns(sbody, lits)
+        if not pats:
+            raise ValueError("SERVICE group has no triple patterns")
+        services.append((ep, silent, pats, grp_filters))
+        return " "
+
+    body = re.sub(
+        r"SERVICE\s+(SILENT\s+)?(\?\w+|\x00\d+\x00|[\w.:-]+)\s*\{([^{}]*)\}",
+        _svc, body, flags=re.IGNORECASE)
+
     # GRAPH <g> { ... } / GRAPH ?g { ... } groups (top level of WHERE
     # only — not inside OPTIONAL/UNION/EXISTS arms, whose [^{}] matchers
     # would reject the nested braces loudly).  The group's patterns
@@ -722,7 +759,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         if tails:
             body = " . ".join([body] + tails)
         patterns = _parse_patterns(body, lits) + graph_pats
-        if not patterns and not values and not subqueries:
+        if not patterns and not values and not subqueries and not services:
             raise ValueError("WHERE clause has no triple patterns")
 
     having = _restore_quoted(m.group(4).strip(), lits) if m.group(4) else None
@@ -755,6 +792,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         offset=offset, having=having,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
         minus=minus, exists=exists, subqueries=subqueries,
+        services=services,
     )
 
 
@@ -1361,21 +1399,42 @@ def _rewrite_default_patterns(pq: ParsedQuery) -> None:
         _rewrite_default_patterns(sub)
 
 
-def sparql(triples: DataFrame, query: str) -> DataFrame:
+def sparql(triples: DataFrame, query: str,
+           services: dict[str, DataFrame] | None = None) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
-    (subj, pred, obj, ...) triples DataFrame."""
+    (subj, pred, obj, ...) triples DataFrame.
+
+    `services` registers federation endpoints for SERVICE groups:
+    endpoint IRI (exactly as written in the query, brackets stripped)
+    -> that endpoint's triples DataFrame (another warehouse, snapshot
+    store read, or loaded catalog).  The remote evaluation of SPARQL
+    1.1 federation becomes a LOCAL plan over the registered frame — at
+    cluster scale both sides are just tables, so the federated join is
+    an ordinary Catalyst join on the shared variables."""
     pq = parse_sparql(query)
     if pq.from_graphs or pq.from_named:
         triples = _dataset_frame(triples, pq)
         _rewrite_default_patterns(pq)
-    return _eval_parsed(triples, pq)
+    return _eval_parsed(triples, pq, services)
 
 
-def _eval_parsed(triples: DataFrame, pq: ParsedQuery) -> DataFrame:
+def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
+                 services: dict[str, DataFrame] | None = None) -> DataFrame:
     """Lower one ParsedQuery to a DataFrame plan; recurses for
     { SELECT ... } subqueries (each becomes an independent plan joined
     into the outer group by bgp on shared vars)."""
-    subs = [_eval_parsed(triples, s) for s in pq.subqueries]
+    subs = [_eval_parsed(triples, s, services) for s in pq.subqueries]
+    for ep, silent, pats, filts in pq.services:
+        src = (services or {}).get(_const_term(ep))
+        if src is None:
+            if silent:
+                # SPARQL SILENT: a failed endpoint contributes nothing
+                # that constrains the outer solutions
+                continue
+            raise ValueError(
+                f"SERVICE endpoint {ep} is not registered (pass "
+                f"services={{...}}; add SILENT to tolerate absence)")
+        subs.append(bgp(src, pats, filters=filts, distinct=False))
     if pq.describe is not None:
         # DESCRIBE <uri>: the resource's concise neighborhood — both
         # pushed-down scans, unioned (rdflib's Graph.triples((uri,*,*))

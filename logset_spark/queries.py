@@ -2093,6 +2093,50 @@ WHERE a.pred = 'hasTurn' AND b.pred = 'usedTool'
 """
 
 
+def q_sparql_service(spark, sf):
+    """SPARQL 1.1 federation (SERVICE): the nation->region graph is the
+    local dataset; the supplier->nation graph is registered as a second
+    endpoint (another warehouse at cluster scale — a remote SPARQL
+    endpoint in the spec, a registered DataFrame here, so the federated
+    join lowers to an ordinary Catalyst equi-join on the shared ?n).
+    Query: suppliers based in EUROPE nations, where nation residency
+    lives only in the remote graph.  Oracle = the declarative 3-table
+    join — federation must not change semantics, only data placement."""
+    from .operators.sparql import sparql
+
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    s = _t(spark, sf, "supplier")
+    local = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.concat(F.lit("nation:"), "n_name").alias("subj"),
+        F.lit("inRegion").alias("pred"),
+        F.concat(F.lit("region:"), "r_name").alias("obj"),
+    )
+    remote = s.join(n, s.s_nationkey == n.n_nationkey).select(
+        F.concat(F.lit("supp:"), F.col("s_suppkey").cast("string"))
+        .alias("subj"),
+        F.lit("basedIn").alias("pred"),
+        F.concat(F.lit("nation:"), "n_name").alias("obj"),
+    )
+    return sparql(
+        local,
+        """SELECT ?s ?n WHERE {
+             ?n inRegion 'region:EUROPE' .
+             SERVICE <svc:suppliers> { ?s basedIn ?n } }""",
+        services={"svc:suppliers": remote},
+    )
+
+
+SQL_SPARQL_SERVICE = """
+SELECT 'supp:' || CAST(s_suppkey AS VARCHAR) AS s,
+       'nation:' || n_name AS n
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+"""
+
+
 def q_sparql_filter(spark, sf):
     """SPARQL FILTER lowering: regex() -> RLIKE, != -> <>, && -> AND,
     applied over the bound variables after the pattern joins (Catalyst
@@ -5436,6 +5480,7 @@ REGISTRY: dict[str, tuple] = {
     "q_zorder": (q_zorder, SQL_ZORDER),
     "q_bm25": (q_bm25, SQL_BM25),
     "q_scd2": (q_scd2, SQL_SCD2),
+    "q_sparql_service": (q_sparql_service, SQL_SPARQL_SERVICE),
     # round-3 session-5 additions
     "q_shacl": (q_shacl, SQL_SHACL),
     "q_shacl_sparql": (q_shacl_sparql, SQL_SHACL_SPARQL),

@@ -1078,3 +1078,62 @@ def test_group_concat_separator(tri, spark):
     with pytest.raises(ValueError, match="SEPARATOR"):
         sparql(g, "SELECT ?s (SUM(?o; SEPARATOR=';') AS ?n) "
                   "WHERE { ?s p ?o }")
+
+
+def test_service_federation_joins_on_shared_vars(spark, tri):
+    remote = spark.createDataFrame(
+        [("ext:1", "about", "tool:grep"), ("ext:2", "about", "tool:awk")],
+        "subj string, pred string, obj string")
+    got = _rows(sparql(
+        tri,
+        """SELECT ?turn ?doc WHERE {
+             ?turn usedTool ?tool .
+             SERVICE <svc:docs> { ?doc about ?tool } }""",
+        services={"svc:docs": remote}))
+    assert got == [("turn:a/0", "ext:1")]
+
+
+def test_service_silent_absent_is_neutral(tri):
+    got = _rows(sparql(
+        tri,
+        """SELECT ?conv WHERE {
+             ?conv hasTurn ?t .
+             SERVICE SILENT <svc:gone> { ?conv annotated ?x } }"""))
+    assert ("conv:a",) in got and ("conv:b",) in got
+
+
+def test_service_absent_endpoint_raises(tri):
+    with pytest.raises(ValueError, match="not registered"):
+        sparql(tri,
+               "SELECT ?x WHERE { SERVICE <svc:gone> { ?x p ?y } }"
+               ).collect()
+
+
+def test_service_only_query_and_group_filter(spark, tri):
+    remote = spark.createDataFrame(
+        [("ext:1", "score", "9"), ("ext:2", "score", "3")],
+        "subj string, pred string, obj string")
+    got = _rows(sparql(
+        tri,
+        """SELECT ?d WHERE {
+             SERVICE <svc:r> { ?d score ?s . FILTER(?s = '9') } }""",
+        services={"svc:r": remote}))
+    assert got == [("ext:1",)]
+
+
+def test_service_prefixed_endpoint_expands(spark, tri):
+    remote = spark.createDataFrame(
+        [("ext:1", "about", "tool:sed")],
+        "subj string, pred string, obj string")
+    got = _rows(sparql(
+        tri,
+        """PREFIX svc: <http://ex.org/svc#>
+           SELECT ?doc WHERE {
+             SERVICE svc:docs { ?doc about 'tool:sed' } }""",
+        services={"http://ex.org/svc#docs": remote}))
+    assert got == [("ext:1",)]
+
+
+def test_service_variable_endpoint_rejected(tri):
+    with pytest.raises(ValueError, match="variable SERVICE endpoint"):
+        sparql(tri, "SELECT ?x WHERE { SERVICE ?ep { ?x p ?y } }")
