@@ -80,6 +80,11 @@ def main(argv=None) -> int:
                         "(explain formatted) instead of executing — the "
                         "pushed-down filters / join strategies / exchanges "
                         "a SPARQL query lowers to")
+    p.add_argument("--analyze", action="store_true",
+                   help="collect per-predicate statistics first (one "
+                        "aggregation) and order BGP joins by estimated "
+                        "cardinality instead of the constant-count "
+                        "heuristic")
     p.add_argument("--service", action="append", default=[],
                    metavar="IRI=PATH",
                    help="register a federation endpoint for SERVICE "
@@ -169,7 +174,12 @@ def main(argv=None) -> int:
             services[iri] = SnapshotTriplesIO(root=path).store.read(spark)
         else:
             services[iri] = TableIO(root=path).read(spark, "triples")
-    result = sparql(triples, query, services=services or None)
+    stats = None
+    if args.analyze:
+        from logset_spark.operators.sparql import analyze
+
+        stats = analyze(triples)
+    result = sparql(triples, query, services=services or None, stats=stats)
 
     if args.explain:
         result.explain("formatted")

@@ -1130,14 +1130,96 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
     return df.select(*cols), set(first_pos_of)
 
 
-def _order_patterns(patterns: list[tuple[str, str, str]]) -> list[tuple[str, str, str]]:
-    """Greedy: most constants first; then repeatedly take the most-
-    selective pattern connected (shares a var) to the bound set, falling
-    back to any remaining pattern (true cartesian — allowed but last)."""
+@dataclass
+class GraphStats:
+    """ANALYZE output: the statistics a triple store keeps for join
+    ordering — total triples, per-predicate counts, per-predicate
+    distinct subject/object counts (RDF-3X-style).  Vocabulary-sized
+    (one row per predicate), collected in ONE aggregation and held on
+    the driver; at 10^12 triples this is still a dict of a few dozen
+    entries."""
+
+    total: int
+    pred_counts: dict[str, int]
+    pred_subj: dict[str, int]
+    pred_obj: dict[str, int]
+
+
+def analyze(triples: DataFrame) -> GraphStats:
+    """One pass over the graph: per-pred count + approx-distinct
+    subj/obj.  Estimates only steer join ORDER, so HLL error is
+    harmless — a mis-ordering never changes results."""
+    rows = triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("subj").alias("ds"),
+        F.approx_count_distinct("obj").alias("do"),
+    ).collect()
+    return GraphStats(
+        total=sum(r["n"] for r in rows),
+        pred_counts={r["pred"]: r["n"] for r in rows},
+        pred_subj={r["pred"]: r["ds"] for r in rows},
+        pred_obj={r["pred"]: r["do"] for r in rows},
+    )
+
+
+def _estimate(p, stats: GraphStats, bound: set[str]) -> float:
+    """Estimated result cardinality of one pattern given already-bound
+    variables (a bound var is as selective as a constant: the join
+    keeps ~rows/distinct per binding).  Textbook triple-pattern
+    estimation: base = count(pred), each bound/constant subject divides
+    by distinct-subjects(pred), object likewise."""
+    s, pr, o = p[0], p[1], p[2]
+    var_pred = _is_var(pr) or _is_path(pr)
+    if var_pred:
+        base, ds, do = stats.total, 0, 0
+    else:
+        key = "rdf:type" if pr == "a" else _const_term(pr)
+        base = stats.pred_counts.get(key, 0)
+        ds = stats.pred_subj.get(key, 0)
+        do = stats.pred_obj.get(key, 0)
+    est = float(base)
+
+    def is_sel(t: str) -> bool:
+        return (not _is_var(t)) or t[1:] in bound
+
+    if is_sel(s):
+        est /= max(ds, 1) if not var_pred else max(stats.total ** 0.5, 1)
+    if is_sel(o):
+        est /= max(do, 1) if not var_pred else max(stats.total ** 0.5, 1)
+    return est
+
+
+def _order_patterns(
+    patterns: list[tuple[str, str, str]],
+    stats: GraphStats | None = None,
+) -> list[tuple[str, str, str]]:
+    """Greedy join ordering.  Without stats: most constants first, then
+    repeatedly the most-selective pattern connected (shares a var) to
+    the bound set, falling back to any remaining pattern (true
+    cartesian — allowed but last).  With ANALYZE stats: the same greedy
+    skeleton, but selectivity = estimated cardinality given the
+    already-bound variables — a 3-row predicate beats a 10^9-row one
+    regardless of how many constants each spells."""
     if not patterns:
         return []
     n_const = lambda p: sum(0 if _is_var(t) else 1 for t in p)
     pvars = lambda p: {t[1:] for t in p if _is_var(t)}
+    if stats is not None:
+        remaining = list(patterns)
+        bound: set[str] = set()
+        out = []
+        while remaining:
+            if out:
+                connected = [p for p in remaining if pvars(p) & bound]
+                pool = connected or remaining
+            else:
+                pool = remaining
+            pick = min(pool, key=lambda p: (_estimate(p, stats, bound),
+                                            -n_const(p)))
+            remaining.remove(pick)
+            out.append(pick)
+            bound |= pvars(pick)
+        return out
     remaining = sorted(patterns, key=n_const, reverse=True)
     out = [remaining.pop(0)]
     bound = pvars(out[0])
@@ -1151,11 +1233,12 @@ def _order_patterns(patterns: list[tuple[str, str, str]]) -> list[tuple[str, str
 
 
 def _join_patterns(
-    triples: DataFrame, patterns: list[tuple[str, str, str]], start_tag: int = 0
+    triples: DataFrame, patterns: list[tuple[str, str, str]],
+    start_tag: int = 0, stats: GraphStats | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Inner-join a pattern group on shared variables; returns the bound
     DataFrame and variable order of first appearance."""
-    ordered = _order_patterns(patterns)
+    ordered = _order_patterns(patterns, stats)
     acc, acc_vars = _scan(triples, ordered[0], start_tag)
     var_order = [c for c in acc.columns if not c.startswith("_exists_")]
     for i, p in enumerate(ordered[1:], start=start_tag + 1):
@@ -1181,9 +1264,12 @@ def bgp(
     minus: list[list[tuple[str, str, str]]] = (),
     exists: list[list[tuple[str, str, str]]] = (),
     subselects: list[DataFrame] = (),
+    stats: GraphStats | None = None,
 ) -> DataFrame:
     """Programmatic BGP evaluation (the parser lowers to this).  Returns
-    a DataFrame with one column per selected variable.
+    a DataFrame with one column per selected variable.  `stats` (from
+    `analyze`) switches join ordering from the constant-count heuristic
+    to estimated cardinalities.
 
     `unions`: pattern-group arms ({A} UNION {B}); each arm is evaluated
     independently and the solutions concatenated with variables aligned
@@ -1221,7 +1307,8 @@ def bgp(
             arm_pats, arm_filters = (
                 arm if isinstance(arm, tuple) else (arm, [])
             )
-            df, _ = _join_patterns(triples, arm_pats, start_tag=5000 * (i + 1))
+            df, _ = _join_patterns(triples, arm_pats, start_tag=5000 * (i + 1),
+                                   stats=stats)
             for f in arm_filters:
                 df = df.where(F.expr(_filter_to_expr(f)))
             vs = [c for c in df.columns if not c.startswith("_exists_")]
@@ -1238,7 +1325,7 @@ def bgp(
         for d in aligned[1:]:
             acc = acc.unionByName(d)
     elif patterns:
-        acc, var_order = _join_patterns(triples, patterns)
+        acc, var_order = _join_patterns(triples, patterns, stats=stats)
     elif values:
         # VALUES-only WHERE body: the first block seeds the solution set
         spark = triples.sparkSession
@@ -1271,7 +1358,7 @@ def bgp(
             group if isinstance(group, tuple) else (group, [])
         )
         opt_df, opt_vars = _join_patterns(
-            triples, opt_pats, start_tag=1000 * (gi + 1))
+            triples, opt_pats, start_tag=1000 * (gi + 1), stats=stats)
         for f in opt_filters:  # group-scoped: filter BEFORE the left join
             opt_df = opt_df.where(F.expr(_filter_to_expr(f)))
         shared = sorted(set(var_order) & set(opt_df.columns))
@@ -1304,7 +1391,8 @@ def bgp(
         semi/anti join equates them)."""
         pats, grp_filters = (group if isinstance(group, tuple)
                              else (group, []))
-        inner, _ = _join_patterns(triples, pats, start_tag=start_tag)
+        inner, _ = _join_patterns(triples, pats, start_tag=start_tag,
+                                  stats=stats)
         inner_vars = {c for c in inner.columns
                       if not c.startswith("_exists_")}
         for f in grp_filters:
@@ -1400,7 +1488,8 @@ def _rewrite_default_patterns(pq: ParsedQuery) -> None:
 
 
 def sparql(triples: DataFrame, query: str,
-           services: dict[str, DataFrame] | None = None) -> DataFrame:
+           services: dict[str, DataFrame] | None = None,
+           stats: GraphStats | None = None) -> DataFrame:
     """Evaluate a query in the documented SPARQL subset over a
     (subj, pred, obj, ...) triples DataFrame.
 
@@ -1415,15 +1504,17 @@ def sparql(triples: DataFrame, query: str,
     if pq.from_graphs or pq.from_named:
         triples = _dataset_frame(triples, pq)
         _rewrite_default_patterns(pq)
-    return _eval_parsed(triples, pq, services)
+    return _eval_parsed(triples, pq, services, stats)
 
 
 def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
-                 services: dict[str, DataFrame] | None = None) -> DataFrame:
+                 services: dict[str, DataFrame] | None = None,
+                 stats: GraphStats | None = None) -> DataFrame:
     """Lower one ParsedQuery to a DataFrame plan; recurses for
     { SELECT ... } subqueries (each becomes an independent plan joined
     into the outer group by bgp on shared vars)."""
-    subs = [_eval_parsed(triples, s, services) for s in pq.subqueries]
+    subs = [_eval_parsed(triples, s, services, stats)
+            for s in pq.subqueries]
     for ep, silent, pats, filts in pq.services:
         src = (services or {}).get(_const_term(ep))
         if src is None:
@@ -1455,7 +1546,7 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             distinct=False, unions=pq.unions, binds=pq.binds,
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
-            exists=pq.exists, subselects=subs,
+            exists=pq.exists, subselects=subs, stats=stats,
         ).limit(1)
         return sol.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if pq.construct is not None:
@@ -1467,7 +1558,7 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             distinct=False, unions=pq.unions, binds=pq.binds,
             values=pq.values, not_exists=pq.not_exists, minus=pq.minus,
-            exists=pq.exists, subselects=subs,
+            exists=pq.exists, subselects=subs, stats=stats,
         )
         def _term(t: str, verb: bool = False):
             if verb and t == "a":
@@ -1499,7 +1590,7 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
             select=needed or None, distinct=False, unions=pq.unions,
             binds=pq.binds, values=pq.values, not_exists=pq.not_exists,
-            minus=pq.minus, exists=pq.exists, subselects=subs,
+            minus=pq.minus, exists=pq.exists, subselects=subs, stats=stats,
         )
         def _agg_col(a: AggItem):
             if a.var is None:
@@ -1549,7 +1640,7 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             values=pq.values,
             not_exists=pq.not_exists,
             minus=pq.minus,
-            exists=pq.exists, subselects=subs,
+            exists=pq.exists, subselects=subs, stats=stats,
         )
     if pq.order_by:
         out = out.orderBy(

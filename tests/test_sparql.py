@@ -1137,3 +1137,51 @@ def test_service_prefixed_endpoint_expands(spark, tri):
 def test_service_variable_endpoint_rejected(tri):
     with pytest.raises(ValueError, match="variable SERVICE endpoint"):
         sparql(tri, "SELECT ?x WHERE { SERVICE ?ep { ?x p ?y } }")
+
+
+def test_stats_ordering_beats_constant_count(spark):
+    """ANALYZE stats: two patterns with the SAME constant count, one
+    over a huge predicate, one over a 2-row predicate — the stats
+    ordering starts from the small one; the heuristic ordering cannot
+    tell them apart.  Results are identical either way (ordering is
+    physical only)."""
+    from logset_spark.operators.sparql import (
+        GraphStats, _order_patterns, analyze,
+    )
+
+    big = [(f"s{i}", "bigPred", f"o{i % 50}") for i in range(5000)]
+    small = [("s1", "smallPred", "x"), ("s7", "smallPred", "x")]
+    g = spark.createDataFrame(big + small,
+                              "subj string, pred string, obj string")
+    stats = analyze(g)
+    assert stats.total == 5002
+    assert stats.pred_counts["smallPred"] == 2
+
+    pats = [("?s", "bigPred", "?o"), ("?s", "smallPred", "?x")]
+    with_stats = _order_patterns(pats, stats)
+    assert with_stats[0][1] == "smallPred"
+    # heuristic order is constant-count only: first listed wins the tie
+    assert _order_patterns(pats)[0][1] == "bigPred"
+
+    q = "SELECT ?s ?o WHERE { ?s bigPred ?o . ?s smallPred ?x }"
+    assert _rows(sparql(g, q, stats=stats)) == _rows(sparql(g, q))
+
+
+def test_stats_estimate_uses_bound_vars(spark):
+    """A var already bound counts as selective: among two connected
+    candidates the estimator divides by the distinct count on the
+    bound side."""
+    from logset_spark.operators.sparql import GraphStats, _estimate
+
+    stats = GraphStats(
+        total=1000,
+        pred_counts={"p": 900, "q": 100},
+        pred_subj={"p": 900, "q": 10},
+        pred_obj={"p": 3, "q": 100},
+    )
+    # unbound: |p| = 900 beats |q| = 100
+    assert _estimate(("?a", "p", "?b"), stats, set()) == 900.0
+    assert _estimate(("?a", "q", "?b"), stats, set()) == 100.0
+    # ?a bound: p shrinks by distinct-subj 900 -> 1; q by 10 -> 10
+    assert _estimate(("?a", "p", "?b"), stats, {"a"}) == 1.0
+    assert _estimate(("?a", "q", "?b"), stats, {"a"}) == 10.0
