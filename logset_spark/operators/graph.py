@@ -235,6 +235,86 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def ppr_fixedpoint(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_iter: int = 3,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank: pagerank_fixedpoint's exact-integer
+    recurrence with teleport mass restricted to `sources`
+    (DataFrame[node:string]) — the standard KG entity-relatedness
+    primitive ("which entities are structurally close to THIS one").
+
+        rank_0(v)   = scale DIV |S|            if v in S else 0
+        rank_k+1(v) = [v in S] * (3*scale) DIV (20*|S|)
+                      + (17 * sum_{u->v} (rank_k(u) DIV outdeg(u))) DIV 20
+
+    Same overflow-free 17x DIV 20 split, same dropped dangling mass,
+    same one-shuffle-per-iteration plan as pagerank_fixedpoint; the
+    source membership flag rides a broadcast left-join (|S| is query-
+    scale, not corpus-scale), |S| a broadcast 1-row aggregate.  Exactly
+    replayable in SQL — see SQL_PPR.  Nodes never reached keep rank 0
+    and ARE returned (the caller filters), so the output domain is
+    engine-independent."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    src_flag = sources.select(F.col("node")).distinct().withColumn(
+        "is_src", F.lit(1)
+    )
+    n_src = src_flag.agg(F.count("*").alias("n_src"))
+    flagged = nodes.join(F.broadcast(src_flag), "node", "left").select(
+        "node", F.coalesce("is_src", F.lit(0)).alias("is_src")
+    )
+    ranks = (
+        flagged.crossJoin(F.broadcast(n_src))
+        .select(
+            "node",
+            F.expr(
+                f"CASE WHEN is_src = 1 THEN CAST({scale} AS BIGINT) DIV n_src"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank DIV od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            flagged.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(n_src))
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"CASE WHEN is_src = 1 THEN"
+                        f" CAST(3 * {scale} AS BIGINT) DIV (20 * n_src)"
+                        " ELSE CAST(0 AS BIGINT) END"
+                    )
+                    + F.expr(
+                        "17 * (coalesce(in_sum, CAST(0 AS BIGINT)) DIV 20)"
+                        " + (17 * (coalesce(in_sum, CAST(0 AS BIGINT)) % 20)) DIV 20"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """edges: DataFrame[a:string, b:string], undirected (any direction,
     duplicates/self-loops tolerated).  Returns DataFrame[node, n_tri]

@@ -4444,6 +4444,82 @@ FROM scored WHERE rnk <= 3
 """
 
 
+# Alias dictionary for the disambiguation query: three AMBIGUOUS
+# surfaces (two candidate entities each) plus one unambiguous
+# evidence alias per candidate entity, all drawn from the synthetic
+# documents vocabulary.  (surface, canon_uri, weight); weights make
+# the prior tie-break observable where context scores tie.
+_DISAMBIG_DICT = [
+    ("scan", "ent:op/scan", 2),
+    ("scan", "ent:tool/scanner", 1),
+    ("window", "ent:op/window", 1),
+    ("window", "ent:ui/window", 1),
+    ("merge", "ent:op/merge", 1),
+    ("merge", "ent:git/merge", 2),
+    ("filter", "ent:op/scan", 1),
+    ("vector", "ent:tool/scanner", 1),
+    ("agg", "ent:op/window", 1),
+    ("line", "ent:ui/window", 1),
+    ("sort", "ent:op/merge", 1),
+    ("batch", "ent:git/merge", 1),
+]
+
+
+def q_disambiguate(spark, sf):
+    """Context-aware entity disambiguation (operators/disambig.py): each
+    ambiguous alias mention resolves PER DOCUMENT by an exact-integer
+    bag-of-words affinity against entity context profiles learned from
+    unambiguous evidence mentions, argmax with score DESC / prior
+    weight DESC / URI ASC total order.  The global-election exact link
+    (q_kg_dedup's shape) cannot express this — same surface, different
+    winner in different documents.  Dictionary and profiles are
+    dimension-scale broadcasts; corpus joins are co-partitioned on
+    doc_id; candidate fan-out is dictionary-bounded."""
+    from .operators.disambig import disambiguate
+
+    d = _t(spark, sf, "documents")
+    dic = spark.createDataFrame(
+        _DISAMBIG_DICT, "surface string, canon_uri string, weight int"
+    )
+    return disambiguate(d, dic)
+
+
+_DISAMBIG_SQL_VALUES = ", ".join(
+    f"('{s}', '{u}', {w})" for s, u, w in _DISAMBIG_DICT
+)
+
+SQL_DISAMBIGUATE = f"""
+WITH dict(surface, canon_uri, weight) AS (VALUES {_DISAMBIG_SQL_VALUES}),
+tok AS (
+  SELECT DISTINCT doc_id, word AS token FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents) WHERE word <> ''),
+ncand AS (SELECT surface, count(DISTINCT canon_uri) AS n FROM dict GROUP BY 1),
+unamb AS (SELECT d.* FROM dict d JOIN ncand USING (surface) WHERE n = 1),
+amb AS (SELECT d.* FROM dict d JOIN ncand USING (surface) WHERE n > 1),
+ev AS (SELECT DISTINCT t.doc_id, u.canon_uri
+       FROM tok t JOIN unamb u ON t.token = u.surface),
+prof AS (SELECT e.canon_uri, t.token, count(*) AS cnt
+         FROM tok t JOIN ev e USING (doc_id) GROUP BY 1, 2),
+mention AS (SELECT t.doc_id, a.surface, a.canon_uri AS cand, a.weight
+            FROM tok t JOIN amb a ON t.token = a.surface),
+s AS (SELECT m.doc_id, m.surface, m.cand, CAST(sum(p.cnt) AS BIGINT) AS score
+      FROM mention m
+      JOIN tok c ON c.doc_id = m.doc_id AND c.token <> m.surface
+      JOIN prof p ON p.token = c.token AND p.canon_uri = m.cand
+      GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT m.doc_id, m.surface, m.cand AS canon_uri,
+         coalesce(s.score, 0) AS score,
+         row_number() OVER (PARTITION BY m.doc_id, m.surface
+                            ORDER BY coalesce(s.score, 0) DESC,
+                                     m.weight DESC, m.cand ASC) AS rn
+  FROM mention m LEFT JOIN s
+    ON s.doc_id = m.doc_id AND s.surface = m.surface AND s.cand = m.cand)
+SELECT doc_id, surface, canon_uri, score FROM ranked WHERE rn = 1
+"""
+
+
 def _csv_fixture() -> str:
     here = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -4888,6 +4964,70 @@ nn AS (SELECT count(*) AS n FROM nodes),
 od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
 r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nn),"""
     + ",".join(_PR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+)
+
+
+_PPR_SOURCES = ("t:error", "t:purchase")
+
+
+def q_ppr(spark, sf):
+    """Personalized PageRank (operators/graph.py ppr_fixedpoint): entity
+    relatedness to a 2-node source set over the same user<->event_type
+    bipartite graph as q_pagerank, 3 exact-integer iterations.  The
+    oracle replays the recurrence unrolled with teleport mass confined
+    to the sources; reached-set membership (rank > 0 after round 3) is
+    part of what must match."""
+    from .operators.graph import ppr_fixedpoint
+
+    e = _t(spark, sf, "events")
+    fwd = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = spark.createDataFrame(
+        [(s,) for s in _PPR_SOURCES], "node string"
+    )
+    return ppr_fixedpoint(edges, sources, n_iter=3)
+
+
+_PPR_ITER_SQL = """
+c{i} AS (
+  SELECT e.dst, CAST(sum(r.rank // od.od) AS BIGINT) AS s
+  FROM edges e JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT nodes.node,
+         CASE WHEN srcs.node IS NOT NULL
+              THEN (3 * 1000000000000) // (20 * ns.n) ELSE 0 END
+           + 17 * (COALESCE(c{i}.s, 0) // 20)
+           + (17 * (COALESCE(c{i}.s, 0) % 20)) // 20 AS rank
+  FROM nodes CROSS JOIN ns
+  LEFT JOIN srcs ON srcs.node = nodes.node
+  LEFT JOIN c{i} ON c{i}.dst = nodes.node)"""
+
+SQL_PPR = (
+    f"""
+WITH base AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                              't:' || event_type AS dst
+              FROM events),
+edges AS (SELECT src, dst FROM base
+          UNION SELECT dst AS src, src AS dst FROM base),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+srcs(node) AS (VALUES {", ".join(f"('{s}')" for s in _PPR_SOURCES)}),
+ns AS (SELECT count(*) AS n FROM srcs),
+od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT nodes.node,
+              CASE WHEN srcs.node IS NOT NULL THEN 1000000000000 // ns.n
+                   ELSE 0 END AS rank
+       FROM nodes CROSS JOIN ns LEFT JOIN srcs ON srcs.node = nodes.node),"""
+    + ",".join(_PPR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
     + """
 SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
 """
@@ -5475,6 +5615,9 @@ FROM nodes n JOIN h{_HITS_ROUNDS} h ON n.node = h.node
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-8 additions
+    "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
+    "q_ppr": (q_ppr, SQL_PPR),
     # round-3 session-7 additions
     "q_mv_incremental": (q_mv_incremental, SQL_MV_INCREMENTAL),
     "q_zorder": (q_zorder, SQL_ZORDER),

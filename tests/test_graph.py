@@ -10,6 +10,7 @@ import random
 from logset_spark.operators.graph import (
     PR_SCALE,
     pagerank_fixedpoint,
+    ppr_fixedpoint,
     transitive_closure,
 )
 
@@ -657,3 +658,54 @@ def test_unigram_slot_table_covers_and_sampler_tracks_power_law(spark):
                  pairs, vocab, k=1, resolution=1000
              ).groupBy("negative").count().collect()}
     assert again == counts
+
+
+def _py_ppr(edges, sources, n_iter=3, scale=10**12):
+    """Driver-side replica of ppr_fixedpoint's integer recurrence."""
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    ns = len(sources)
+    r = {n: (scale // ns if n in sources else 0) for n in nodes}
+    for _ in range(n_iter):
+        contrib = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + r[s] // len(out[s])
+        r = {
+            n: ((3 * scale) // (20 * ns) if n in sources else 0)
+            + 17 * (contrib.get(n, 0) // 20)
+            + (17 * (contrib.get(n, 0) % 20)) // 20
+            for n in nodes
+        }
+    return r
+
+
+def test_ppr_matches_python_fixed_point(spark):
+    rng = random.Random(13)
+    nodes = [f"v{i}" for i in range(25)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    srcs = spark.createDataFrame([("v0",), ("v1",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in ppr_fixedpoint(df, srcs, n_iter=3).collect()
+    }
+    assert got == _py_ppr(edges, {"v0", "v1"}, n_iter=3)
+
+
+def test_ppr_mass_stays_near_sources(spark):
+    # two disconnected components: the one without a source keeps rank 0
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    srcs = spark.createDataFrame([("a",)], "node string")
+    ranks = {
+        r["node"]: r["rank"]
+        for r in ppr_fixedpoint(df, srcs, n_iter=4).collect()
+    }
+    assert ranks["x"] == 0 and ranks["y"] == 0
+    assert ranks["a"] > 0 and ranks["b"] > 0
+    assert sum(ranks.values()) <= PR_SCALE
