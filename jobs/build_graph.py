@@ -31,6 +31,11 @@ def main(argv=None) -> int:
                         "(skew valve for hot days/buckets)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--fuzzy-threshold", type=float, default=0.55)
+    p.add_argument("--disambiguate", action="store_true",
+                   help="resolve AMBIGUOUS dictionary surfaces (one surface, "
+                        "several canonical URIs) per conversation by context "
+                        "scoring against entity co-mention profiles, instead "
+                        "of the global per-surface election")
     p.add_argument("--gc-stale-checkpoints", action="store_true",
                    help="before starting, drop stage-1 checkpoints left by "
                         "OTHER run_ids under this warehouse (crashed/abandoned "
@@ -78,6 +83,7 @@ def main(argv=None) -> int:
         spark, transcripts, dictionary, io,
         run_id=args.run_id, fuzzy_threshold=args.fuzzy_threshold,
         timings=timings, gc_stale_checkpoints=args.gc_stale_checkpoints,
+        disambiguate=args.disambiguate,
     )
     result["stage_s"] = timings
     if args.snapshots:

@@ -100,6 +100,92 @@ def context_profiles(tokens: DataFrame, unambig: DataFrame) -> DataFrame:
     )
 
 
+def _score_and_elect(mention: DataFrame, ctx: DataFrame, prof: DataFrame) -> DataFrame:
+    """Shared scoring + election core.
+
+    mention: (doc_id, surface, cand, weight) candidate rows;
+    ctx:     (doc_id, ctx) context tokens per document;
+    prof:    (canon_uri, token, cnt) entity context profiles.
+
+    score(d, surface, cand) = sum of prof(cand, t) over context tokens t
+    of d with t != surface (a mention never votes for itself through its
+    own surface token; in entity-URI context spaces the predicate is a
+    vacuous no-op since surfaces and URIs are disjoint).  Winner per
+    (doc_id, surface) by score DESC, prior weight DESC, cand ASC —
+    a total order, so the election is deterministic on any engine."""
+    scores = (
+        mention.select("doc_id", "surface", "cand")
+        .join(ctx, "doc_id")
+        .where(F.col("ctx") != F.col("surface"))
+        .join(
+            F.broadcast(prof),
+            (F.col("ctx") == F.col("token"))
+            & (F.col("cand") == F.col("canon_uri")),
+        )
+        .groupBy("doc_id", "surface", "cand")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    ranked = mention.join(
+        scores, ["doc_id", "surface", "cand"], "left"
+    ).withColumn("score", F.coalesce(F.col("score"), F.lit(0).cast("long")))
+    w = Window.partitionBy("doc_id", "surface").orderBy(
+        F.desc("score"), F.desc("weight"), F.asc("cand")
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id", "surface", F.col("cand").alias("canon_uri"), "score"
+        )
+    )
+
+
+def conv_winners(evidence: DataFrame, ambiguous: DataFrame) -> DataFrame:
+    """Pipeline-facing election over ENTITY-URI context space.
+
+    evidence: (conv_id, entity) distinct — entities linked through
+    UNAMBIGUOUS aliases in each conversation (stage-1 exact-link hits).
+    ambiguous: (conv_id, surface) mention occurrences joined against the
+    ambiguous dictionary rows as (surface, cand, weight) — passed here
+    already joined: (conv_id, surface, cand, weight).
+
+    Profiles are entity co-mention counts, prof(e, c) = number of convs
+    mentioning both e and c (including e = c, the evidence-count
+    self-boost: a conv that unambiguously mentions candidate e elsewhere
+    is overwhelming evidence the ambiguous mention is also e).  The
+    profile table is |entities|^2-bounded (dimension-scale, broadcast);
+    the conv-side joins are co-partitioned on conv_id.
+
+    Returns (conv_id, surface, canon_uri, score, weight) winners."""
+    tokens = evidence.select(
+        F.col("conv_id").alias("doc_id"), F.col("entity").alias("token")
+    ).distinct()
+    prof = (
+        tokens.select("doc_id", F.col("token").alias("canon_uri"))
+        .join(tokens, "doc_id")
+        .groupBy("canon_uri", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mention = ambiguous.select(
+        F.col("conv_id").alias("doc_id"), "surface", "cand", "weight"
+    )
+    won = _score_and_elect(
+        mention, tokens.select("doc_id", F.col("token").alias("ctx")), prof
+    )
+    return won.join(
+        mention.select(
+            "doc_id", "surface", F.col("cand").alias("canon_uri"), "weight"
+        ).distinct(),
+        ["doc_id", "surface", "canon_uri"],
+    ).select(
+        F.col("doc_id").alias("conv_id"),
+        "surface",
+        "canon_uri",
+        "score",
+        "weight",
+    )
+
+
 def disambiguate(docs: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Resolve every ambiguous mention to its best candidate entity.
 
@@ -129,29 +215,4 @@ def disambiguate(docs: DataFrame, dictionary: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("token").alias("surface"), "cand", "weight")
 
     ctx = tokens.select("doc_id", F.col("token").alias("ctx"))
-    scores = (
-        mention.select("doc_id", "surface", "cand")
-        .join(ctx, "doc_id")
-        .where(F.col("ctx") != F.col("surface"))
-        .join(
-            F.broadcast(prof),
-            (F.col("ctx") == F.col("token"))
-            & (F.col("cand") == F.col("canon_uri")),
-        )
-        .groupBy("doc_id", "surface", "cand")
-        .agg(F.sum("cnt").alias("score"))
-    )
-
-    ranked = mention.join(
-        scores, ["doc_id", "surface", "cand"], "left"
-    ).withColumn("score", F.coalesce(F.col("score"), F.lit(0).cast("long")))
-    w = Window.partitionBy("doc_id", "surface").orderBy(
-        F.desc("score"), F.desc("weight"), F.asc("cand")
-    )
-    return (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select(
-            "doc_id", "surface", F.col("cand").alias("canon_uri"), "score"
-        )
-    )
+    return _score_and_elect(mention, ctx, prof)

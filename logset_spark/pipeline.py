@@ -86,6 +86,79 @@ def _write_stage1(io: TableIO, run_id: str, df: DataFrame) -> None:
     )
 
 
+def _ambiguous_dict(dictionary: DataFrame) -> DataFrame:
+    """Normalized dictionary rows whose surface maps to >1 canonical URI:
+    (surface, cand, weight) with duplicate (surface, uri) collapsed to
+    max weight.  Dimension-scale throughout."""
+    norm = dictionary.select(
+        link.normalize_form(F.col("surface")).alias("surface"),
+        "canon_uri",
+        "weight",
+    )
+    collapsed = norm.groupBy("surface", "canon_uri").agg(
+        F.max("weight").alias("weight")
+    )
+    ncand = collapsed.groupBy("surface").agg(F.count("*").alias("n"))
+    return collapsed.join(
+        F.broadcast(ncand.where("n > 1")), "surface"
+    ).select("surface", F.col("canon_uri").alias("cand"), "weight")
+
+
+def _apply_disambiguation(stage1: DataFrame, amb_dict: DataFrame) -> DataFrame:
+    """Stage 1.5: resolve ambiguous-surface mentions by conversation
+    context (operators/disambig.py).  `stage1` is the packed row set with
+    the ambiguous surfaces still UNLINKED (form_key set, obj = m:<form>);
+    `amb_dict` the (surface, cand, weight) rows _ambiguous_dict built.
+
+    Evidence = entities this conv linked through unambiguous surfaces
+    (form_key null, obj an entity URI — not a turn row, not a ts:
+    literal).  Winners rewrite obj/conf and clear form_key so the fuzzy
+    stage never sees these forms.  All joins are conv-co-partitioned or
+    dimension-broadcast; output schema is byte-identical to stage1's."""
+    from .operators import disambig
+
+    ev = stage1.where(
+        F.col("form_key").isNull()
+        & F.col("obj").isNotNull()
+        & (F.col("conf") > 0)
+        & ~F.col("obj").startswith("ts:")
+    ).select("conv_id", F.col("obj").alias("entity"))
+    ambm = (
+        stage1.where(F.col("form_key").isNotNull())
+        .select("conv_id", F.col("form_key").alias("surface"))
+        .distinct()
+        .join(F.broadcast(amb_dict), "surface")
+    )
+    won = disambig.conv_winners(ev, ambm)
+    w = won.select(
+        "conv_id",
+        F.col("surface").alias("form_key"),
+        F.col("canon_uri").alias("_dis_uri"),
+        F.col("weight").alias("_dis_conf"),
+    )
+    # NOT broadcast: winners are (conv, surface)-scale — they grow with
+    # the corpus.  The join shuffles on (conv_id, form_key), which AQE
+    # plans against stage1's existing conv_bucket layout.
+    out = stage1.join(w, ["conv_id", "form_key"], "left")
+    hit = F.col("_dis_uri").isNotNull()
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "pc",
+        F.when(hit, F.col("_dis_uri")).otherwise(F.col("obj")).alias("obj"),
+        F.when(hit, F.col("_dis_conf").cast("float"))
+        .otherwise(F.col("conf"))
+        .alias("conf"),
+        F.when(hit, F.lit(None).cast("string"))
+        .otherwise(F.col("form_key"))
+        .alias("form_key"),
+        "role",
+        "tool",
+        "next_idx",
+    )
+
+
 def _fuzzy_links(
     spark: SparkSession, io: TableIO, run_id: str, dictionary: DataFrame,
     threshold: float
@@ -314,6 +387,7 @@ def build_graph(
     canonicalize: bool = True,
     timings: dict | None = None,
     gc_stale_checkpoints: bool = False,
+    disambiguate: bool = False,
 ) -> dict:
     """Run the full pipeline; returns {run_id, rows_in, triples, wall_ms}.
 
@@ -398,11 +472,28 @@ def build_graph(
         s1_todo = s1_todo.observe(obs_in, F.count(F.lit(1)).alias("n"))
         extra = extract.non_namelike_surfaces(dictionary)
         detector = extract.make_candidate_detector(spark, extra)
-        _write_stage1(
-            io, run_id,
-            _stage1_triples(s1_todo, dictionary, detector,
-                            prefiltered=extra is not None),
+        # Disambiguation (opt-in): ambiguous surfaces are withheld from
+        # the exact-link dictionary (its global per-surface election
+        # would pick one winner corpus-wide), left unlinked by stage 1,
+        # then resolved per conversation by context in stage 1.5.  The
+        # ambiguous-surface list is dictionary-scale (same class of
+        # driver collect as non_namelike_surfaces); empty -> normal path.
+        amb_dict = _ambiguous_dict(dictionary) if disambiguate else None
+        amb_surfaces = (
+            [r["surface"] for r in
+             amb_dict.select("surface").distinct().collect()]
+            if amb_dict is not None else []
         )
+        link_dict = dictionary
+        if amb_surfaces:
+            link_dict = dictionary.where(
+                ~link.normalize_form(F.col("surface")).isin(amb_surfaces)
+            )
+        s1 = _stage1_triples(s1_todo, link_dict, detector,
+                             prefiltered=extra is not None)
+        if amb_surfaces:
+            s1 = _apply_disambiguation(s1, amb_dict)
+        _write_stage1(io, run_id, s1)
         rows_in = _obs_count(obs_in)
         # Mark every PLANNED bucket done, not just the sink dirs that
         # materialized: a bucket with no conversations produces no dir,

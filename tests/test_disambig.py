@@ -110,3 +110,97 @@ def test_tokenizer_is_set_semantics(spark):
 
 def test_deterministic_across_reruns(spark):
     assert _resolve(spark) == _resolve(spark)
+
+
+# --------------------------------------------------------------------------
+# pipeline integration: build_graph(disambiguate=True)
+# --------------------------------------------------------------------------
+
+import datetime as _dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from logset_spark.pipeline import build_graph
+from logset_spark.sources import synth
+from logset_spark.sources.tableio import TableIO
+
+_TS = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _turn(conv, idx, text):
+    return (conv, idx, "user", text, None, _TS + _dt.timedelta(minutes=idx))
+
+
+# "shared_tool" is ambiguous between alpha and beta; each conv's OTHER
+# mention is an unambiguous alias that should pull the shared surface its
+# way.  Global election would always pick beta (weight 0.9 > 0.5).
+_PIPE_DICT = [
+    ("ent:system/alpha", "alpha_sys", "system", 1.0, _TS),
+    ("ent:system/beta", "beta_sys", "system", 1.0, _TS),
+    ("ent:system/alpha", "shared_tool", "system", 0.5, _TS),
+    ("ent:system/beta", "shared_tool", "system", 0.9, _TS),
+]
+
+_PIPE_TURNS = [
+    _turn("convA", 0, "we deployed alpha_sys today"),
+    _turn("convA", 1, "then shared_tool restarted"),
+    _turn("convB", 0, "beta_sys was upgraded"),
+    _turn("convB", 1, "and shared_tool caught fire"),
+    _turn("convC", 0, "shared_tool with no other context"),
+]
+
+
+def _build(spark, tmp_path, disambiguate, name):
+    tdf = spark.createDataFrame(_PIPE_TURNS, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(_PIPE_DICT, schema=synth.DICT_SCHEMA)
+    io = TableIO(str(tmp_path / name), n_buckets=4)
+    build_graph(spark, tdf, ddf, io, run_id="d1", disambiguate=disambiguate)
+    rows = (
+        io.read(spark, "triples")
+        .where((F.col("pred") == "mentions")
+               & F.col("obj").isin("ent:system/alpha", "ent:system/beta"))
+        .select("conv_id", "turn_idx", "obj", "conf")
+        .collect()
+    )
+    return {(r["conv_id"], r["turn_idx"]): (r["obj"], r["conf"]) for r in rows}
+
+
+def test_pipeline_disambiguates_by_conv_context(spark, tmp_path):
+    got = _build(spark, tmp_path, True, "wh_dis")
+    # unambiguous anchors link as usual
+    assert got[("convA", 0)][0] == "ent:system/alpha"
+    assert got[("convB", 0)][0] == "ent:system/beta"
+    # the shared surface resolves differently per conversation
+    assert got[("convA", 1)][0] == "ent:system/alpha"
+    assert got[("convB", 1)][0] == "ent:system/beta"
+    # no context at all -> prior weight decides, deterministically
+    assert got[("convC", 0)][0] == "ent:system/beta"
+    # conf carries the winning dictionary row's weight
+    assert got[("convA", 1)][1] == pytest.approx(0.5)
+    assert got[("convB", 1)][1] == pytest.approx(0.9)
+
+
+def test_pipeline_default_is_global_election(spark, tmp_path):
+    got = _build(spark, tmp_path, False, "wh_nodis")
+    # weight 0.9 wins everywhere — same winner in every conversation
+    assert got[("convA", 1)][0] == "ent:system/beta"
+    assert got[("convB", 1)][0] == "ent:system/beta"
+    assert got[("convC", 0)][0] == "ent:system/beta"
+
+
+def test_disambiguate_flag_noop_on_unambiguous_dict(spark, tmp_path):
+    """disambiguate=True with a clean dictionary must not change the
+    output (the ambiguity probe finds nothing, normal path runs)."""
+    tdf = spark.createDataFrame(_PIPE_TURNS, schema=synth.TRANSCRIPT_SCHEMA)
+    clean = [r for r in _PIPE_DICT if r[1] != "shared_tool"]
+    ddf = spark.createDataFrame(clean, schema=synth.DICT_SCHEMA)
+    io1 = TableIO(str(tmp_path / "wh_c1"), n_buckets=4)
+    io2 = TableIO(str(tmp_path / "wh_c2"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io1, run_id="c1", disambiguate=True)
+    build_graph(spark, tdf, ddf, io2, run_id="c2", disambiguate=False)
+    a = io1.read(spark, "triples").select("subj", "pred", "obj").sort(
+        "subj", "pred", "obj").collect()
+    b = io2.read(spark, "triples").select("subj", "pred", "obj").sort(
+        "subj", "pred", "obj").collect()
+    assert a == b
