@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                         "several canonical URIs) per conversation by context "
                         "scoring against entity co-mention profiles, instead "
                         "of the global per-surface election")
+    p.add_argument("--temporal-dict", action="store_true",
+                   help="honor the dictionary's valid_from: a mention links "
+                        "only to the alias winner whose validity interval "
+                        "covers the mention timestamp; earlier mentions stay "
+                        "unlinked (and are fenced from fuzzy relinking)")
     p.add_argument("--gc-stale-checkpoints", action="store_true",
                    help="before starting, drop stage-1 checkpoints left by "
                         "OTHER run_ids under this warehouse (crashed/abandoned "
@@ -84,6 +89,7 @@ def main(argv=None) -> int:
         run_id=args.run_id, fuzzy_threshold=args.fuzzy_threshold,
         timings=timings, gc_stale_checkpoints=args.gc_stale_checkpoints,
         disambiguate=args.disambiguate,
+        temporal_dictionary=args.temporal_dict,
     )
     result["stage_s"] = timings
     if args.snapshots:

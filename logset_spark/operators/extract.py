@@ -308,7 +308,7 @@ def with_next_turn(
 
 def unified_stage1(
     transcripts: DataFrame, detector, dictionary: DataFrame,
-    prefiltered: bool = True,
+    prefiltered: bool = True, temporal: bool = False,
 ) -> DataFrame:
     """Single-pass stage 1: structural + exact-linked mention triples from
     ONE scan of the transcript table.
@@ -389,10 +389,25 @@ def unified_stage1(
         F.when(is_turn, F.col("tool")).alias("tool"),
         F.when(is_turn, F.col("next_idx")).alias("next_idx"),
     )
-    dim = L.best_surface_dictionary(dictionary)
-    joined = exploded.join(
-        F.broadcast(dim), exploded.norm_form == dim.surface, "left"
-    )
+    if temporal:
+        # time-valid aliases: broadcast HASH join on the surface with the
+        # validity interval as the join residual (intervals are disjoint,
+        # so the join stays at-most-1:1); mentions before a surface's
+        # first valid_from remain unlinked and flow to the fuzzy stage.
+        dim = L.temporal_surface_dictionary(dictionary)
+        cond = (
+            (exploded.norm_form == dim.surface)
+            & (exploded.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (exploded.ts < dim.valid_to))
+        )
+        joined = exploded.join(F.broadcast(dim), cond, "left").drop(
+            "valid_from", "valid_to"
+        )
+    else:
+        dim = L.best_surface_dictionary(dictionary)
+        joined = exploded.join(
+            F.broadcast(dim), exploded.norm_form == dim.surface, "left"
+        )
     hit = F.col("canon_uri").isNotNull()
     if not prefiltered:
         # emit-all detector mode: the join is the membership test — drop

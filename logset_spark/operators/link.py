@@ -73,6 +73,89 @@ def exact_link(
     return out if keep_norm else out.drop("norm_form")
 
 
+def temporal_surface_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Collapse a TEMPORAL dictionary (rows carry `valid_from`) to
+    disjoint per-surface validity intervals, each with its elected
+    winner — so the temporal link join stays at-most-1:1 per mention.
+
+    An alias row is a candidate from its valid_from onward (no explicit
+    end: a surface's meaning changes by a NEW row shadowing the old via
+    the election, the dictionary idiom the synth fixture and SCD2-style
+    feeds share).  Boundaries = the surface's distinct valid_from values;
+    for each interval [b_i, b_i+1) the winner among rows already valid is
+    elected by the SAME (weight DESC, canon_uri ASC) total order the
+    untimed election uses — so a dictionary whose rows are all valid
+    from epoch produces exactly best_surface_dictionary's output (tested).
+
+    All window work here is dictionary-scale (dimension), never data-
+    scale.  Output: (surface, canon_uri, score, valid_from, valid_to
+    [null = open])."""
+    d = dictionary.select(
+        normalize_form(F.col("surface")).alias("surface"),
+        "canon_uri",
+        "weight",
+        "valid_from",
+    )
+    bounds = (
+        d.select("surface", "valid_from")
+        .distinct()
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("surface").orderBy("valid_from")
+            ),
+        )
+        .withColumnRenamed("valid_from", "iv_from")
+    )
+    cand = bounds.join(d, "surface").where(
+        F.col("valid_from") <= F.col("iv_from")
+    )
+    w = Window.partitionBy("surface", "iv_from").orderBy(
+        F.desc("weight"), F.asc("canon_uri")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "surface",
+            "canon_uri",
+            F.col("weight").alias("score"),
+            F.col("iv_from").alias("valid_from"),
+            "valid_to",
+        )
+    )
+
+
+def exact_link_temporal(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    ts_col: str = "ts",
+    keep_norm: bool = False,
+) -> DataFrame:
+    """exact_link honoring alias validity: a mention links only to the
+    dictionary winner whose interval covers the mention's timestamp —
+    mentions BEFORE a surface's first valid_from stay unlinked (they
+    flow to the fuzzy stage like any unknown form).
+
+    Join shape: broadcast HASH join on the normalized surface (the dim
+    fans out by intervals-per-surface, a dictionary-bounded constant),
+    with the interval containment as the join residual — never a nested-
+    loop.  Intervals are disjoint, so at most one row survives per
+    mention and the output is 1:1 like the untimed path."""
+    dim = temporal_surface_dictionary(dictionary)
+    m = mentions.withColumn("norm_form", normalize_form(F.col("form")))
+    ts = F.col(ts_col)
+    cond = (
+        (m.norm_form == dim.surface)
+        & (ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ts < dim.valid_to))
+    )
+    out = m.join(F.broadcast(dim), cond, "left").drop(
+        "surface", "valid_from", "valid_to"
+    )
+    return out if keep_norm else out.drop("norm_form")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -60,14 +60,16 @@ _TRIPLE_SCHEMA = (
 
 
 def _stage1_triples(
-    todo: DataFrame, dictionary: DataFrame, detector, prefiltered: bool = True
+    todo: DataFrame, dictionary: DataFrame, detector,
+    prefiltered: bool = True, temporal: bool = False,
 ) -> DataFrame:
     """Structural + exact-linked mention triples from one scan (see
     extract.unified_stage1 for the plan shape).  Mention rows that missed
     the dictionary carry `form_key` (normalized surface) so stage 4 can
     rewrite them from the fuzzy links broadcast; every other row has
     form_key null."""
-    return extract.unified_stage1(todo, detector, dictionary, prefiltered)
+    return extract.unified_stage1(todo, detector, dictionary, prefiltered,
+                                  temporal=temporal)
 
 
 def _write_stage1(io: TableIO, run_id: str, df: DataFrame) -> None:
@@ -161,16 +163,27 @@ def _apply_disambiguation(stage1: DataFrame, amb_dict: DataFrame) -> DataFrame:
 
 def _fuzzy_links(
     spark: SparkSession, io: TableIO, run_id: str, dictionary: DataFrame,
-    threshold: float
+    threshold: float, temporal: bool = False,
 ) -> DataFrame:
     """Stage 2 over the checkpoint: the stage_triples read is column-pruned
-    to (form_key) + the null filter, so this scan ships two columns."""
+    to (form_key) + the null filter, so this scan ships two columns.
+
+    With a temporal dictionary, forms that exactly equal a dictionary
+    surface were left unlinked DELIBERATELY (the mention predates the
+    alias) — fuzzy would instantly relink them at Jaccard 1.0, so they
+    are anti-joined out of the candidate forms (fuzzy is a typo
+    recoverer, not a validity override)."""
     forms = (
         io.read(spark, _stage_name(run_id))
         .where(F.col("form_key").isNotNull())
         .select(F.col("form_key").alias("form"))
         .distinct()
     )
+    if temporal:
+        surfaces = dictionary.select(
+            link.normalize_form(F.col("surface")).alias("form")
+        ).distinct()
+        forms = forms.join(F.broadcast(surfaces), "form", "left_anti")
     return link.fuzzy_link(forms, dictionary, threshold=threshold)
 
 
@@ -388,6 +401,7 @@ def build_graph(
     timings: dict | None = None,
     gc_stale_checkpoints: bool = False,
     disambiguate: bool = False,
+    temporal_dictionary: bool = False,
 ) -> dict:
     """Run the full pipeline; returns {run_id, rows_in, triples, wall_ms}.
 
@@ -490,7 +504,8 @@ def build_graph(
                 ~link.normalize_form(F.col("surface")).isin(amb_surfaces)
             )
         s1 = _stage1_triples(s1_todo, link_dict, detector,
-                             prefiltered=extra is not None)
+                             prefiltered=extra is not None,
+                             temporal=temporal_dictionary)
         if amb_surfaces:
             s1 = _apply_disambiguation(s1, amb_dict)
         _write_stage1(io, run_id, s1)
@@ -504,7 +519,8 @@ def build_graph(
 
     # Stage 2: fuzzy linking over distinct unlinked forms (tiny domain)
     if fuzzy:
-        links = _fuzzy_links(spark, io, run_id, dictionary, fuzzy_threshold)
+        links = _fuzzy_links(spark, io, run_id, dictionary, fuzzy_threshold,
+                             temporal=temporal_dictionary)
     else:
         links = spark.createDataFrame([], "form string, canon_uri string, score double")
     links = links.persist()  # tiny: distinct fuzzy forms only

@@ -20,6 +20,7 @@ records a weaker rows-only check.
 
 from __future__ import annotations
 
+import datetime
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4444,6 +4445,73 @@ FROM scored WHERE rnk <= 3
 """
 
 
+# Temporal alias dictionary for the time-valid linking query: "error"
+# changes meaning on Jan 6 (a higher-weight row shadows the old one),
+# "purchase" only becomes a known alias on Jan 4.  (surface, canon_uri,
+# weight, valid_from-iso).
+_TLINK_DICT = [
+    ("error", "ent:alert/legacy", 1.0, "2024-01-01 00:00:00"),
+    ("error", "ent:alert/pager", 2.0, "2024-01-06 00:00:00"),
+    ("purchase", "ent:rev/order", 1.0, "2024-01-04 00:00:00"),
+]
+
+
+def q_link_temporal(spark, sf):
+    """Time-valid exact linking (operators/link.py exact_link_temporal):
+    each event links to the alias winner whose validity interval covers
+    the event timestamp — same surface, different canonical entity
+    before/after a dictionary change; mentions before a surface's first
+    valid_from (and unknown surfaces) stay NULL.  The dictionary is
+    collapsed to disjoint per-surface intervals with a per-interval
+    election (dimension-scale windows), so the data-side join is a
+    broadcast hash join on the surface, at most 1:1."""
+    from .operators.link import exact_link_temporal
+
+    e = _t(spark, sf, "events")
+    mentions = e.select(
+        "event_id", F.col("event_type").alias("form"), "ts"
+    )
+    dic = spark.createDataFrame(
+        [(u, s, w, datetime.datetime.fromisoformat(v))
+         for s, u, w, v in _TLINK_DICT],
+        "canon_uri string, surface string, weight double, "
+        "valid_from timestamp",
+    )
+    return exact_link_temporal(mentions, dic).select(
+        "event_id", "canon_uri", "score"
+    )
+
+
+_TLINK_SQL_VALUES = ", ".join(
+    f"('{s}', '{u}', {w}, TIMESTAMP '{v}')" for s, u, w, v in _TLINK_DICT
+)
+
+SQL_LINK_TEMPORAL = f"""
+WITH dict(surface, canon_uri, weight, valid_from) AS
+  (VALUES {_TLINK_SQL_VALUES}),
+bounds AS (
+  SELECT surface, valid_from AS iv_from,
+         lead(valid_from) OVER (PARTITION BY surface
+                                ORDER BY valid_from) AS valid_to
+  FROM (SELECT DISTINCT surface, valid_from FROM dict)),
+cand AS (
+  SELECT b.surface, b.iv_from, b.valid_to, d.canon_uri, d.weight
+  FROM bounds b JOIN dict d
+    ON d.surface = b.surface AND d.valid_from <= b.iv_from),
+win AS (
+  SELECT surface, iv_from, valid_to, canon_uri, weight AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY surface, iv_from
+                                     ORDER BY weight DESC, canon_uri ASC)
+               AS rn
+        FROM cand)
+  WHERE rn = 1)
+SELECT e.event_id, w.canon_uri, w.score
+FROM events e LEFT JOIN win w
+  ON w.surface = e.event_type AND e.ts >= w.iv_from
+     AND (w.valid_to IS NULL OR e.ts < w.valid_to)
+"""
+
+
 # Alias dictionary for the disambiguation query: three AMBIGUOUS
 # surfaces (two candidate entities each) plus one unambiguous
 # evidence alias per candidate entity, all drawn from the synthetic
@@ -5618,6 +5686,7 @@ REGISTRY: dict[str, tuple] = {
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),
+    "q_link_temporal": (q_link_temporal, SQL_LINK_TEMPORAL),
     # round-3 session-7 additions
     "q_mv_incremental": (q_mv_incremental, SQL_MV_INCREMENTAL),
     "q_zorder": (q_zorder, SQL_ZORDER),
