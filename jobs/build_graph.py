@@ -41,6 +41,13 @@ def main(argv=None) -> int:
                         "only to the alias winner whose validity interval "
                         "covers the mention timestamp; earlier mentions stay "
                         "unlinked (and are fenced from fuzzy relinking)")
+    p.add_argument("--coref", action="store_true",
+                   help="resolve conversation-scoped anaphora: a turn "
+                        "containing a third-person anaphor (it/they/this/"
+                        "that) gains a refersTo triple to the most recently "
+                        "linked entity of an earlier turn in the same "
+                        "conversation (recency heuristic, one window over "
+                        "the conv_id exchange)")
     p.add_argument("--gc-stale-checkpoints", action="store_true",
                    help="before starting, drop stage-1 checkpoints left by "
                         "OTHER run_ids under this warehouse (crashed/abandoned "
@@ -90,6 +97,7 @@ def main(argv=None) -> int:
         timings=timings, gc_stale_checkpoints=args.gc_stale_checkpoints,
         disambiguate=args.disambiguate,
         temporal_dictionary=args.temporal_dict,
+        coref=args.coref,
     )
     result["stage_s"] = timings
     if args.snapshots:

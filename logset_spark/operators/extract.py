@@ -342,6 +342,8 @@ def unified_stage1(
     from . import link as L
     from .. import vocab as V
 
+    from .coref import anaphor_rlike
+
     base = transcripts.select(
         "conv_id",
         "turn_idx",
@@ -349,6 +351,12 @@ def unified_stage1(
         "role",
         "tool",
         detector(F.col("text")).alias("hits"),
+        # Anaphor flag for the opt-in coref stage (pipeline._coref_rows):
+        # computed HERE because stage 1 is the only pass that sees text.
+        # Native rlike (whole-stage codegen, no second UDF), one boolean
+        # through the window shuffle and the checkpoint — always present
+        # so the checkpoint schema never varies with pipeline flags.
+        F.lower(F.col("text")).rlike(anaphor_rlike()).alias("is_anaphor"),
     )
     # lead the 4-byte turn_idx, not a turn URI: ints through the shuffle
     base = with_next_turn(base, col="turn_idx", out="next_idx")
@@ -374,7 +382,7 @@ def unified_stage1(
     entries = F.concat(turn_marker, mention)
     is_turn = F.col("tr.pc") == TURN_PC
     exploded = base.select(
-        "conv_id", "turn_idx", "ts", "role", "tool", "next_idx",
+        "conv_id", "turn_idx", "ts", "role", "tool", "next_idx", "is_anaphor",
         F.explode(entries).alias("tr"),
     ).select(
         "conv_id", "turn_idx", "ts",
@@ -388,6 +396,7 @@ def unified_stage1(
         F.when(is_turn, F.col("role")).alias("role"),
         F.when(is_turn, F.col("tool")).alias("tool"),
         F.when(is_turn, F.col("next_idx")).alias("next_idx"),
+        F.when(is_turn, F.col("is_anaphor")).alias("is_anaphor"),
     )
     if temporal:
         # time-valid aliases: broadcast HASH join on the surface with the
@@ -431,6 +440,7 @@ def unified_stage1(
         "role",
         "tool",
         "next_idx",
+        "is_anaphor",
     )
 
 

@@ -158,6 +158,7 @@ def _apply_disambiguation(stage1: DataFrame, amb_dict: DataFrame) -> DataFrame:
         "role",
         "tool",
         "next_idx",
+        "is_anaphor",
     )
 
 
@@ -278,6 +279,84 @@ def _finalize(
         "tool",
         "next_idx",
     )
+
+
+def _coref_rows(
+    spark: SparkSession,
+    io: TableIO,
+    run_id: str,
+    links: DataFrame,
+    pending_final: DataFrame | None,
+) -> DataFrame:
+    """Stage 3.5 (opt-in): conversation-scoped anaphora resolution
+    (operators/coref.py) — an anaphoric turn (stage 1 flagged it with a
+    native rlike while text was in scope) gains a refersTo triple to the
+    most recently LINKED entity of a strictly earlier turn in the same
+    conversation.
+
+    Plan shape: pruned checkpoint scan keeping only entity-bearing
+    mention rows and anaphoric turn rows (narrow columns, a small
+    fraction of the packed set) -> ONE exchange on conv_id; both the
+    per-turn entity election (groupBy conv_id, turn_idx) and the
+    antecedent window (partitionBy conv_id) are satisfied by that
+    partitioning, so neither adds a shuffle.  Fuzzy-linked mentions
+    count as antecedents: the same broadcast rewrite stage 4 applies is
+    applied here first.
+
+    Resume correctness: reads the FULL checkpoint, never the
+    pending-filtered subset — an antecedent may live in an
+    already-written partition, and filtering the INPUT would make a
+    resumed run resolve differently than a fresh one.  Idempotence is
+    restored by filtering the OUTPUT rows to the pending partitions
+    (each refersTo row's placement is decided by its own conv_id/ts)."""
+    from .operators import coref
+
+    staged = io.read(spark, _stage_name(run_id)).drop("conv_bucket")
+    lk = links.select(
+        F.col("form").alias("form_key"),
+        F.col("canon_uri").alias("f_canon"),
+    )
+    is_turn = F.col("pc") == extract.TURN_PC
+    ent = F.when(
+        F.col("pc") == V.PRED_CODES[V.MENTIONS],
+        F.coalesce("f_canon", "obj"),
+    )
+    pruned = (
+        staged.join(F.broadcast(lk), "form_key", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.when(ent.startswith(V.NS_ENT), ent).alias("ent"),
+            F.coalesce(F.when(is_turn, F.col("is_anaphor")), F.lit(False))
+            .alias("is_anaphor"),
+        )
+        .where(F.col("ent").isNotNull() | F.col("is_anaphor"))
+    )
+    elected = (
+        pruned.repartition("conv_id")
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.min("ent").alias("ent"),
+            F.min("ts").alias("ts"),
+            F.max("is_anaphor").alias("is_anaphor"),
+        )
+    )
+    resolved = coref.resolve_anaphora(elected)
+    refers = resolved.where(F.col("antecedent").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lit(V.PRED_CODES[V.REFERS_TO]).cast("tinyint").alias("pc"),
+        F.col("antecedent").alias("obj"),
+        F.lit(coref.COREF_CONF).cast("float").alias("conf"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("int").alias("next_idx"),
+    )
+    if pending_final is not None:
+        refers = materialize.filter_to_pending(refers, pending_final, io.n_buckets)
+    return refers
 
 
 def _dedup_rows(df: DataFrame) -> DataFrame:
@@ -402,6 +481,7 @@ def build_graph(
     gc_stale_checkpoints: bool = False,
     disambiguate: bool = False,
     temporal_dictionary: bool = False,
+    coref: bool = False,
 ) -> dict:
     """Run the full pipeline; returns {run_id, rows_in, triples, wall_ms}.
 
@@ -534,11 +614,23 @@ def build_graph(
         same_as = spark.createDataFrame([], _TRIPLE_SCHEMA)
     _mark("canonicalize")
 
+    # Stage 3.5 (opt-in): anaphora resolution -> refersTo packed rows,
+    # unioned into the finalize stream so they ride the same dedup +
+    # layout write (idempotent like every other packed row).
+    refers = (
+        _coref_rows(spark, io, run_id, links, pending_final)
+        if coref
+        else None
+    )
+    _mark("coref")
+
     # Stage 4: rewrite + dedup + layout write + manifest.  The main slim
     # stream and the tiny sameAs set land as two dynamic-overwrite writes
     # into DISJOINT partitions (sameAs rows have null ts -> the
     # __HIVE_DEFAULT_PARTITION__ pseudo-day), so both stay idempotent.
     final = _finalize(spark, io, run_id, links, pending_final)
+    if refers is not None:
+        final = final.unionByName(refers)
     io.write(final, materialize.TRIPLES, finisher=_finisher,
              pre_sort=_dedup_rows)
     n_same = same_as.count()

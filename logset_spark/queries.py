@@ -4588,6 +4588,81 @@ SELECT doc_id, surface, canon_uri, score FROM ranked WHERE rn = 1
 """
 
 
+def q_coref(spark, sf):
+    """Conversation-scoped anaphora resolution (operators/coref.py), the
+    pipeline's opt-in stage 3.5: an anaphoric turn refers to the most
+    recently LINKED entity of a strictly earlier turn in the same
+    conversation — one window function over one conv-keyed exchange,
+    never per-row Python.  Turns are derived deterministically from
+    events (error turns carry an anaphor, click turns name an entity) so
+    BOTH the production anaphor regex and the exclusive-upper-bound
+    recency window replay exactly in the DuckDB oracle."""
+    from .operators import coref
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("int")
+    text = (
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit("restart it (attempt "), k.cast("string"), F.lit(")")),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("svc-"), k.cast("string"), F.lit(" responded slowly")),
+        )
+        .otherwise(F.lit("status nominal"))
+    )
+    turns = e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("ent:svc-"), k.cast("string")),
+        ).alias("ent"),
+        F.lower(text).rlike(coref.anaphor_rlike()).alias("is_anaphor"),
+    )
+    return coref.resolve_anaphora(turns).select(
+        "conv_id", "turn_idx", "antecedent"
+    )
+
+
+def _coref_sql() -> str:
+    from .operators.coref import anaphor_rlike
+
+    return f"""
+WITH t AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events),
+u AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN event_type = 'click'
+              THEN 'ent:svc-' || CAST(k AS VARCHAR) END AS ent,
+         regexp_matches(
+           lower(CASE WHEN event_type = 'error'
+                      THEN 'restart it (attempt ' || CAST(k AS VARCHAR) || ')'
+                      WHEN event_type = 'click'
+                      THEN 'svc-' || CAST(k AS VARCHAR) || ' responded slowly'
+                      ELSE 'status nominal' END),
+           '{anaphor_rlike()}') AS is_anaphor
+  FROM t)
+SELECT conv_id, turn_idx, antecedent FROM (
+  SELECT conv_id, turn_idx, is_anaphor,
+         last_value(ent IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS antecedent
+  FROM u)
+WHERE is_anaphor
+"""
+
+
+SQL_COREF = _coref_sql()
+
+
 def _csv_fixture() -> str:
     here = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -5683,6 +5758,8 @@ FROM nodes n JOIN h{_HITS_ROUNDS} h ON n.node = h.node
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-9 additions
+    "q_coref": (q_coref, SQL_COREF),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

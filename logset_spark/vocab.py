@@ -32,6 +32,7 @@ MENTIONS = "mentions"         # turn -> ent:/m:<e>
 FOLLOWED_BY = "followedBy"    # turn -> next turn in the same conv
 SAME_AS = "sameAs"            # ent -> canonical ent (canonicalization output)
 IN_SESSION = "inSession"      # turn -> session:<conv>/<k>
+REFERS_TO = "refersTo"        # anaphoric turn -> its resolved antecedent entity
 
 STRUCTURAL_PREDS = (HAS_TURN, PART_OF, HAS_ROLE, AT_TIME, USED_TOOL, FOLLOWED_BY)
 
@@ -43,6 +44,7 @@ STRUCTURAL_PREDS = (HAS_TURN, PART_OF, HAS_ROLE, AT_TIME, USED_TOOL, FOLLOWED_BY
 PRED_CODES = {
     HAS_TURN: 1, PART_OF: 2, HAS_ROLE: 3, AT_TIME: 4,
     USED_TOOL: 5, MENTIONS: 6, FOLLOWED_BY: 7, IN_SESSION: 8,
+    REFERS_TO: 9,
 }
 _CODE_TO_PRED = [p for p, _ in sorted(PRED_CODES.items(), key=lambda kv: kv[1])]
 # element_at below indexes a dense array literal, so codes MUST be exactly
