@@ -27,6 +27,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Incremental streaming KG build")
     p.add_argument("--input", required=True, help="transcript parquet dir (growing)")
     p.add_argument("--out", required=True, help="output root (triples + checkpoint)")
+    p.add_argument("--dict", dest="dict_path", default=None,
+                   help="entity dictionary parquet (surface, canon_uri, "
+                        "weight): switches the stream from structural-only "
+                        "to FULL extraction+linking per micro-batch — "
+                        "mention detection, exact + fuzzy linking, the same "
+                        "shared operators the batch pipeline runs")
+    p.add_argument("--fuzzy-threshold", type=float, default=0.55)
     p.add_argument("--snapshots", action="store_true",
                    help="land each micro-batch as an atomic snapshot commit "
                         "(exactly-once via batch-id commit dedup; time travel "
@@ -37,13 +44,59 @@ def main(argv=None) -> int:
 
     from logset_spark.session import get_spark
     from logset_spark.streaming.incremental import (
-        run_available_now, run_available_now_snapshot, stream_transcripts,
-        structural_triples_stream,
+        run_available_now, run_available_now_snapshot, run_linked_available_now,
+        stream_transcripts, structural_triples_stream,
     )
 
     spark = get_spark("stream_graph", cpus=args.cpus)
     sink = f"{args.out}/triples_stream"
     checkpoint = f"{args.out}/_checkpoint"
+
+    if args.dict_path:
+        dictionary = spark.read.parquet(args.dict_path)
+        raw = stream_transcripts(spark, args.input)
+        if args.snapshots:
+            from logset_spark.sources.snapshots import SnapshotTableIO
+
+            store = SnapshotTableIO(root=f"{args.out}/triples")
+
+            def _count() -> int:
+                try:
+                    return store.read(spark).count()
+                except ValueError:  # empty table (no snapshot yet)
+                    return 0
+
+            before = _count()
+            run_linked_available_now(
+                raw, checkpoint, spark, dictionary,
+                store=store, fuzzy_threshold=args.fuzzy_threshold,
+            )
+            after = _count()
+            out = {
+                "rows_appended": after - before,
+                "rows_total": after,
+                "sink": f"{args.out}/triples",
+                "snapshot_version": store.current_version(),
+            }
+        else:
+            try:
+                before = spark.read.parquet(sink).count()
+            except Exception:  # noqa: BLE001 - first run: sink missing
+                before = 0
+            run_linked_available_now(
+                raw, checkpoint, spark, dictionary,
+                out_path=sink, fuzzy_threshold=args.fuzzy_threshold,
+            )
+            after = spark.read.parquet(sink).count()
+            out = {
+                "rows_appended": after - before,
+                "rows_total": after,
+                "sink": sink,
+            }
+        out["linked"] = True
+        print(json.dumps(out))
+        spark.stop()
+        return 0
 
     stream = structural_triples_stream(stream_transcripts(spark, args.input))
     if args.snapshots:

@@ -255,11 +255,6 @@ def _finalize(
     staged = io.read(spark, _stage_name(run_id)).drop("conv_bucket")
     if pending_final is not None:
         staged = materialize.filter_to_pending(staged, pending_final, io.n_buckets)
-    lk = links.select(
-        F.col("form").alias("form_key"),
-        F.col("canon_uri").alias("f_canon"),
-        F.col("score").cast("float").alias("f_score"),
-    )
     # Map-side broadcast rewrite only; NO dedup shuffle here.  Mention
     # dedup (two surface forms in one turn resolving to one canonical
     # URI) runs inside the write stage via `_dedup_rows`, keyed on a
@@ -268,6 +263,19 @@ def _finalize(
     # Turn rows pass through the join untouched (null form_key never
     # matches) and are unique by construction, so the shared aggregate
     # is a no-op for them.
+    return rewrite_packed(staged, links)
+
+
+def rewrite_packed(staged: DataFrame, links: DataFrame) -> DataFrame:
+    """Broadcast fuzzy-link rewrite of packed rows: mention rows whose
+    form_key matched a fuzzy link get the canonical URI + score; every
+    other row passes through untouched (null form_key never matches).
+    Shared by batch stage 4 and the streaming per-micro-batch path."""
+    lk = links.select(
+        F.col("form").alias("form_key"),
+        F.col("canon_uri").alias("f_canon"),
+        F.col("score").cast("float").alias("f_score"),
+    )
     return staged.join(F.broadcast(lk), "form_key", "left").select(
         "conv_id",
         "turn_idx",
@@ -375,9 +383,19 @@ def _dedup_rows(df: DataFrame) -> DataFrame:
     and without it the grouping would no longer be a superset of the
     (salted) partitioning — Catalyst would insert the very shuffle this
     hook exists to avoid."""
-    keys = ["ts_day", "conv_bucket", "conv_id", "turn_idx", "pc", "obj"]
+    extra = ["ts_day", "conv_bucket"]
     if tableio.WRITE_SALT in df.columns:
-        keys.insert(2, tableio.WRITE_SALT)
+        extra.append(tableio.WRITE_SALT)
+    return dedup_packed(df, extra_keys=extra)
+
+
+def dedup_packed(df: DataFrame, extra_keys=()) -> DataFrame:
+    """Packed-row dedup on (conv_id, turn_idx, pc, obj) — equivalent to
+    (subj, pred, obj) because subj is a function of (pc, conv_id,
+    turn_idx).  `extra_keys` lets the batch write path add its layout
+    columns so the aggregate is satisfied by the layout exchange (see
+    _dedup_rows); the streaming path calls it bare per micro-batch."""
+    keys = [*extra_keys, "conv_id", "turn_idx", "pc", "obj"]
     return (
         df.groupBy(*keys)
         .agg(
@@ -397,6 +415,14 @@ def _finisher(df: DataFrame) -> DataFrame:
     triple rows.  Runs inside the write stage AFTER the exchange, so the
     6x structural fan-out and every URI string are produced by codegen'd
     CPU local to the writer task — they never cross a shuffle."""
+    return packed_to_triples(df, passthrough=("ts_day", "conv_bucket"))
+
+
+def packed_to_triples(df: DataFrame, passthrough=()) -> DataFrame:
+    """Packed rows -> full triple rows: the 6x structural fan-out plus
+    one row per mention/refersTo, with every URI minted natively.
+    `passthrough` columns ride along unchanged (the batch write path
+    threads its layout columns; the streaming path passes none)."""
     conv_u = V.conv_uri("conv_id")
     turn_u = V.turn_uri("conv_id", "turn_idx")
 
@@ -429,7 +455,7 @@ def _finisher(df: DataFrame) -> DataFrame:
     entries = F.when(F.col("pc") == extract.TURN_PC, structural).otherwise(single)
     return df.select(
         F.explode(entries).alias("tr"),
-        "pc", "conv_id", "turn_idx", "ts", "conf", "ts_day", "conv_bucket",
+        "pc", "conv_id", "turn_idx", "ts", "conf", *passthrough,
     ).select(
         F.col("tr.subj").alias("subj"),
         F.coalesce(F.col("tr.pred"), V.pred_from_code("pc")).alias("pred"),
@@ -438,8 +464,7 @@ def _finisher(df: DataFrame) -> DataFrame:
         "turn_idx",
         "ts",
         F.col("conf").cast("double").alias("conf"),
-        "ts_day",
-        "conv_bucket",
+        *passthrough,
     )
 
 

@@ -4663,6 +4663,124 @@ WHERE is_anaphor
 SQL_COREF = _coref_sql()
 
 
+def _stream_scratch(sf: str, name: str) -> str:
+    import shutil
+    import tempfile
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf.rstrip("/").rsplit("/", 1)[-1]
+    )
+    root = f"{tempfile.gettempdir()}/logset_{name}_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def q_stream_structural(spark, sf):
+    """X1 incremental ingest, oracle-checked (the streaming rows' first
+    hard oracle): events-derived transcripts land in a scratch dir, a
+    drain-and-stop availableNow stream (streaming/incremental.py — the
+    production file-source plan with its pinned schema and checkpoint)
+    extracts per-turn structural triples, and the parquet sink is read
+    back as a batch table.  The oracle is the same structural graph in
+    SQL minus followedBy — the cross-row edge the stateful operator
+    handles (tested for batch parity in tests/test_streaming.py)."""
+    from .streaming import incremental as st
+
+    root = _stream_scratch(sf, "stream_structural")
+    derived_transcripts(spark, sf).coalesce(2).write.parquet(f"{root}/in")
+    stream = st.structural_triples_stream(
+        st.stream_transcripts(spark, f"{root}/in")
+    )
+    st.run_available_now(stream, f"{root}/ckpt", f"{root}/out")
+    return spark.read.parquet(f"{root}/out").select("subj", "pred", "obj")
+
+
+SQL_STREAM_STRUCTURAL = f"""
+SELECT subj, pred, obj FROM ({SQL_KG_STRUCTURAL}) g
+WHERE pred <> 'followedBy'
+"""
+
+
+def q_stream_linked(spark, sf):
+    """The FULL linked streaming pipeline, oracle-checked: transcripts
+    synthesized deterministically from events (click turns name a
+    dictionary service `svc_<k%50>`, error turns a non-dictionary host
+    `node-<k>`, both name-like under the detector grammar) run through
+    run_linked_available_now — mention detection (Arrow-batched UDF),
+    exact linking (broadcast dictionary join), fuzzy linking (no
+    candidates survive 0-Jaccard between svc_/node- shingles, which the
+    oracle encodes by construction), packed dedup, and the native URI
+    explode — per micro-batch.  One input file => one micro-batch =>
+    followedBy parity included.  The oracle replays the token grammar,
+    the dictionary join, and the m:<form> fallback in SQL."""
+    from .streaming import incremental as st
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object("props", "$.k").cast("int")
+    text = (
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("saw svc_"), (k % 50).cast("string"), F.lit(" ok")),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat(F.lit("saw node-"), k.cast("string"), F.lit(" down")),
+        )
+        .otherwise(F.lit("status ok"))
+    )
+    tr = e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    dic = spark.createDataFrame(
+        [(f"ent:svc/{i}", f"svc_{i}", "service", 1.0, None) for i in range(50)],
+        "canon_uri string, surface string, kind string, weight double, "
+        "valid_from timestamp",
+    )
+    root = _stream_scratch(sf, "stream_linked")
+    tr.coalesce(1).write.parquet(f"{root}/in")
+    st.run_linked_available_now(
+        st.stream_transcripts(spark, f"{root}/in"),
+        f"{root}/ckpt", spark, dic, out_path=f"{root}/out",
+    )
+    return spark.read.parquet(f"{root}/out").select("subj", "pred", "obj")
+
+
+SQL_STREAM_LINKED = """
+WITH t AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         ts
+  FROM events),
+u AS (
+  SELECT conv_id, turn_idx, event_type, k, ts,
+         'conv:' || conv_id AS conv_u,
+         'turn:' || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS turn_u,
+         lead('turn:' || conv_id || '/' || CAST(turn_idx AS VARCHAR))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_u
+  FROM t)
+SELECT conv_u AS subj, 'hasTurn' AS pred, turn_u AS obj FROM u
+UNION ALL SELECT turn_u, 'partOf', conv_u FROM u
+UNION ALL SELECT turn_u, 'hasRole', 'role:user' FROM u
+UNION ALL SELECT turn_u, 'atTime', strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM u
+UNION ALL SELECT turn_u, 'followedBy', next_u FROM u WHERE next_u IS NOT NULL
+UNION ALL
+SELECT turn_u, 'mentions',
+       CASE WHEN event_type = 'click'
+            THEN 'ent:svc/' || CAST(k % 50 AS VARCHAR)
+            ELSE 'm:node-' || CAST(k AS VARCHAR) END
+FROM u WHERE event_type IN ('click', 'error')
+"""
+
+
 def _csv_fixture() -> str:
     here = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -5760,6 +5878,8 @@ REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
+    "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),
+    "q_stream_linked": (q_stream_linked, SQL_STREAM_LINKED),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

@@ -12,6 +12,12 @@ deployments that prefer a streaming runtime:
   streaming twin of the manifest left-anti join (X1).
 * `structural_triples_stream` — the SAME extraction plan as batch Stage 1
   minus cross-turn edges (those need per-conv state, below).
+* `linked_triples_batch` / `run_linked_available_now` — the FULL
+  extraction+linking pipeline per micro-batch via foreachBatch, through
+  the operators batch stage 4 itself uses (pipeline.rewrite_packed /
+  dedup_packed / packed_to_triples), so batch and stream cannot drift;
+  `jobs/stream_graph.py --dict` is the CLI surface and
+  `queries.q_stream_linked` the DuckDB oracle row.
 * `followed_by_stream`  — the cross-turn followedBy edges as a CUSTOM
   STATEFUL operator via applyInPandasWithState: O(1) state per live
   conversation, micro-batch-boundary bridging, batch-parity-tested.
@@ -253,6 +259,104 @@ def run_available_now_snapshot(
     per-batch small-file fragmentation this accumulates)."""
     q = (
         stream_df.writeStream.foreachBatch(snapshot_batch_sink(store))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def linked_triples_batch(
+    batch: DataFrame,
+    detector,
+    dictionary: DataFrame,
+    fuzzy_threshold: float = 0.55,
+    prefiltered: bool = True,
+) -> DataFrame:
+    """One micro-batch through the batch pipeline's extraction + linking:
+    unified_stage1 (structural + exact-linked mentions, one scan), fuzzy
+    linking over THIS batch's distinct unlinked forms (per-form
+    deterministic against a fixed dictionary, so per-batch fuzzy equals
+    corpus-wide fuzzy), broadcast rewrite, packed-row dedup, and the
+    native URI explode — all the shared batch operators
+    (pipeline.rewrite_packed/dedup_packed/packed_to_triples), so batch
+    and stream cannot drift.  followedBy edges are minted within the
+    batch; a conversation split ACROSS micro-batches misses the seam
+    edge — the same documented contract as followed_by_stream's
+    NoTimeout mode, repaired by batch backfill (or avoided by writing
+    whole conversations per file)."""
+    from .. import pipeline as P
+    from ..operators import extract, link
+
+    s1 = extract.unified_stage1(
+        batch, detector, dictionary, prefiltered=prefiltered
+    )
+    forms = (
+        s1.where(F.col("form_key").isNotNull())
+        .select(F.col("form_key").alias("form"))
+        .distinct()
+    )
+    links = link.fuzzy_link(forms, dictionary, threshold=fuzzy_threshold)
+    packed = P.dedup_packed(P.rewrite_packed(s1, links))
+    return P.packed_to_triples(packed)
+
+
+def linked_triples_sink(
+    spark: SparkSession,
+    dictionary: DataFrame,
+    fuzzy_threshold: float = 0.55,
+    out_path: str | None = None,
+    store=None,
+):
+    """foreachBatch closure running the FULL extraction+linking pipeline
+    per micro-batch — the streaming twin of build_graph (minus sameAs
+    canonicalization, whose alias graph is corpus-global by definition:
+    run jobs/build_graph.py periodically, or owl_materialize over the
+    accumulated table, for the merge pass).  The detector is built once,
+    driver-side, outside the stream (dictionary-scale).  With `store`,
+    commits are batch-id-deduped append snapshots (exactly-once, same
+    handshake as snapshot_batch_sink); with `out_path`, plain parquet
+    appends (at-least-once)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        triples = linked_triples_batch(
+            batch_df, _detector, dictionary, fuzzy_threshold, _prefiltered
+        )
+        if store is not None:
+            last = store.last_batch_id()
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already durably committed
+            store.commit(triples, mode="append", batch_id=batch_id)
+        else:
+            triples.write.mode("append").parquet(out_path)
+
+    from ..operators import extract
+
+    _extra = extract.non_namelike_surfaces(dictionary)
+    _detector = extract.make_candidate_detector(spark, _extra)
+    _prefiltered = _extra is not None
+    return _sink
+
+
+def run_linked_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    spark: SparkSession,
+    dictionary: DataFrame,
+    out_path: str | None = None,
+    store=None,
+    fuzzy_threshold: float = 0.55,
+) -> None:
+    """Drain-and-stop incremental KG build WITH entity linking: each
+    micro-batch of raw transcripts runs the shared extraction+linking
+    operators and lands as linked triples."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            linked_triples_sink(
+                spark, dictionary, fuzzy_threshold,
+                out_path=out_path, store=store,
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

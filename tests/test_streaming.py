@@ -235,3 +235,91 @@ def test_snapshot_stream_ingest_exactly_once(spark, tmp_path):
     sink(store.read(spark).select(cols).limit(7), last + 1)
     assert store.current_version() == v1 + 1
     assert store.last_batch_id() == last + 1
+
+
+def test_linked_stream_matches_batch_pipeline(spark, tmp_path):
+    """The linked stream (full extraction + exact/fuzzy linking per
+    micro-batch) over one file-sized micro-batch must equal the batch
+    pipeline's triples exactly — same shared operators, same dictionary,
+    minus the corpus-global sameAs pass the streaming twin documents
+    away.  One file => one micro-batch => followedBy parity too."""
+    from logset_spark.pipeline import build_graph
+    from logset_spark.sources.tableio import TableIO
+
+    pdf = synth.transcripts_pdf(n_convs=8)
+    df = spark.createDataFrame(pdf, schema=synth.TRANSCRIPT_SCHEMA)
+    path = str(tmp_path / "in_linked")
+    df.coalesce(1).write.parquet(path)
+    ddf = spark.createDataFrame(
+        synth.entity_dictionary_pdf(), schema=synth.DICT_SCHEMA
+    )
+
+    out, ckpt = str(tmp_path / "out_linked"), str(tmp_path / "ckpt_linked")
+    st.run_linked_available_now(
+        st.stream_transcripts(spark, path), ckpt, spark, ddf, out_path=out
+    )
+    got = spark.read.parquet(out).select("subj", "pred", "obj", "conf")
+
+    io = TableIO(str(tmp_path / "wh_linked"), n_buckets=4)
+    build_graph(spark, df, ddf, io, run_id="slk1")
+    expect = (
+        io.read(spark, "triples")
+        .where(F.col("pred") != "sameAs")
+        .select("subj", "pred", "obj", "conf")
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # linking actually happened in-stream: canonical entity mentions exist
+    n_linked = got.where(
+        (F.col("pred") == "mentions") & F.col("obj").startswith("ent:")
+    ).count()
+    assert n_linked > 0
+
+
+def test_linked_stream_incremental_appends_only_new(spark, tmp_path):
+    from logset_spark import vocab as V
+
+    pdf = synth.transcripts_pdf(n_convs=4)
+    df = spark.createDataFrame(pdf, schema=synth.TRANSCRIPT_SCHEMA)
+    path = str(tmp_path / "in_inc")
+    df.coalesce(1).write.parquet(path)
+    ddf = spark.createDataFrame(
+        synth.entity_dictionary_pdf(), schema=synth.DICT_SCHEMA
+    )
+    out, ckpt = str(tmp_path / "out_inc"), str(tmp_path / "ckpt_inc")
+    st.run_linked_available_now(
+        st.stream_transcripts(spark, path), ckpt, spark, ddf, out_path=out
+    )
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    convs1 = {r.conv_id for r in first.select("conv_id").distinct().collect()}
+
+    # drained checkpoint: re-run sees nothing new
+    st.run_linked_available_now(
+        st.stream_transcripts(spark, path), ckpt, spark, ddf, out_path=out
+    )
+    assert spark.read.parquet(out).count() == n1
+
+    # a new file arrives: only ITS conversations are appended
+    extra = synth.transcripts_pdf(n_convs=2, seed=7).assign(
+        conv_id=lambda d: "late-" + d.conv_id
+    )
+    spark.createDataFrame(extra, schema=synth.TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    st.run_linked_available_now(
+        st.stream_transcripts(spark, path), ckpt, spark, ddf, out_path=out
+    )
+    after = spark.read.parquet(out)
+    new_rows = after.exceptAll(first)
+    assert new_rows.count() > 0
+    new_convs = {r.conv_id for r in new_rows.select("conv_id").distinct().collect()}
+    assert all(c.startswith("late-") for c in new_convs), new_convs
+    assert convs1.isdisjoint(new_convs)
+    # and the new rows are LINKED triples, not structural-only
+    assert (
+        new_rows.where(
+            (F.col("pred") == V.MENTIONS) & F.col("obj").startswith("ent:")
+        ).count()
+        > 0
+    )
