@@ -63,6 +63,9 @@ patterns):
             ( . OPTIONAL { pattern ( . pattern )* [. FILTER(expr)]* } )*
             ( . { SELECT ... WHERE { patterns ... } ... } )* }
     WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
+    [ GROUP BY ?v ... ]   -- explicit keys, may be a superset of the
+                          -- projected vars; omitted = implicit grouping
+                          -- by the plain SELECT vars
     [ HAVING(expr over agg aliases) ]
     [ ORDER BY (?v [DESC] | DESC(?v) | ASC(?v)) ... ]
     [ LIMIT n ] [ OFFSET m ]
@@ -178,6 +181,9 @@ class ParsedQuery:
     offset: int | None = None
     # HAVING(expr) over aggregate aliases (aggregate queries only)
     having: str | None = None
+    # explicit GROUP BY keys (SPARQL 1.1); None = implicit grouping by
+    # the plain SELECT vars.  May be a superset of the SELECT vars.
+    group_by: list[str] | None = None
     # WHERE { {A} UNION {B} ... }: (patterns, filters) arms (patterns is
     # then empty); arms may carry FILTER but not nested OPTIONAL/UNION
     unions: list[tuple[list[tuple[str, str, str]], list[str]]] = field(
@@ -496,6 +502,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return inner
     m = re.match(
         r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}"
+        r"(?:\s*GROUP\s+BY\s+((?:\s*\?\w+)+))?"
         rf"(?:\s*HAVING\s*\(({_NEST2}*)\))?"
         r"(?:\s*ORDER\s+BY\s+(.*?))?(?:\s*LIMIT\s+(\d+))?"
         r"(?:\s*OFFSET\s+(\d+))?\s*$",
@@ -762,10 +769,23 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         if not patterns and not values and not subqueries and not services:
             raise ValueError("WHERE clause has no triple patterns")
 
-    having = _restore_quoted(m.group(4).strip(), lits) if m.group(4) else None
+    # explicit GROUP BY ?v ... (SPARQL 1.1): the grouping keys, which
+    # may be a SUPERSET of the plain SELECT vars.  Only ?vars are in the
+    # subset — grouping by an expression fails the regex loudly rather
+    # than mis-parsing.  Without the clause, grouping stays implicit
+    # (plain SELECT vars), the form the compiler always supported.
+    group_by = [v[1:] for v in m.group(4).split()] if m.group(4) else None
+    if group_by is not None:
+        bad = [v for v in select if v not in group_by]
+        if bad:
+            raise ValueError(
+                "SELECT projects non-grouped, non-aggregate variable(s) "
+                f"?{' ?'.join(bad)} — add them to GROUP BY or aggregate "
+                "them")
+    having = _restore_quoted(m.group(5).strip(), lits) if m.group(5) else None
     order_by = []
-    if m.group(5):
-        src5 = m.group(5).strip()
+    if m.group(6):
+        src5 = m.group(6).strip()
         # ?v | ?v DESC (engine spelling) | DESC(?v) / ASC(?v) (SPARQL
         # spelling); the lookahead keeps `?a DESC(?b)` unambiguous
         key_re = re.compile(
@@ -778,18 +798,18 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             if not mo:
                 raise ValueError(
                     f"ORDER BY expects ?var [DESC] or DESC(?var)/"
-                    f"ASC(?var): {m.group(5)!r}")
+                    f"ASC(?var): {m.group(6)!r}")
             if mo.group(1):
                 order_by.append((mo.group(2), mo.group(1).upper() == "DESC"))
             else:
                 order_by.append((mo.group(3), mo.group(4) is not None))
             pos5 = mo.end()
-    limit = int(m.group(6)) if m.group(6) else None
-    offset = int(m.group(7)) if m.group(7) else None
+    limit = int(m.group(7)) if m.group(7) else None
+    offset = int(m.group(8)) if m.group(8) else None
     return ParsedQuery(
         select=select, aggs=aggs, distinct=distinct, patterns=patterns,
         filters=filters, optionals=optionals, order_by=order_by, limit=limit,
-        offset=offset, having=having,
+        offset=offset, having=having, group_by=group_by,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
         minus=minus, exists=exists, subqueries=subqueries,
         services=services,
@@ -1579,12 +1599,15 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             F.col("subj").isNotNull() & F.col("pred").isNotNull()
             & F.col("obj").isNotNull()
         ).distinct()
-    if pq.aggs:
+    if pq.aggs or pq.group_by is not None:
         # aggregate form: evaluate the BGP keeping every needed variable
         # as raw bindings (NO distinct — aggregate semantics are over the
-        # solution multiset), then one groupBy on the plain select vars
+        # solution multiset), then one groupBy on the grouping keys
+        # (explicit GROUP BY list when present, else the plain select
+        # vars — the implicit form)
+        keys = pq.group_by if pq.group_by is not None else pq.select
         needed = list(dict.fromkeys(
-            pq.select + [a.var for a in pq.aggs if a.var is not None]
+            keys + [a.var for a in pq.aggs if a.var is not None]
         ))
         sol = bgp(
             triples, pq.patterns, filters=pq.filters, optionals=pq.optionals,
@@ -1622,9 +1645,25 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             if a.func in ("SUM", "AVG"):
                 col = col.cast("double")
             return getattr(F, a.func.lower())(col).alias(a.alias)
-        out = sol.groupBy(*pq.select).agg(*[_agg_col(a) for a in pq.aggs])
+        if pq.aggs:
+            out = sol.groupBy(*keys).agg(*[_agg_col(a) for a in pq.aggs])
+        else:
+            # GROUP BY with no aggregates in SELECT: one row per group
+            # (the spec's grouped projection) — a distinct over the keys
+            out = sol.select(*keys).distinct()
         if pq.having:
             out = out.where(F.expr(_filter_to_expr(pq.having)))
+        if (
+            pq.group_by is not None
+            and (pq.select or pq.aggs)  # SELECT * keeps all group keys
+            and pq.select != keys
+        ):
+            # project the SELECT subset AFTER grouping/HAVING so extra
+            # group keys drop out; duplicate projected rows across
+            # groups are kept (SPARQL projection semantics)
+            out = out.select(
+                *pq.select, *[a.alias for a in pq.aggs]
+            )
     else:
         if pq.having:
             raise ValueError("HAVING requires an aggregate SELECT list")

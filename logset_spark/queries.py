@@ -2232,6 +2232,35 @@ FROM g WHERE pred = 'usedTool' GROUP BY obj
 """
 
 
+def q_sparql_groupby(spark, sf):
+    """SPARQL 1.1 explicit GROUP BY (operators/sparql.py): the grouping
+    keys may be a SUPERSET of the projected vars — here turn counts are
+    grouped per (conv, tool) but only ?tool is projected, so the same
+    tool appears once per conversation that used it (grouped projection
+    keeps duplicates across groups; a non-grouped projected var is
+    rejected loudly).  Lowered as one groupBy on the explicit keys plus
+    a post-aggregation projection."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?tool (COUNT(?turn) AS ?n)
+           WHERE { ?conv hasTurn ?turn . ?turn usedTool ?tool }
+           GROUP BY ?conv ?tool""",
+    )
+
+
+SQL_SPARQL_GROUPBY = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+j AS (
+  SELECT h.subj AS conv, h.obj AS turn, u.obj AS tool
+  FROM g h JOIN g u ON u.subj = h.obj AND u.pred = 'usedTool'
+  WHERE h.pred = 'hasTurn')
+SELECT tool, count(*) AS n FROM j GROUP BY conv, tool
+"""
+
+
 def q_ttl_sink(spark, sf):
     """S3 Turtle serialize sink, DISTRIBUTED (sources/turtle.py
     save_turtle): the whole structural triple set is written as .ttl
@@ -5880,6 +5909,7 @@ REGISTRY: dict[str, tuple] = {
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),
     "q_stream_linked": (q_stream_linked, SQL_STREAM_LINKED),
+    "q_sparql_groupby": (q_sparql_groupby, SQL_SPARQL_GROUPBY),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

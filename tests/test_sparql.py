@@ -1185,3 +1185,42 @@ def test_stats_estimate_uses_bound_vars(spark):
     # ?a bound: p shrinks by distinct-subj 900 -> 1; q by 10 -> 10
     assert _estimate(("?a", "p", "?b"), stats, {"a"}) == 1.0
     assert _estimate(("?a", "q", "?b"), stats, {"a"}) == 10.0
+
+
+def test_group_by_explicit_equals_implicit(tri):
+    q_imp = "SELECT ?conv (COUNT(?turn) AS ?n) WHERE { ?conv hasTurn ?turn }"
+    q_exp = ("SELECT ?conv (COUNT(?turn) AS ?n) "
+             "WHERE { ?conv hasTurn ?turn } GROUP BY ?conv")
+    assert _rows(sparql(tri, q_exp)) == _rows(sparql(tri, q_imp))
+
+
+def test_group_by_superset_projection(tri):
+    """GROUP BY keys beyond the projected vars: per-(conv, tool) counts
+    projected down to ?tool — grep and sed each appear once (one conv
+    each here), and duplicates across groups would be KEPT."""
+    q = ("SELECT ?tool (COUNT(?turn) AS ?n) "
+         "WHERE { ?conv hasTurn ?turn . ?turn usedTool ?tool } "
+         "GROUP BY ?conv ?tool")
+    assert _rows(sparql(tri, q)) == [("tool:grep", 1), ("tool:sed", 1)]
+
+
+def test_group_by_no_aggregates_one_row_per_group(tri):
+    q = "SELECT ?role WHERE { ?t hasRole ?role } GROUP BY ?role"
+    assert _rows(sparql(tri, q)) == [("role:tool",), ("role:user",)]
+
+
+def test_group_by_having_over_group_key(tri):
+    q = ("SELECT ?conv (COUNT(?turn) AS ?n) "
+         "WHERE { ?conv hasTurn ?turn } GROUP BY ?conv HAVING(?n > 1)")
+    assert _rows(sparql(tri, q)) == [("conv:a", 2)]
+
+
+def test_group_by_rejects_ungrouped_projection():
+    with pytest.raises(ValueError, match="non-grouped"):
+        parse_sparql("SELECT ?s ?p WHERE { ?s ?p ?o } GROUP BY ?p")
+
+
+def test_group_by_rejects_expression():
+    with pytest.raises(ValueError):
+        parse_sparql(
+            "SELECT ?p WHERE { ?s ?p ?o } GROUP BY (STRLEN(?p))")
