@@ -283,16 +283,76 @@ def _tokenize_terms(s: str, lits: list[str] = ()) -> list[str]:
     return out
 
 
+def _strip_comments(query: str) -> str:
+    """Drop '#'-to-end-of-line comments (SPARQL 1.1 grammar) BEFORE the
+    whitespace collapse erases line structure.  Quote- and IRI-aware:
+    '#' inside a 'literal' or a <iri#frag> is content, not a comment —
+    the scanner mirrors _protect_literals' token shapes exactly
+    (single-quoted strings without escapes; whitespace-free <...>)."""
+    out: list[str] = []
+    i, n = 0, len(query)
+    in_str = False
+    while i < n:
+        c = query[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                in_str = False
+            i += 1
+        elif c == "'":
+            in_str = True
+            out.append(c)
+            i += 1
+        elif c == "<":
+            m = re.match(r"<[^<>\s]*>", query[i:])
+            if m:  # an IRI token: copy verbatim ('#' inside is a fragment)
+                out.append(m.group(0))
+                i += len(m.group(0))
+            else:  # a comparison operator
+                out.append(c)
+                i += 1
+        elif c == "#":
+            j = query.find("\n", i)
+            i = n if j < 0 else j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _parse_patterns(body: str, lits: list[str] = ()) -> list[tuple[str, str, str]]:
+    """Triple patterns: '.'-separated statements, each optionally carrying
+    ';' predicate-object lists and ',' object lists (the Turtle
+    abbreviations the SPARQL grammar shares)."""
     pats = []
     for chunk in body.split("."):
         chunk = chunk.strip()
         if not chunk:
             continue
-        terms = _tokenize_terms(chunk, lits)
-        if len(terms) != 3:
-            raise ValueError(f"pattern must have 3 terms: {chunk!r}")
-        pats.append(tuple(terms))
+        subj = None
+        for seg in chunk.split(";"):
+            seg = seg.strip()
+            if not seg:
+                continue  # trailing ';' before '.' is legal Turtle/SPARQL
+            obj_groups = [g.strip() for g in seg.split(",")]
+            head = _tokenize_terms(obj_groups[0], lits)
+            if subj is None:
+                if len(head) != 3:
+                    raise ValueError(f"pattern must have 3 terms: {seg!r}")
+                subj, pred, obj = head
+            else:
+                if len(head) != 2:
+                    raise ValueError(
+                        "';' predicate-object list segment needs exactly "
+                        f"2 terms (pred obj): {seg!r}")
+                pred, obj = head
+            pats.append((subj, pred, obj))
+            for g in obj_groups[1:]:
+                t = _tokenize_terms(g, lits)
+                if len(t) != 1:
+                    raise ValueError(
+                        f"',' object list entry must be 1 term: {g!r}")
+                pats.append((subj, pred, t[0]))
     return pats
 
 
@@ -310,7 +370,7 @@ def parse_sparql(query: str) -> ParsedQuery:
     prefix expansion inside expressions is outside the subset.)  An
     unbound prefix stays verbatim — this engine's own URIs are
     prefixed strings with no prefix table."""
-    q, lits = _protect_literals(" ".join(query.split()))
+    q, lits = _protect_literals(" ".join(_strip_comments(query).split()))
     q, prefixes = _strip_prefix_headers(q, lits)
     q, from_graphs, from_named = _extract_dataset(q, lits)
     pq = _parse_protected(q, lits)

@@ -2261,6 +2261,36 @@ SELECT tool, count(*) AS n FROM j GROUP BY conv, tool
 """
 
 
+def q_sparql_polist(spark, sf):
+    """SPARQL grammar abbreviations a spec-reading user writes on day
+    one: '#' comments (quote/IRI-fragment-aware stripping), ';'
+    predicate-object lists, and ',' object lists — all expanding to the
+    same BGP the longhand spelling compiles to, so the plan is the
+    ordinary shared-variable join chain."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """# tool turns and their conversations, abbreviated
+           SELECT ?conv ?turn ?tool WHERE {
+             ?turn hasRole role:tool ;     # ';' shares the subject
+                   usedTool ?tool ;
+                   partOf ?conv .
+           }""",
+    )
+
+
+SQL_SPARQL_POLIST = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT p.obj AS conv, r.subj AS turn, u.obj AS tool
+FROM g r
+JOIN g u ON u.subj = r.subj AND u.pred = 'usedTool'
+JOIN g p ON p.subj = r.subj AND p.pred = 'partOf'
+WHERE r.pred = 'hasRole' AND r.obj = 'role:tool'
+"""
+
+
 def q_ttl_sink(spark, sf):
     """S3 Turtle serialize sink, DISTRIBUTED (sources/turtle.py
     save_turtle): the whole structural triple set is written as .ttl
@@ -5910,6 +5940,7 @@ REGISTRY: dict[str, tuple] = {
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),
     "q_stream_linked": (q_stream_linked, SQL_STREAM_LINKED),
     "q_sparql_groupby": (q_sparql_groupby, SQL_SPARQL_GROUPBY),
+    "q_sparql_polist": (q_sparql_polist, SQL_SPARQL_POLIST),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

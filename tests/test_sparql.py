@@ -1224,3 +1224,44 @@ def test_group_by_rejects_expression():
     with pytest.raises(ValueError):
         parse_sparql(
             "SELECT ?p WHERE { ?s ?p ?o } GROUP BY (STRLEN(?p))")
+
+
+def test_comments_stripped_outside_literals_and_iris(tri):
+    q = """# leading comment
+    SELECT ?conv   # trailing comment
+    WHERE {
+      ?conv hasTurn ?t .   # per-pattern comment
+      FILTER(?t != 'x#y')  # hash inside literal survives
+    }"""
+    assert _rows(sparql(tri, q)) == [("conv:a",), ("conv:a",), ("conv:b",)]
+
+
+def test_iri_fragment_not_a_comment(tri):
+    # <...#...> is an IRI with a fragment, not a comment start
+    q = "SELECT ?s WHERE { ?s <http://ex.org/v#hasTurn> ?t }"
+    assert _rows(sparql(tri, q)) == []
+
+
+def test_semicolon_predicate_object_list(tri):
+    q = ("SELECT ?t WHERE "
+         "{ ?t usedTool tool:grep ; hasRole role:tool }")
+    assert _rows(sparql(tri, q)) == [("turn:a/0",)]
+
+
+def test_comma_object_list(spark):
+    t = spark.createDataFrame(
+        [("t1", "mentions", "ent:p"), ("t1", "mentions", "ent:q"),
+         ("t2", "mentions", "ent:p")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?t WHERE { ?t mentions ent:p , ent:q }"
+    assert _rows(sparql(t, q)) == [("t1",)]
+
+
+def test_po_list_rejections():
+    with pytest.raises(ValueError, match="3 terms"):
+        parse_sparql("SELECT ?t WHERE { ?t usedTool ; x }")
+    with pytest.raises(ValueError, match="2 terms"):
+        parse_sparql("SELECT ?t WHERE { ?t p o ; q }")
+    with pytest.raises(ValueError, match="1 term"):
+        parse_sparql("SELECT ?t WHERE { ?t mentions ent:p , ent:q r }")
