@@ -66,6 +66,7 @@ from .sparql import (
     _parse_patterns,
     _parse_protected,
     _protect_literals,
+    _strip_comments,
     _strip_prefix_headers,
 )
 
@@ -106,7 +107,7 @@ def _no_keywords(body: str, clause: str) -> None:
 
 def parse_sparql_update(update: str) -> ParsedUpdate:
     """Parse one update request in the documented subset."""
-    q, lits = _protect_literals(" ".join(update.split()))
+    q, lits = _protect_literals(" ".join(_strip_comments(update).split()))
     q, prefixes = _strip_prefix_headers(q, lits)
     pu = ParsedUpdate()
 
@@ -339,7 +340,7 @@ def graph_update(
         raise ValueError(
             "graph management needs a quads frame with a 'graph' column "
             f"(got columns {quads.columns})")
-    q, lits = _protect_literals(" ".join(update.split()))
+    q, lits = _protect_literals(" ".join(_strip_comments(update).split()))
     q, prefixes = _strip_prefix_headers(q, lits)
     tok = q.split()
     verb = tok.pop(0).upper()

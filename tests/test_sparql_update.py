@@ -352,3 +352,13 @@ def test_load_trig_preserves_graph_attribution(quads, tmp_path):
     got = graph_update(quads, f"LOAD <file://{f}> INTO GRAPH gx")
     rows = {(r["subj"], r["graph"]) for r in got.collect()}
     assert ("n1", "gx") in rows and ("n3", "gx") in rows and ("n3", "gt") not in rows
+
+
+def test_update_comments_stripped():
+    from logset_spark.operators.sparql_update import parse_sparql_update
+
+    pu = parse_sparql_update(
+        """# retire the old tool edge
+        DELETE WHERE { ?t usedTool tool:x }  # shorthand form"""
+    )
+    assert pu.delete_tmpl == [("?t", "usedTool", "tool:x")]
