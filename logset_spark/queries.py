@@ -2291,6 +2291,73 @@ WHERE r.pred = 'hasRole' AND r.obj = 'role:tool'
 """
 
 
+def q_term_dict(spark, sf):
+    """Term dictionary for encoded triple storage (operators/encode.py —
+    the RDF-3X/TDB node-table design): every distinct term across
+    subj/pred/obj gets a contiguous 1-based bigint id in GLOBAL TERM SORT
+    ORDER, assigned by the distributed zipWithIndex (range shuffle +
+    per-partition offsets, never a single-task window).  Sorted ids are
+    deterministic — the oracle replays the whole assignment as one
+    row_number() — and give namespace prefixes contiguous id ranges."""
+    from .operators.encode import build_term_dictionary
+
+    return build_term_dictionary(q_kg_structural(spark, sf)).select(
+        "term", F.col("tid").cast("bigint").alias("tid")
+    )
+
+
+SQL_TERM_DICT = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+t AS (SELECT subj AS term FROM g UNION
+      SELECT pred FROM g UNION SELECT obj FROM g)
+SELECT term, row_number() OVER (ORDER BY term) AS tid FROM t
+"""
+
+
+def q_encode_roundtrip(spark, sf):
+    """Bulk encode -> decode is lossless: the structural triple set
+    through three dictionary joins each way returns exactly the input
+    (inner joins, so a term missing from the dictionary would drop rows
+    and fail the count, not silently null)."""
+    from .operators.encode import (
+        build_term_dictionary, decode_triples, encode_triples,
+    )
+
+    tri = q_kg_structural(spark, sf).distinct()
+    dic = build_term_dictionary(tri)
+    return decode_triples(encode_triples(tri, dic), dic)
+
+
+SQL_ENCODE_ROUNDTRIP = f"""
+SELECT DISTINCT subj, pred, obj FROM ({SQL_KG_STRUCTURAL}) g
+"""
+
+
+def q_encoded_bgp(spark, sf):
+    """The 2-hop catalog query (q_kg_2hop's shape) over the ENCODED
+    table: constants probed to ids once (driver lookup bounded by the
+    query), the self-join runs on 8-byte bigints instead of ~25-byte URI
+    strings — the exchange-byte reduction that matters at 10^12 triples —
+    and only the two projected variables are decoded at the end.  The
+    oracle is the plain string-table join, so the encoded path must be
+    result-identical."""
+    from .operators.encode import (
+        bgp_encoded, build_term_dictionary, encode_triples,
+    )
+
+    tri = q_kg_structural(spark, sf)
+    dic = build_term_dictionary(tri)
+    enc = encode_triples(tri, dic)
+    return bgp_encoded(
+        enc, dic,
+        [("?conv", "hasTurn", "?turn"), ("?turn", "usedTool", "?tool")],
+        select=["conv", "tool"],
+    )
+
+
+SQL_ENCODED_BGP = SQL_KG_2HOP
+
+
 def q_ttl_sink(spark, sf):
     """S3 Turtle serialize sink, DISTRIBUTED (sources/turtle.py
     save_turtle): the whole structural triple set is written as .ttl
@@ -5941,6 +6008,9 @@ REGISTRY: dict[str, tuple] = {
     "q_stream_linked": (q_stream_linked, SQL_STREAM_LINKED),
     "q_sparql_groupby": (q_sparql_groupby, SQL_SPARQL_GROUPBY),
     "q_sparql_polist": (q_sparql_polist, SQL_SPARQL_POLIST),
+    "q_term_dict": (q_term_dict, SQL_TERM_DICT),
+    "q_encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
+    "q_encoded_bgp": (q_encoded_bgp, SQL_ENCODED_BGP),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

@@ -1,0 +1,104 @@
+"""Dictionary-encoded triple storage (operators/encode.py): deterministic
+sorted id assignment, lossless roundtrip, and BGP parity between the
+encoded join path and the string-table compiler."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logset_spark.operators import encode
+from logset_spark.operators.sparql import bgp
+
+TRIPLES = [
+    ("conv:a", "hasTurn", "turn:a/0"),
+    ("conv:a", "hasTurn", "turn:a/1"),
+    ("conv:b", "hasTurn", "turn:b/0"),
+    ("turn:a/0", "usedTool", "tool:grep"),
+    ("turn:a/1", "usedTool", "tool:sed"),
+    ("turn:b/0", "usedTool", "tool:grep"),
+    ("node:x", "linksTo", "node:x"),
+    ("node:x", "linksTo", "node:y"),
+]
+
+
+@pytest.fixture(scope="module")
+def tri(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    )
+
+
+def test_dictionary_ids_are_sorted_and_contiguous(tri):
+    dic = encode.build_term_dictionary(tri).collect()
+    got = {r.term: r.tid for r in dic}
+    terms = sorted({t for row in TRIPLES for t in row})
+    assert got == {t: i + 1 for i, t in enumerate(terms)}
+
+
+def test_encode_decode_roundtrip(tri):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    # encoded columns are fixed-width integers, no strings left
+    assert set(enc.columns) == {"s_id", "p_id", "o_id"}
+    assert all(f.dataType.typeName() == "long" for f in enc.schema.fields)
+    back = encode.decode_triples(enc, dic)
+    assert sorted(map(tuple, back.collect())) == sorted(TRIPLES)
+
+
+@pytest.mark.parametrize(
+    "patterns,select",
+    [
+        # 2-hop join
+        ([("?c", "hasTurn", "?t"), ("?t", "usedTool", "?x")], ["c", "x"]),
+        # constant object
+        ([("?t", "usedTool", "tool:grep")], ["t"]),
+        # variable predicate
+        ([("conv:a", "?p", "?o")], ["p", "o"]),
+        # repeated variable (self-loop)
+        ([("?n", "linksTo", "?n")], ["n"]),
+    ],
+)
+def test_bgp_encoded_matches_string_bgp(tri, patterns, select):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    got = sorted(
+        map(tuple, encode.bgp_encoded(enc, dic, patterns, select).collect())
+    )
+    want = sorted(
+        map(tuple, bgp(tri, patterns, select=select).collect())
+    )
+    assert got == want
+
+
+def test_bgp_encoded_unknown_constant_is_empty(tri):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    out = encode.bgp_encoded(
+        enc, dic, [("?t", "usedTool", "tool:nosuch")], ["t"]
+    )
+    assert out.count() == 0
+
+
+def test_bgp_encoded_existence_gate(tri):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    # all-constant pattern gates the other pattern: present -> passes
+    out = encode.bgp_encoded(
+        enc, dic,
+        [("conv:a", "hasTurn", "turn:a/0"), ("?t", "usedTool", "?x")],
+        ["t", "x"],
+    )
+    assert out.count() == 3
+    # absent -> empty
+    out2 = encode.bgp_encoded(
+        enc, dic,
+        [("conv:a", "hasTurn", "turn:b/0"), ("?t", "usedTool", "?x")],
+        ["t", "x"],
+    )
+    assert out2.count() == 0
+
+
+def test_bgp_encoded_rejects_unbound_selection(tri):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    with pytest.raises(ValueError, match="not bound"):
+        encode.bgp_encoded(enc, dic, [("?a", "hasTurn", "?b")], ["zz"])
