@@ -43,6 +43,12 @@ def main(argv=None) -> int:
     p.add_argument("--warehouse", required=True,
                    help="warehouse root (build_graph --out)")
     p.add_argument("--out", required=True, help="output root for terms/ + triples/")
+    p.add_argument("--extend", action="store_true",
+                   help="reuse an existing terms table under --out: "
+                        "existing terms keep their ids (downstream "
+                        "consumers' ids stay valid), genuinely-new terms "
+                        "get ids above the current max, and the triples "
+                        "table is re-encoded against the grown dictionary")
     p.add_argument("--measure-string-baseline", action="store_true",
                    help="also write the (subj, pred, obj) string columns "
                         "alone, sorted the same way, and report their "
@@ -62,9 +68,17 @@ def main(argv=None) -> int:
     io = TableIO(args.warehouse)
     tri = io.read(spark, "triples").select("subj", "pred", "obj")
 
-    dic = build_term_dictionary(tri)
-    dic.write.mode("overwrite").parquet(f"{args.out}/terms")
-    dic = spark.read.parquet(f"{args.out}/terms")  # cut the lineage: one build
+    terms_path = f"{args.out}/terms"
+    if args.extend and os.path.isdir(terms_path):
+        from logset_spark.operators.encode import extend_term_dictionary
+
+        dic0 = spark.read.parquet(terms_path)
+        extend_term_dictionary(dic0, tri).write.mode("append").parquet(
+            terms_path
+        )
+    else:
+        build_term_dictionary(tri).write.mode("overwrite").parquet(terms_path)
+    dic = spark.read.parquet(terms_path)  # cut the lineage: one build
 
     enc = encode_triples(tri, dic)
     (

@@ -70,6 +70,34 @@ def build_term_dictionary(triples: DataFrame) -> DataFrame:
     return global_sorted_index(terms.distinct(), ["term"], index_col="tid")
 
 
+def extend_term_dictionary(dic: DataFrame, triples: DataFrame) -> DataFrame:
+    """Append-only dictionary growth — the property that makes encoding
+    viable at 10^12 triples: new data NEVER renumbers existing terms (a
+    rebuild would invalidate every id a downstream consumer holds), it
+    assigns ids above the current max to the genuinely-new terms only.
+
+    Returns the NEW rows (term, tid) — union with `dic` for the full
+    table, or append them to the stored terms table.  New ids continue
+    from max(tid) in sort order of the new terms, so a given (dictionary
+    state, batch) pair is deterministic and replayable in SQL
+    (max + row_number over the anti-joined terms).  Plan: one distinct
+    over the batch's terms (batch-scale), one broadcast-or-shuffle
+    anti-join against the dictionary, one 1-row max aggregate, one
+    zipWithIndex over the new terms (usually tiny)."""
+    terms = None
+    for c in POSITIONS:
+        part = triples.select(F.col(c).alias("term"))
+        terms = part if terms is None else terms.unionAll(part)
+    fresh = terms.distinct().join(
+        dic.select("term"), "term", "left_anti"
+    )
+    base = dic.agg(F.coalesce(F.max("tid"), F.lit(0)).alias("m"))
+    indexed = global_sorted_index(fresh, ["term"], index_col="tid")
+    return indexed.crossJoin(F.broadcast(base)).select(
+        "term", (F.col("tid") + F.col("m")).cast("bigint").alias("tid")
+    )
+
+
 def encode_triples(triples: DataFrame, dic: DataFrame) -> DataFrame:
     """(subj, pred, obj) -> (s_id, p_id, o_id); extra columns ride along.
     Inner joins: a term missing from the dictionary is a pipeline bug and

@@ -2358,6 +2358,43 @@ def q_encoded_bgp(spark, sf):
 SQL_ENCODED_BGP = SQL_KG_2HOP
 
 
+def q_term_dict_extend(spark, sf):
+    """Append-only dictionary growth (encode.extend_term_dictionary):
+    the property that makes term encoding viable at 10^12 triples — new
+    data never renumbers existing terms.  Base dictionary = terms of the
+    non-usedTool structural triples; the extension sees the FULL set and
+    assigns ids above the base max to the genuinely-new terms only, in
+    their sort order.  Output = the grown dictionary (base ∪ new); the
+    oracle replays base ranks and max+row_number extension ranks."""
+    from .operators.encode import (
+        build_term_dictionary, extend_term_dictionary,
+    )
+
+    tri = q_kg_structural(spark, sf)
+    base = build_term_dictionary(tri.where(F.col("pred") != "usedTool"))
+    new = extend_term_dictionary(base, tri)
+    return base.unionByName(new).select(
+        "term", F.col("tid").cast("bigint").alias("tid")
+    )
+
+
+SQL_TERM_DICT_EXTEND = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+b AS (SELECT subj AS term FROM g WHERE pred <> 'usedTool' UNION
+      SELECT pred FROM g WHERE pred <> 'usedTool' UNION
+      SELECT obj FROM g WHERE pred <> 'usedTool'),
+base AS (SELECT term, row_number() OVER (ORDER BY term) AS tid FROM b),
+f AS (SELECT subj AS term FROM g UNION
+      SELECT pred FROM g UNION SELECT obj FROM g),
+fresh AS (SELECT term FROM f WHERE term NOT IN (SELECT term FROM b))
+SELECT term, tid FROM base
+UNION ALL
+SELECT term,
+       (SELECT count(*) FROM b) + row_number() OVER (ORDER BY term) AS tid
+FROM fresh
+"""
+
+
 def q_ttl_sink(spark, sf):
     """S3 Turtle serialize sink, DISTRIBUTED (sources/turtle.py
     save_turtle): the whole structural triple set is written as .ttl
@@ -6011,6 +6048,7 @@ REGISTRY: dict[str, tuple] = {
     "q_term_dict": (q_term_dict, SQL_TERM_DICT),
     "q_encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "q_encoded_bgp": (q_encoded_bgp, SQL_ENCODED_BGP),
+    "q_term_dict_extend": (q_term_dict_extend, SQL_TERM_DICT_EXTEND),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

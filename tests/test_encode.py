@@ -102,3 +102,37 @@ def test_bgp_encoded_rejects_unbound_selection(tri):
     enc = encode.encode_triples(tri, dic)
     with pytest.raises(ValueError, match="not bound"):
         encode.bgp_encoded(enc, dic, [("?a", "hasTurn", "?b")], ["zz"])
+
+
+def test_extend_dictionary_appends_without_renumbering(spark, tri):
+    base_rows = [r for r in TRIPLES if r[1] != "linksTo"]
+    base = spark.createDataFrame(
+        base_rows, "subj string, pred string, obj string"
+    )
+    dic0 = encode.build_term_dictionary(base)
+    old = {r.term: r.tid for r in dic0.collect()}
+
+    new = encode.extend_term_dictionary(dic0, tri).collect()
+    got_new = {r.term: r.tid for r in new}
+    fresh_terms = sorted(
+        {t for row in TRIPLES for t in row} - set(old)
+    )
+    # only genuinely-new terms, ids continuing from max in sort order
+    assert got_new == {
+        t: len(old) + i + 1 for i, t in enumerate(fresh_terms)
+    }
+
+    # the grown dictionary encodes/decodes the full set losslessly and
+    # old ids are untouched
+    full = dic0.unionByName(
+        spark.createDataFrame(new, dic0.schema)
+    )
+    back = encode.decode_triples(encode.encode_triples(tri, full), full)
+    assert sorted(map(tuple, back.collect())) == sorted(TRIPLES)
+    kept = {r.term: r.tid for r in full.collect()}
+    assert all(kept[t] == i for t, i in old.items())
+
+
+def test_extend_dictionary_no_new_terms_is_empty(tri):
+    dic = encode.build_term_dictionary(tri)
+    assert encode.extend_term_dictionary(dic, tri).count() == 0
