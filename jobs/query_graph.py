@@ -29,6 +29,13 @@ def main(argv=None) -> int:
     src.add_argument("--warehouse", help="warehouse root (build_graph --out)")
     src.add_argument("--catalog", help="entry .ttl catalog file to query instead"
                                        " of a parquet warehouse")
+    src.add_argument("--encoded", help="term-encoded store root "
+                                       "(jobs/encode_graph.py --out): BGP "
+                                       "SELECT queries join on bigint ids "
+                                       "and decode only the projected vars; "
+                                       "anything outside that subset is "
+                                       "rejected with a pointer at the "
+                                       "string warehouse")
     p.add_argument("--follow-links", action="store_true",
                    help="with --catalog: follow rdfs:seeAlso/dcat:catalog links"
                         " to linked .ttl files (cycle-safe) and query the union")
@@ -117,6 +124,37 @@ def main(argv=None) -> int:
                 "provenance quads are per-run named graphs)")
     spark = get_spark("query_graph", cpus=args.cpus)
     snap_flags = args.as_of is not None or args.changed_since is not None
+    if args.encoded:
+        for flag, name in (
+            (args.rdfs, "--rdfs"), (args.owl, "--owl"),
+            (args.provenance, "--provenance"), (snap_flags, "--as-of/"
+             "--changed-since"), (args.analyze, "--analyze"),
+            (args.service, "--service"), (args.out_ttl, "--out-ttl"),
+        ):
+            if flag:
+                p.error(f"{name} needs the string warehouse, not --encoded")
+        from logset_spark.operators.encode import sparql_encoded
+
+        enc = spark.read.parquet(os.path.join(args.encoded, "triples"))
+        dic = spark.read.parquet(os.path.join(args.encoded, "terms"))
+        result = sparql_encoded(enc, dic, query)
+        if args.explain:
+            result.explain("formatted")
+            spark.stop()
+            return 0
+        if args.out:
+            result.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"rows": n, "out": args.out,
+                              "columns": result.columns}))
+        else:
+            rows = result.limit(args.show).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({"rows_shown": len(rows),
+                              "columns": result.columns}))
+        spark.stop()
+        return 0
     if args.catalog:
         if snap_flags:
             p.error("--as-of/--changed-since need a --warehouse built "
@@ -125,8 +163,6 @@ def main(argv=None) -> int:
                                follow_links=args.follow_links,
                                named_graphs=args.named_graphs)
     else:
-        import os
-
         if os.path.isdir(os.path.join(args.warehouse, "triples", "_meta")):
             from logset_spark.sources.snapshots import SnapshotTriplesIO
 

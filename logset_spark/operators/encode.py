@@ -121,6 +121,55 @@ def _is_var(t: str) -> bool:
     return t.startswith("?")
 
 
+def sparql_encoded(
+    encoded: DataFrame, dic: DataFrame, query: str
+) -> DataFrame:
+    """SELECT queries over the encoded store, for the BGP subset
+    bgp_encoded evaluates.  The full SPARQL surface (FILTER, OPTIONAL,
+    UNION, aggregates, paths, ...) needs lexical forms mid-plan and is
+    deliberately NOT lowered here — anything outside the subset is
+    rejected loudly with a pointer at the string warehouse, never
+    silently approximated.  ORDER BY / LIMIT / OFFSET / DISTINCT apply
+    after decoding."""
+    from .sparql import _is_path, parse_sparql
+
+    pq = parse_sparql(query)
+    unsupported = [
+        (pq.aggs, "aggregates"), (pq.filters, "FILTER"),
+        (pq.optionals, "OPTIONAL"), (pq.unions, "UNION"),
+        (pq.binds, "BIND"), (pq.values, "VALUES"),
+        (pq.not_exists, "FILTER NOT EXISTS"), (pq.minus, "MINUS"),
+        (pq.exists, "FILTER EXISTS"), (pq.subqueries, "subqueries"),
+        (pq.services, "SERVICE"), (pq.construct, "CONSTRUCT"),
+        (pq.describe, "DESCRIBE"), (pq.ask, "ASK"),
+        (pq.having, "HAVING"), (pq.group_by, "GROUP BY"),
+    ]
+    bad = [name for feat, name in unsupported if feat]
+    if bad:
+        raise ValueError(
+            f"{', '.join(bad)} outside the encoded-BGP subset — run this "
+            "query against the string warehouse (query_graph --warehouse)")
+    for pat in pq.patterns:
+        if _is_path(pat[1]):
+            raise ValueError(
+                f"property path {pat[1]!r} outside the encoded-BGP subset "
+                "— run against the string warehouse")
+    out = bgp_encoded(
+        encoded, dic, pq.patterns,
+        select=pq.select or None, distinct=pq.distinct,
+    )
+    if pq.order_by:
+        out = out.orderBy(*[
+            F.col(v).desc() if desc else F.col(v).asc()
+            for v, desc in pq.order_by
+        ])
+    if pq.offset is not None:
+        out = out.offset(pq.offset)
+    if pq.limit is not None:
+        out = out.limit(pq.limit)
+    return out
+
+
 def bgp_encoded(
     encoded: DataFrame,
     dic: DataFrame,

@@ -136,3 +136,29 @@ def test_extend_dictionary_appends_without_renumbering(spark, tri):
 def test_extend_dictionary_no_new_terms_is_empty(tri):
     dic = encode.build_term_dictionary(tri)
     assert encode.extend_term_dictionary(dic, tri).count() == 0
+
+
+def test_sparql_encoded_select_parity(tri):
+    from logset_spark.operators.sparql import sparql
+
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    q = ("SELECT ?c ?x WHERE { ?c hasTurn ?t . ?t usedTool ?x } "
+         "ORDER BY ?c ?x LIMIT 2")
+    got = [tuple(r) for r in encode.sparql_encoded(enc, dic, q).collect()]
+    want = [tuple(r) for r in sparql(tri, q).collect()]
+    assert got == want and len(got) == 2
+
+
+def test_sparql_encoded_rejects_outside_subset(tri):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    for q in [
+        "SELECT ?c WHERE { ?c hasTurn ?t . FILTER(?t != 'x') }",
+        "SELECT ?c (COUNT(?t) AS ?n) WHERE { ?c hasTurn ?t }",
+        "SELECT ?c WHERE { ?c hasTurn ?t . OPTIONAL { ?t usedTool ?x } }",
+        "SELECT ?c WHERE { ?c hasTurn+ ?t }",
+        "ASK { ?c hasTurn ?t }",
+    ]:
+        with pytest.raises(ValueError, match="subset"):
+            encode.sparql_encoded(enc, dic, q)
