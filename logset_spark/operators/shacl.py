@@ -23,6 +23,14 @@ a constraint certifies garbage):
                   sh:in (v ...)   p-values outside the list
                   sh:class C      p-values lacking rdf:type C
                   sh:hasValue v   focus with no p-value equal to v
+                  sh:minLength n  p-values shorter than n characters
+                  sh:maxLength n  p-values longer than n characters
+                  sh:nodeKind k   p-values of the wrong kind, where
+                                  k ∈ {sh:IRI, sh:Literal, sh:BlankNode}
+                                  decided by this engine's term shapes:
+                                  `_:` = blank node, `prefix:rest` = IRI
+                                  (save_turtle's is_uri test), else
+                                  literal
 
 `sh:path` takes a plain predicate (property paths inside shapes are
 outside the subset).  Both the full SHACL IRIs and the bare `sh:`
@@ -67,6 +75,9 @@ class PropertyShape:
     in_values: list[str] | None = None
     class_: str | None = None
     has_value: str | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    node_kind: str | None = None  # local name: IRI | Literal | BlankNode
 
 
 @dataclass
@@ -133,11 +144,23 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
                 ps.class_ = o
             elif loc == "hasValue":
                 ps.has_value = o
+            elif loc == "minLength":
+                ps.min_length = int(o)
+            elif loc == "maxLength":
+                ps.max_length = int(o)
+            elif loc == "nodeKind":
+                kind = _sh_local(o) or o
+                if kind not in ("IRI", "Literal", "BlankNode"):
+                    raise ValueError(
+                        f"unsupported sh:nodeKind {o!r} — supported: "
+                        "sh:IRI, sh:Literal, sh:BlankNode (the compound "
+                        "kinds are outside the subset)")
+                ps.node_kind = kind
             else:
                 raise ValueError(
                     f"unsupported SHACL constraint {p!r} on {node!r} — "
                     "supported: path/minCount/maxCount/pattern/in/class/"
-                    "hasValue")
+                    "hasValue/minLength/maxLength/nodeKind")
         if not ps.path:
             raise ValueError(f"property shape {node!r} has no sh:path")
         return ps
@@ -287,6 +310,25 @@ def validate(
             if ps.pattern is not None:
                 viol(vals.where(~F.col("value").rlike(ps.pattern)),
                      ns.name, ps.path, "pattern", F.col("value"))
+            if ps.min_length is not None:
+                viol(vals.where(F.length("value") < ps.min_length),
+                     ns.name, ps.path, "minLength", F.col("value"))
+            if ps.max_length is not None:
+                viol(vals.where(F.length("value") > ps.max_length),
+                     ns.name, ps.path, "maxLength", F.col("value"))
+            if ps.node_kind is not None:
+                is_bnode = F.col("value").startswith("_:")
+                is_iri = (
+                    F.col("value").rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
+                    & ~is_bnode
+                )
+                ok = {
+                    "IRI": is_iri,
+                    "BlankNode": is_bnode,
+                    "Literal": ~is_iri & ~is_bnode,
+                }[ps.node_kind]
+                viol(vals.where(~ok), ns.name, ps.path,
+                     "nodeKind", F.col("value"))
             if ps.in_values is not None:
                 viol(vals.where(~F.col("value").isin(ps.in_values)),
                      ns.name, ps.path, "in", F.col("value"))

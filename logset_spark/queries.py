@@ -5788,6 +5788,61 @@ FROM term GROUP BY doc_id
 """
 
 
+_SHACL_KINDS_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:TurnKinds a sh:NodeShape ;
+  sh:targetSubjectsOf partOf ;
+  sh:property [ sh:path atTime ; sh:nodeKind sh:Literal ;
+                sh:minLength 19 ; sh:maxLength 18 ] ;
+  sh:property [ sh:path hasRole ; sh:nodeKind sh:Literal ] .
+"""
+
+
+def q_shacl_kinds(spark, sf):
+    """SHACL value-shape constraints (sh:minLength / sh:maxLength /
+    sh:nodeKind): atTime objects are 19-char ISO literals, so minLength
+    19 conforms everywhere (the empty-violation path), maxLength 18
+    flags every atTime value, and nodeKind sh:Literal on hasRole flags
+    every role: IRI — the kind test is this engine's term shape (`_:`
+    blank, `prefix:rest` IRI, else literal), which the oracle replays
+    as the identical CASE expression."""
+    from .operators.shacl import validate
+    from .sources.turtle import parse_turtle
+
+    shape_triples, _ = parse_turtle(_SHACL_KINDS_TTL)
+    return validate(q_kg_structural(spark, sf), shape_triples)
+
+
+SQL_SHACL_KINDS = f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+focus AS (SELECT DISTINCT subj AS focus FROM g WHERE pred = 'partOf'),
+at_vals AS (
+  SELECT g.subj AS focus, g.obj AS value
+  FROM g JOIN focus f ON g.subj = f.focus WHERE g.pred = 'atTime'),
+role_vals AS (
+  SELECT g.subj AS focus, g.obj AS value
+  FROM g JOIN focus f ON g.subj = f.focus WHERE g.pred = 'hasRole')
+SELECT focus, 'ex:TurnKinds' AS shape, 'atTime' AS path,
+       'maxLength' AS "constraint", value
+FROM at_vals WHERE length(value) > 18
+UNION ALL
+SELECT focus, 'ex:TurnKinds', 'atTime', 'minLength', value
+FROM at_vals WHERE length(value) < 19
+UNION ALL
+SELECT focus, 'ex:TurnKinds', 'atTime', 'nodeKind', value
+FROM at_vals
+WHERE CASE WHEN starts_with(value, '_:') THEN 'BlankNode'
+           WHEN regexp_matches(value, '^[A-Za-z][A-Za-z0-9_-]*:[^ ]+$')
+           THEN 'IRI' ELSE 'Literal' END <> 'Literal'
+UNION ALL
+SELECT focus, 'ex:TurnKinds', 'hasRole', 'nodeKind', value
+FROM role_vals
+WHERE CASE WHEN starts_with(value, '_:') THEN 'BlankNode'
+           WHEN regexp_matches(value, '^[A-Za-z][A-Za-z0-9_-]*:[^ ]+$')
+           THEN 'IRI' ELSE 'Literal' END <> 'Literal'
+"""
+
+
 _SHACL_SHAPES_TTL = """
 @prefix sh: <http://www.w3.org/ns/shacl#> .
 ex:TurnShape a sh:NodeShape ;
@@ -6049,6 +6104,7 @@ REGISTRY: dict[str, tuple] = {
     "q_encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "q_encoded_bgp": (q_encoded_bgp, SQL_ENCODED_BGP),
     "q_term_dict_extend": (q_term_dict_extend, SQL_TERM_DICT_EXTEND),
+    "q_shacl_kinds": (q_shacl_kinds, SQL_SHACL_KINDS),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

@@ -110,7 +110,7 @@ def test_rejections():
                   " sh:property [ sh:path p+ ; sh:minCount 1 ] .")
     with pytest.raises(ValueError, match="unsupported SHACL constraint"):
         shapes_of("ex:S a sh:NodeShape ; sh:targetClass C ;"
-                  " sh:property [ sh:path p ; sh:nodeKind sh:IRI ] .")
+                  " sh:property [ sh:path p ; sh:datatype sh:integer ] .")
     with pytest.raises(ValueError, match="no target"):
         shapes_of("ex:S a sh:NodeShape ;"
                   " sh:property [ sh:path p ; sh:minCount 1 ] .")
@@ -223,3 +223,50 @@ def test_sparql_constraint_rejections(spark):
     ])
     with pytest.raises(ValueError, match="project"):
         validate(g2, shapes).collect()
+
+
+def test_length_and_nodekind_constraints(spark):
+    from logset_spark.operators.shacl import compile_shapes, validate
+    from logset_spark.sources.turtle import parse_turtle
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    ex:S a sh:NodeShape ;
+      sh:targetSubjectsOf p ;
+      sh:property [ sh:path p ; sh:minLength 3 ; sh:maxLength 5 ;
+                    sh:nodeKind sh:Literal ] ;
+      sh:property [ sh:path q ; sh:nodeKind sh:IRI ] .
+    """
+    shapes, _ = parse_turtle(ttl)
+    g = spark.createDataFrame(
+        [
+            ("n1", "p", "ok"),          # too short (minLength 3)
+            ("n2", "p", "fine"),        # conforms
+            ("n3", "p", "toolong"),     # too long (maxLength 5)
+            ("n4", "p", "ent:x"),       # IRI where Literal required
+            ("n1", "q", "ent:y"),       # conforms (IRI)
+            ("n2", "q", "_:b0"),        # blank node where IRI required
+            ("n3", "q", "plain"),       # literal where IRI required
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.focus, r.constraint, r.value)
+        for r in validate(g, shapes).collect()
+    }
+    assert got == {
+        ("n1", "minLength", "ok"),
+        ("n3", "maxLength", "toolong"),
+        ("n4", "nodeKind", "ent:x"),
+        ("n2", "nodeKind", "_:b0"),
+        ("n3", "nodeKind", "plain"),
+    }
+    # compound node kinds stay outside the subset, loudly
+    bad = parse_turtle(
+        """@prefix sh: <http://www.w3.org/ns/shacl#> .
+        ex:S a sh:NodeShape ; sh:targetSubjectsOf p ;
+          sh:property [ sh:path p ; sh:nodeKind sh:IRIOrLiteral ] ."""
+    )[0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nodeKind"):
+        compile_shapes(bad)
