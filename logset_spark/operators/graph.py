@@ -910,6 +910,79 @@ def harmonic_centrality(
     )
 
 
+def anf_reach(
+    edges: DataFrame, rounds: int = 2, n_hashes: int = 4
+) -> DataFrame:
+    """Approximate neighborhood function (ANF — Palmer/Gibbons/Faloutsos
+    KDD'02; HyperANF is the HLL refinement): for every node an estimate
+    of |{u : v reaches u in <= k hops}| for k = 0..rounds, via
+    Flajolet-Martin bitmasks propagated along out-edges.  THE web-scale
+    reach/diameter algorithm: exact k-hop reach needs the transitive
+    closure (quadratic rows); ANF needs one 8-byte mask per (node, salt)
+    and ONE join + bit_or aggregation per round, so measuring "how much
+    of the graph is within k hops" costs k scans of the edge list.
+
+    Mask algebra (all native integer ops, deterministic, replayed
+    verbatim by the q_anf oracle):
+      seed     mask_s(v) = 1 << rho(h_s(v)), rho = trailing zeros of the
+               shared cross-engine hash (_hash_u32, md5-based), h=0
+               capped at bit 31;
+      round    mask_s(v) |= bit_or of mask_s(u) over edges (v, u);
+      estimate b = index of the lowest UNSET bit; FM says E[b] ~
+               log2(0.77351 * n), so est = 2^(mean_s b) / 0.77351.
+
+    Returns DataFrame[node, k, bits_sum, est]: `bits_sum` = integer sum
+    of b over the salts (the exact, hashable quantity the oracle
+    checks), `est` the double FM estimate derived from it."""
+    mcols = [f"m{s}" for s in range(n_hashes)]
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    masks = nodes
+    for s, mc in enumerate(mcols):
+        h = _hash_u32(F.concat_ws(":", F.lit(f"anf{s}"), F.col("node")))
+        lowbit = h.bitwiseAND(-h)
+        rho = F.when(h == 0, F.lit(31)).otherwise(F.bit_count(lowbit - 1))
+        # 2^rho as an exact double->long cast (rho <= 31, far below the
+        # 2^53 exactness bound; shiftleft takes only a literal shift)
+        masks = masks.withColumn(
+            mc, F.pow(F.lit(2.0), rho.cast("double")).cast("long")
+        )
+    masks = masks.localCheckpoint(eager=True)
+
+    def snapshot(m: DataFrame, k: int) -> DataFrame:
+        b_exprs = []
+        for mc in mcols:
+            lowz = (F.col(mc) + 1).bitwiseAND(F.bitwise_not(F.col(mc)))
+            b_exprs.append(F.bit_count(lowz - 1))
+        bits_sum = sum(b_exprs[1:], b_exprs[0])
+        return m.select(
+            "node",
+            F.lit(k).alias("k"),
+            bits_sum.cast("bigint").alias("bits_sum"),
+            (F.pow(F.lit(2.0), bits_sum / F.lit(float(n_hashes)))
+             / F.lit(0.77351)).alias("est"),
+        )
+
+    out = snapshot(masks, 0)
+    cur = masks
+    for k in range(1, rounds + 1):
+        contrib = e.join(cur, e["dst"] == cur["node"]).select(
+            F.col("src").alias("node"), *mcols
+        )
+        cur = (
+            cur.unionByName(contrib)
+            .groupBy("node")
+            .agg(*[F.bit_or(mc).alias(mc) for mc in mcols])
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(snapshot(cur, k))
+    return out
+
+
 def _hash_u32(col) -> "F.Column":
     """First 8 hex chars of md5 as a non-negative int64 — the shared
     cross-engine uniform hash (DuckDB: CAST('0x'||substr(md5(x),1,8) AS

@@ -5798,6 +5798,70 @@ ex:TurnKinds a sh:NodeShape ;
 """
 
 
+def q_anf(spark, sf):
+    """Approximate neighborhood function (operators/graph.py anf_reach —
+    ANF, Palmer et al. KDD'02): per-node k-hop reach estimates via
+    Flajolet-Martin bitmask propagation over the conv->turn->tool edge
+    list — one join + bit_or aggregation per round instead of the
+    quadratic transitive closure.  Fully deterministic integer mask
+    algebra on the shared md5 hash, so the oracle replays seeds, two
+    propagation rounds, and the lowest-unset-bit sums verbatim in SQL
+    (bits_sum is the integer-exact output; the FM estimate is a fixed
+    function of it)."""
+    from .operators.graph import anf_reach
+
+    g = q_kg_structural(spark, sf)
+    edges = g.where(F.col("pred").isin("hasTurn", "usedTool")).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return anf_reach(edges, rounds=2, n_hashes=4).select(
+        "node", "k", "bits_sum"
+    )
+
+
+def _anf_sql(rounds: int = 2, n_hashes: int = 4) -> str:
+    hs = ", ".join(
+        f"CAST('0x' || substr(md5('anf{s}:' || node), 1, 8) AS BIGINT)"
+        f" AS h{s}" for s in range(n_hashes)
+    )
+    ms = ", ".join(
+        f"CAST(1 AS BIGINT) << (CASE WHEN h{s} = 0 THEN 31 ELSE "
+        f"bit_count((h{s} & -h{s}) - 1) END) AS m{s}"
+        for s in range(n_hashes)
+    )
+    mcols = ", ".join(f"m{s}" for s in range(n_hashes))
+    bsum = " + ".join(
+        f"bit_count(((m{s} + 1) & ~m{s}) - 1)" for s in range(n_hashes)
+    )
+    layers, prev = [], "r0"
+    for k in range(1, rounds + 1):
+        ors = ", ".join(f"bit_or(m{s}) AS m{s}" for s in range(n_hashes))
+        layers.append(
+            f"r{k} AS (SELECT node, {ors} FROM ("
+            f"  SELECT node, {mcols} FROM {prev}"
+            f"  UNION ALL"
+            f"  SELECT e.src AS node, {mcols}"
+            f"  FROM e JOIN {prev} m ON m.node = e.dst) GROUP BY node)"
+        )
+        prev = f"r{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT node, {k} AS k, CAST({bsum} AS BIGINT) AS bits_sum FROM r{k}"
+        for k in range(rounds + 1)
+    )
+    return f"""
+WITH g AS ({SQL_KG_STRUCTURAL}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g
+      WHERE pred IN ('hasTurn', 'usedTool')),
+n AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+r0 AS (SELECT node, {ms} FROM (SELECT node, {hs} FROM n)),
+{", ".join(layers)}
+{selects}
+"""
+
+
+SQL_ANF = _anf_sql()
+
+
 def q_shacl_kinds(spark, sf):
     """SHACL value-shape constraints (sh:minLength / sh:maxLength /
     sh:nodeKind): atTime objects are 19-char ISO literals, so minLength
@@ -6105,6 +6169,7 @@ REGISTRY: dict[str, tuple] = {
     "q_encoded_bgp": (q_encoded_bgp, SQL_ENCODED_BGP),
     "q_term_dict_extend": (q_term_dict_extend, SQL_TERM_DICT_EXTEND),
     "q_shacl_kinds": (q_shacl_kinds, SQL_SHACL_KINDS),
+    "q_anf": (q_anf, SQL_ANF),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

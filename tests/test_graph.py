@@ -709,3 +709,49 @@ def test_ppr_mass_stays_near_sources(spark):
     assert ranks["x"] == 0 and ranks["y"] == 0
     assert ranks["a"] > 0 and ranks["b"] > 0
     assert sum(ranks.values()) <= PR_SCALE
+
+
+def test_anf_reach_estimates_and_monotonicity(spark):
+    """ANF on a random DAG: bits_sum is monotone in k per node, sinks
+    never grow, and with 32 salts the k-hop reach estimate lands within
+    FM's expected error of the exact closure-computed reach."""
+    import itertools
+    import math
+
+    from logset_spark.operators.graph import anf_reach
+
+    rnd_edges = [
+        (f"n{i}", f"n{j}")
+        for i, j in itertools.product(range(12), range(12))
+        if i < j and (i * 31 + j * 17) % 5 == 0  # fixed pseudo-random DAG
+    ]
+    edges = spark.createDataFrame(rnd_edges, "src string, dst string")
+    out = anf_reach(edges, rounds=3, n_hashes=32).collect()
+    rows = {(r.node, r.k): r for r in out}
+
+    # exact k-hop reach by python BFS
+    adj = {}
+    for s, d in rnd_edges:
+        adj.setdefault(s, set()).add(d)
+    nodes = {n for e in rnd_edges for n in e}
+
+    def reach(v, k):
+        seen, frontier = {v}, {v}
+        for _ in range(k):
+            frontier = {u for f in frontier for u in adj.get(f, ())} - seen
+            seen |= frontier
+        return len(seen)
+
+    rel_errs = []
+    for v in nodes:
+        prev = -1
+        for k in range(4):
+            r = rows[(v, k)]
+            assert r.bits_sum >= prev  # monotone
+            prev = r.bits_sum
+            exact = reach(v, k)
+            if exact >= 4:  # FM is biased below ~4 (known small-n regime)
+                rel_errs.append(abs(r.est - exact) / exact)
+    # FM with 32 salts: typical error ~ 0.78/sqrt(32) ~ 14%; allow slack
+    assert rel_errs, "fixture produced no reaches >= 4"
+    assert sum(rel_errs) / len(rel_errs) < 0.35, sum(rel_errs) / len(rel_errs)
