@@ -147,3 +147,81 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
         F.count("*").alias("n_subjects"),
         F.sum("n_t").alias("n_triples"),
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of a key column's frequency distribution, as a
+    SPARSE cell table DataFrame[lane:int, bucket:int, c:bigint] (zero
+    cells omitted).  The sketch is FIXED-SIZE (<= depth*width cells)
+    and MERGEABLE (cm_merge = cell-wise sum), which is its point at
+    scale: per-partition/per-day sketches stored at kilobyte size
+    answer "how hot is key X" across a 100 TB table without rescanning
+    — the skew-diagnosis primitive behind this pipeline's salting
+    decisions (hot conv_ids) with bounded state, where an exact groupBy
+    per diagnosis would re-shuffle the data each time.
+
+    Determinism: lane d's bucket is the shared md5 hash of "cm{d}:key"
+    mod width (operators/graph._hash_u32), so construction replays
+    verbatim in ANSI SQL (the q_count_min oracle).  Plan: explode each
+    row into `depth` (lane, bucket) pairs map-side, ONE aggregation —
+    partial-aggregated, so the exchange carries at most depth*width
+    rows, not data."""
+    from .graph import _hash_u32
+
+    lanes = F.array(*[
+        F.struct(
+            F.lit(d).alias("lane"),
+            (_hash_u32(F.concat_ws(":", F.lit(f"cm{d}"), F.col(key_col)))
+             % width).cast("int").alias("bucket"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        df.select(F.explode(lanes).alias("lb"))
+        .groupBy(F.col("lb.lane").alias("lane"),
+                 F.col("lb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Union count-min sketches built with the SAME width/depth:
+    cell-wise sum.  Associative/commutative — sketches from different
+    partitions, days, or tables combine without touching source data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("lane", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str,
+    width: int = 1024, depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for `keys` against a sketch built with
+    the same (width, depth): est = min over lanes of the key's cell —
+    the count-min guarantee (never under-estimates; over-estimates by
+    collision mass ~ N/width per lane, minimized over lanes).  Keys are
+    a dimension-scale probe set; the join is lane-bucket equi, the
+    sketch side at most depth*width rows (broadcastable)."""
+    from .graph import _hash_u32
+
+    lanes = F.array(*[
+        F.struct(
+            F.lit(d).alias("lane"),
+            (_hash_u32(F.concat_ws(":", F.lit(f"cm{d}"), F.col(key_col)))
+             % width).cast("int").alias("bucket"),
+        )
+        for d in range(depth)
+    ])
+    probes = keys.select(
+        key_col, F.explode(lanes).alias("lb")
+    ).select(key_col, F.col("lb.lane").alias("lane"),
+             F.col("lb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["lane", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )

@@ -5798,6 +5798,51 @@ ex:TurnKinds a sh:NodeShape ;
 """
 
 
+def q_count_min(spark, sf):
+    """Count-min sketch (operators/quality.py): fixed-size, mergeable
+    frequency state — the skew-diagnosis primitive ("how hot is this
+    conv_id") whose per-day kilobyte sketches answer point queries
+    across a 100 TB table without rescanning.  Built over
+    events.user_id (width 256, depth 3) and probed with every distinct
+    user; est = min over lanes, never under the true count.  The md5
+    lane hashing is the shared cross-engine hash, so construction AND
+    estimation replay verbatim in SQL."""
+    from .operators.quality import cm_estimate, count_min_sketch
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    sk = count_min_sketch(e, "key", width=256, depth=3)
+    probes = e.distinct()
+    return cm_estimate(sk, probes, "key", width=256, depth=3)
+
+
+def _cm_sql(width: int = 256, depth: int = 3) -> str:
+    def bucket(d: int, key: str) -> str:
+        return (f"CAST(CAST('0x' || substr(md5('cm{d}:' || {key}), 1, 8) "
+                f"AS BIGINT) % {width} AS INT)")
+
+    lanes = " UNION ALL ".join(
+        f"SELECT {d} AS lane, {bucket(d, 'CAST(user_id AS VARCHAR)')} "
+        f"AS bucket FROM events" for d in range(depth)
+    )
+    probe_lanes = " UNION ALL ".join(
+        f"SELECT key, {d} AS lane, {bucket(d, 'key')} AS bucket FROM probes"
+        for d in range(depth)
+    )
+    return f"""
+WITH cells AS (
+  SELECT lane, bucket, count(*) AS c FROM ({lanes}) GROUP BY lane, bucket),
+probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+pl AS ({probe_lanes})
+SELECT key, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+FROM pl LEFT JOIN cells USING (lane, bucket) GROUP BY key
+"""
+
+
+SQL_COUNT_MIN = _cm_sql()
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (operators/graph.py anf_reach —
     ANF, Palmer et al. KDD'02): per-node k-hop reach estimates via
@@ -6170,6 +6215,7 @@ REGISTRY: dict[str, tuple] = {
     "q_term_dict_extend": (q_term_dict_extend, SQL_TERM_DICT_EXTEND),
     "q_shacl_kinds": (q_shacl_kinds, SQL_SHACL_KINDS),
     "q_anf": (q_anf, SQL_ANF),
+    "q_count_min": (q_count_min, SQL_COUNT_MIN),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),

@@ -66,3 +66,35 @@ def test_characteristic_sets(spark):
            for r in characteristic_sets(g).collect()}
     # a and b share shape {p,q} (a holds 3 triples, b holds 2); c is {p}
     assert got == {"p;q": (2, 5), "p": (1, 1)}
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from logset_spark.operators.quality import (
+        cm_estimate, cm_merge, count_min_sketch,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(100)] + [("hot",)] * 40
+    df = spark.createDataFrame(rows, "key string")
+    exact = {r.key: r.n for r in
+             df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+
+    sk = count_min_sketch(df, "key", width=64, depth=3)
+    probes = df.distinct()
+    est = {r.key: r.est for r in
+           cm_estimate(sk, probes, "key", width=64, depth=3).collect()}
+    # the count-min guarantee: never under, and collisions bounded
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+        assert est[k] <= n + len(rows) // 64 * 3 + 5, (k, est[k], n)
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B), cellwise
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    merged = cm_merge(
+        count_min_sketch(a, "key", width=64, depth=3),
+        count_min_sketch(b, "key", width=64, depth=3),
+    )
+    whole = count_min_sketch(df, "key", width=64, depth=3)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
