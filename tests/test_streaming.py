@@ -323,3 +323,31 @@ def test_linked_stream_incremental_appends_only_new(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+def test_linked_sink_replayed_batch_is_noop(spark, tmp_path):
+    """The linked sink carries its own batch-id dedup (separate code
+    from snapshot_batch_sink): a replayed micro-batch after a simulated
+    crash between the snapshot commit and the checkpoint offset commit
+    must publish nothing; a fresh id commits."""
+    from logset_spark.sources.snapshots import SnapshotTableIO
+
+    pdf = synth.transcripts_pdf(n_convs=3)
+    tdf = spark.createDataFrame(pdf, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(
+        synth.entity_dictionary_pdf(), schema=synth.DICT_SCHEMA
+    )
+    store = SnapshotTableIO(root=str(tmp_path / "snap_lk"), n_buckets=4)
+    sink = st.linked_triples_sink(spark, ddf, store=store)
+
+    sink(tdf, 0)
+    v1 = store.current_version()
+    n1 = store.read(spark).count()
+    assert v1 >= 1 and n1 > 0
+
+    sink(tdf, 0)  # replay: already durably committed
+    assert store.current_version() == v1
+    assert store.read(spark).count() == n1
+
+    sink(tdf.limit(2), 1)  # genuinely new batch id commits
+    assert store.current_version() == v1 + 1
