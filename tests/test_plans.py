@@ -404,3 +404,76 @@ def test_minhash_udf_never_pushed_below_dedup(spark, tmp_path):
     body = plan[plan.index("ArrowEvalPython"):]
     assert "HashAggregate" in body, plan  # aggregate is downstream (below)
     assert fb.count() == 2 * 8  # 2 distinct forms x 8 bands, nulls dropped
+
+
+def test_coref_stage_single_data_exchange(spark, tmp_path):
+    """The coref stage's scale claim (pipeline._coref_rows docstring):
+    ONE hash exchange on conv_id serves the pruned scan, the per-turn
+    election, AND the antecedent window — the groupBy and the window
+    must both be satisfied by the repartition, never add their own
+    shuffle.  Exchanges inside the dimension-scale links subtree
+    (hashpartitioning on form) don't count."""
+    import re
+
+    from logset_spark import pipeline as P
+    from logset_spark.sources import synth
+    from logset_spark.sources.tableio import TableIO
+
+    tdf = spark.createDataFrame(
+        synth.transcripts_pdf(n_convs=4), schema=synth.TRANSCRIPT_SCHEMA
+    )
+    ddf = spark.createDataFrame(
+        synth.entity_dictionary_pdf(), schema=synth.DICT_SCHEMA
+    )
+    io = TableIO(str(tmp_path / "wh"), n_buckets=4)
+    run_id = "planprobe"
+    detector = extract.make_candidate_detector(
+        spark, extract.non_namelike_surfaces(ddf)
+    )
+    s1 = P._stage1_triples(tdf, ddf, detector)
+    P._write_stage1(io, run_id, s1)
+    links = P._fuzzy_links(spark, io, run_id, ddf, 0.55).persist()
+    links.count()
+    plan = _plan(P._coref_rows(spark, io, run_id, links, None))
+    conv_exchanges = re.findall(
+        r"Exchange hashpartitioning\(conv_id", plan
+    )
+    assert len(conv_exchanges) == 1, plan[:2000]
+
+
+def test_bgp_encoded_joins_on_bigint(spark, tmp_path):
+    """bgp_encoded's scale claim: over a MATERIALIZED encoded store the
+    pattern join keys are bigint ids — no string column ever reaches a
+    join on the data-scale side."""
+    from logset_spark.operators import encode
+
+    tri = spark.createDataFrame(
+        [("conv:a", "hasTurn", "turn:a/0"),
+         ("turn:a/0", "usedTool", "tool:x")],
+        "subj string, pred string, obj string",
+    )
+    dic_df = encode.build_term_dictionary(tri)
+    enc_path = str(tmp_path / "enc")
+    encode.encode_triples(tri, dic_df).write.parquet(enc_path + "/triples")
+    dic_df.write.parquet(enc_path + "/terms")
+    enc = spark.read.parquet(enc_path + "/triples")
+    dic = spark.read.parquet(enc_path + "/terms")
+    out = encode.bgp_encoded(
+        enc, dic,
+        [("?c", "hasTurn", "?t"), ("?t", "usedTool", "?x")],
+        ["c", "x"],
+    )
+    plan = _plan(out)
+    # the shared-variable join is on the bigint v_t key
+    assert "v_t" in plan
+    # no mid-plan join keyed on subj/pred/obj strings: decode joins key
+    # on tid/v_* bigints; the only string-keyed exchange allowed is the
+    # final SELECT-DISTINCT over the already-decoded projected vars
+    # (result-scale, not corpus-scale)
+    import re
+    for m in re.finditer(r"hashpartitioning\(([a-z_]+)#", plan):
+        assert m.group(1).startswith(("v_", "tid")) or m.group(1) in (
+            "c", "x"
+        ), m.group(0)
+    for bad in ("subj#", "pred#", "obj#"):
+        assert f"hashpartitioning({bad}" not in plan
