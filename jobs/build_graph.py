@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     p.add_argument("--write-salts", type=int, default=1,
                    help=">1 spreads each output partition over N writer tasks "
                         "(skew valve for hot days/buckets)")
+    p.add_argument("--auto-salt", action="store_true",
+                   help="measure the hottest (day, bucket) write partition "
+                        "with one cheap aggregate and pick the salt count "
+                        "from the data (ceil(hottest/2M turns), capped at "
+                        "32); an explicit --write-salts > 1 wins")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--fuzzy-threshold", type=float, default=0.55)
     p.add_argument("--disambiguate", action="store_true",
@@ -98,7 +103,10 @@ def main(argv=None) -> int:
         disambiguate=args.disambiguate,
         temporal_dictionary=args.temporal_dict,
         coref=args.coref,
+        auto_salt=args.auto_salt,
     )
+    if args.auto_salt:
+        result["write_salts"] = io.n_write_salts
     result["stage_s"] = timings
     if args.snapshots:
         result["snapshot_version"] = io.store.current_version()

@@ -492,6 +492,37 @@ def _obs_count(obs: Observation) -> int:
         raise
 
 
+def auto_write_salts(
+    transcripts: DataFrame,
+    n_buckets: int,
+    target_rows: int = 2_000_000,
+    cap: int = 32,
+) -> int:
+    """Measured skew decision: how many write salts does THIS input
+    need?  The layout exchange keys on (ts_day, conv_bucket); a hot day
+    x bucket (one mega-conversation, a traffic spike) funnels into one
+    writer task however many executors exist.  n_write_salts spreads
+    each partition over N tasks — but the right N is a property of the
+    DATA, so measure it: one column-pruned aggregation over the layout
+    keys (partial-aggregated map-side; output <= days x buckets rows),
+    a 1-row max collect, and salts = ceil(hottest_turns / target_rows)
+    clamped to [1, cap].  `target_rows` is in TURNS (packed rows are a
+    small constant factor above turns); the default aims a writer task
+    at ~2M turns — minutes of work, comfortably memory-resident."""
+    hottest = (
+        transcripts.groupBy(
+            F.to_date("ts").alias("d"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).alias("b"),
+        )
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()["m"]
+    )
+    if not hottest:
+        return 1
+    return max(1, min(cap, -(-int(hottest) // target_rows)))
+
+
 def build_graph(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -507,6 +538,8 @@ def build_graph(
     disambiguate: bool = False,
     temporal_dictionary: bool = False,
     coref: bool = False,
+    auto_salt: bool = False,
+    auto_salt_target: int = 2_000_000,
 ) -> dict:
     """Run the full pipeline; returns {run_id, rows_in, triples, wall_ms}.
 
@@ -526,6 +559,11 @@ def build_graph(
     later resume of a GC'd run_id must use a fresh run_id instead).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    if auto_salt and io.n_write_salts <= 1:
+        # explicit --write-salts wins; the probe is one cheap aggregate
+        io.n_write_salts = auto_write_salts(
+            transcripts, io.n_buckets, target_rows=auto_salt_target
+        )
     t0_wall = time.time()  # for mtime-scoping this run's sink partitions
     if gc_stale_checkpoints:
         for stale in io.list_runs(STAGE_TRIPLES):

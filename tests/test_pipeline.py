@@ -341,3 +341,40 @@ def test_sparql_over_built_warehouse(spark, tmp_path):
     conv = sorted(got)[0]
     desc = sparql(emitted, f"DESCRIBE {conv}").collect()
     assert desc and all(conv in (r["subj"], r["obj"]) for r in desc)
+
+
+def test_auto_salt_measures_skew_and_output_unchanged(spark, tmp_path):
+    """auto_write_salts picks the salt count from the data — 1 on a
+    uniform small input, >1 when one (day, bucket) partition is hot —
+    and salting stays a pure physical rewrite: the salted build's triple
+    set equals the unsalted build's."""
+    from logset_spark.pipeline import auto_write_salts
+
+    tpdf = synth.transcripts_pdf(n_convs=8)
+    tdf = spark.createDataFrame(tpdf, schema=synth.TRANSCRIPT_SCHEMA)
+    # uniform, tiny: no salting needed
+    assert auto_write_salts(tdf, n_buckets=4) == 1
+    # a low target makes the real hottest partition "hot": the probe
+    # must see it and scale the salt count, clamped to the cap
+    hottest = (
+        tdf.groupBy(
+            F.to_date("ts"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(4)),
+        ).count().agg(F.max("count")).first()[0]
+    )
+    want = min(32, -(-int(hottest) // 10))
+    assert auto_write_salts(tdf, n_buckets=4, target_rows=10) == want
+
+    ddf = spark.createDataFrame(
+        synth.entity_dictionary_pdf(), schema=synth.DICT_SCHEMA
+    )
+    io_a = TableIO(str(tmp_path / "wh_auto"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io_a, run_id="as1",
+                auto_salt=True, auto_salt_target=10)
+    assert io_a.n_write_salts > 1  # the probe actually engaged
+    io_b = TableIO(str(tmp_path / "wh_plain"), n_buckets=4)
+    build_graph(spark, tdf, ddf, io_b, run_id="as2")
+    a = io_a.read(spark, "triples").select("subj", "pred", "obj")
+    b = io_b.read(spark, "triples").select("subj", "pred", "obj")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
