@@ -137,24 +137,7 @@ def main(argv=None) -> int:
 
         enc = spark.read.parquet(os.path.join(args.encoded, "triples"))
         dic = spark.read.parquet(os.path.join(args.encoded, "terms"))
-        result = sparql_encoded(enc, dic, query)
-        if args.explain:
-            result.explain("formatted")
-            spark.stop()
-            return 0
-        if args.out:
-            result.write.mode("overwrite").parquet(args.out)
-            n = spark.read.parquet(args.out).count()
-            print(json.dumps({"rows": n, "out": args.out,
-                              "columns": result.columns}))
-        else:
-            rows = result.limit(args.show).collect()
-            for r in rows:
-                print(json.dumps(r.asDict(), default=str))
-            print(json.dumps({"rows_shown": len(rows),
-                              "columns": result.columns}))
-        spark.stop()
-        return 0
+        return _emit(p, args, spark, sparql_encoded(enc, dic, query))
     if args.catalog:
         if snap_flags:
             p.error("--as-of/--changed-since need a --warehouse built "
@@ -217,6 +200,12 @@ def main(argv=None) -> int:
         stats = analyze(triples)
     result = sparql(triples, query, services=services or None, stats=stats)
 
+    return _emit(p, args, spark, result)
+
+
+def _emit(p, args, spark, result) -> int:
+    """Shared result emission for every source mode (warehouse, catalog,
+    encoded): --explain / --out-ttl / --out / printed rows."""
     if args.explain:
         result.explain("formatted")
         spark.stop()

@@ -52,94 +52,66 @@ def main(argv=None) -> int:
     sink = f"{args.out}/triples_stream"
     checkpoint = f"{args.out}/_checkpoint"
 
-    if args.dict_path:
-        dictionary = spark.read.parquet(args.dict_path)
-        raw = stream_transcripts(spark, args.input)
-        if args.snapshots:
-            from logset_spark.sources.snapshots import SnapshotTableIO
+    # one counting + reporting path for all four mode combinations: the
+    # sinks differ, the accounting must not.  Both counters tolerate the
+    # not-yet-created sink (first run, or a drain that produced zero
+    # micro-batches — foreachBatch never fires, so the linked path
+    # creates no directory at all).
+    def _store_count(store) -> int:
+        try:
+            return store.read(spark).count()
+        except ValueError:  # empty table (no snapshot yet)
+            return 0
 
-            store = SnapshotTableIO(root=f"{args.out}/triples")
+    def _parquet_count(path: str) -> int:
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:  # noqa: BLE001 - sink not created yet
+            return 0
 
-            def _count() -> int:
-                try:
-                    return store.read(spark).count()
-                except ValueError:  # empty table (no snapshot yet)
-                    return 0
-
-            before = _count()
-            run_linked_available_now(
-                raw, checkpoint, spark, dictionary,
-                store=store, fuzzy_threshold=args.fuzzy_threshold,
-            )
-            after = _count()
-            out = {
-                "rows_appended": after - before,
-                "rows_total": after,
-                "sink": f"{args.out}/triples",
-                "snapshot_version": store.current_version(),
-            }
-        else:
-            try:
-                before = spark.read.parquet(sink).count()
-            except Exception:  # noqa: BLE001 - first run: sink missing
-                before = 0
-            run_linked_available_now(
-                raw, checkpoint, spark, dictionary,
-                out_path=sink, fuzzy_threshold=args.fuzzy_threshold,
-            )
-            after = spark.read.parquet(sink).count()
-            out = {
-                "rows_appended": after - before,
-                "rows_total": after,
-                "sink": sink,
-            }
-        out["linked"] = True
-        print(json.dumps(out))
-        spark.stop()
-        return 0
-
-    stream = structural_triples_stream(stream_transcripts(spark, args.input))
+    store = None
     if args.snapshots:
         from logset_spark.sources.snapshots import SnapshotTableIO
 
         store = SnapshotTableIO(root=f"{args.out}/triples")
+        count, report_sink = (lambda: _store_count(store)), f"{args.out}/triples"
+    else:
+        count, report_sink = (lambda: _parquet_count(sink)), sink
 
-        def _count() -> int:
-            try:
-                return store.read(spark).count()
-            except ValueError:  # empty table (no snapshot yet)
-                return 0
-
-        before = _count()
-        # snapshot layout needs (conv_id, ts) for bucketing/day partition
-        run_available_now_snapshot(
-            stream.select("subj", "pred", "obj", "conv_id", "turn_idx", "ts"),
-            checkpoint, store,
+    before = count()
+    if args.dict_path:
+        dictionary = spark.read.parquet(args.dict_path)
+        run_linked_available_now(
+            stream_transcripts(spark, args.input), checkpoint, spark,
+            dictionary, fuzzy_threshold=args.fuzzy_threshold,
+            **({"store": store} if store is not None else {"out_path": sink}),
         )
-        after = _count()
-        print(json.dumps({
-            "rows_appended": after - before,
-            "rows_total": after,
-            "sink": f"{args.out}/triples",
-            "snapshot_version": store.current_version(),
-        }))
-        spark.stop()
-        return 0
+    else:
+        stream = structural_triples_stream(
+            stream_transcripts(spark, args.input))
+        if store is not None:
+            # snapshot layout needs (conv_id, ts) for bucket/day partition
+            run_available_now_snapshot(
+                stream.select("subj", "pred", "obj",
+                              "conv_id", "turn_idx", "ts"),
+                checkpoint, store,
+            )
+        else:
+            run_available_now(
+                stream.select("subj", "pred", "obj", "conv_id"),
+                checkpoint, sink)
+    after = count()
 
-    try:
-        before = spark.read.parquet(sink).count()
-    except Exception:  # noqa: BLE001 - first run: sink does not exist yet
-        before = 0
-
-    triples = stream.select("subj", "pred", "obj", "conv_id")
-    run_available_now(triples, checkpoint, sink)
-
-    after = spark.read.parquet(sink).count()
-    print(json.dumps({
+    out = {
         "rows_appended": after - before,
         "rows_total": after,
-        "sink": sink,
-    }))
+        "sink": report_sink,
+    }
+    if store is not None:
+        out["snapshot_version"] = store.current_version()
+    if args.dict_path:
+        out["linked"] = True
+    print(json.dumps(out))
     spark.stop()
     return 0
 

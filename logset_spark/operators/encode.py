@@ -60,14 +60,21 @@ from .ordering import global_sorted_index
 POSITIONS = ("subj", "pred", "obj")
 
 
-def build_term_dictionary(triples: DataFrame) -> DataFrame:
-    """DataFrame[term string, tid bigint]: every distinct term across all
-    three positions, ids contiguous from 1 in term sort order."""
+def _all_terms(triples: DataFrame) -> DataFrame:
+    """Distinct terms across all three positions — the ONE definition of
+    'what is a term' shared by build and extend (a drift between them
+    would assign duplicate or missing ids)."""
     terms = None
     for c in POSITIONS:
         part = triples.select(F.col(c).alias("term"))
         terms = part if terms is None else terms.unionAll(part)
-    return global_sorted_index(terms.distinct(), ["term"], index_col="tid")
+    return terms.distinct()
+
+
+def build_term_dictionary(triples: DataFrame) -> DataFrame:
+    """DataFrame[term string, tid bigint]: every distinct term across all
+    three positions, ids contiguous from 1 in term sort order."""
+    return global_sorted_index(_all_terms(triples), ["term"], index_col="tid")
 
 
 def extend_term_dictionary(dic: DataFrame, triples: DataFrame) -> DataFrame:
@@ -84,13 +91,7 @@ def extend_term_dictionary(dic: DataFrame, triples: DataFrame) -> DataFrame:
     over the batch's terms (batch-scale), one broadcast-or-shuffle
     anti-join against the dictionary, one 1-row max aggregate, one
     zipWithIndex over the new terms (usually tiny)."""
-    terms = None
-    for c in POSITIONS:
-        part = triples.select(F.col(c).alias("term"))
-        terms = part if terms is None else terms.unionAll(part)
-    fresh = terms.distinct().join(
-        dic.select("term"), "term", "left_anti"
-    )
+    fresh = _all_terms(triples).join(dic.select("term"), "term", "left_anti")
     base = dic.agg(F.coalesce(F.max("tid"), F.lit(0)).alias("m"))
     indexed = global_sorted_index(fresh, ["term"], index_col="tid")
     return indexed.crossJoin(F.broadcast(base)).select(
@@ -143,6 +144,7 @@ def sparql_encoded(
         (pq.services, "SERVICE"), (pq.construct, "CONSTRUCT"),
         (pq.describe, "DESCRIBE"), (pq.ask, "ASK"),
         (pq.having, "HAVING"), (pq.group_by, "GROUP BY"),
+        (pq.from_graphs, "FROM"), (pq.from_named, "FROM NAMED"),
     ]
     bad = [name for feat, name in unsupported if feat]
     if bad:

@@ -149,6 +149,23 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
     )
 
 
+def _cm_lanes(key_col: str, width: int, depth: int):
+    """(lane, bucket) struct array for a key — the ONE hashing recipe
+    shared by sketch construction and estimation: the sketch is only
+    valid if probes hash exactly like builds, so the invariant is
+    structural, not a convention."""
+    from .graph import _hash_u32
+
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("lane"),
+            (_hash_u32(F.concat_ws(":", F.lit(f"cm{d}"), F.col(key_col)))
+             % width).cast("int").alias("bucket"),
+        )
+        for d in range(depth)
+    ])
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
 ) -> DataFrame:
@@ -168,18 +185,8 @@ def count_min_sketch(
     row into `depth` (lane, bucket) pairs map-side, ONE aggregation —
     partial-aggregated, so the exchange carries at most depth*width
     rows, not data."""
-    from .graph import _hash_u32
-
-    lanes = F.array(*[
-        F.struct(
-            F.lit(d).alias("lane"),
-            (_hash_u32(F.concat_ws(":", F.lit(f"cm{d}"), F.col(key_col)))
-             % width).cast("int").alias("bucket"),
-        )
-        for d in range(depth)
-    ])
     return (
-        df.select(F.explode(lanes).alias("lb"))
+        df.select(F.explode(_cm_lanes(key_col, width, depth)).alias("lb"))
         .groupBy(F.col("lb.lane").alias("lane"),
                  F.col("lb.bucket").alias("bucket"))
         .agg(F.count("*").alias("c"))
@@ -206,18 +213,8 @@ def cm_estimate(
     collision mass ~ N/width per lane, minimized over lanes).  Keys are
     a dimension-scale probe set; the join is lane-bucket equi, the
     sketch side at most depth*width rows (broadcastable)."""
-    from .graph import _hash_u32
-
-    lanes = F.array(*[
-        F.struct(
-            F.lit(d).alias("lane"),
-            (_hash_u32(F.concat_ws(":", F.lit(f"cm{d}"), F.col(key_col)))
-             % width).cast("int").alias("bucket"),
-        )
-        for d in range(depth)
-    ])
     probes = keys.select(
-        key_col, F.explode(lanes).alias("lb")
+        key_col, F.explode(_cm_lanes(key_col, width, depth)).alias("lb")
     ).select(key_col, F.col("lb.lane").alias("lane"),
              F.col("lb.bucket").alias("bucket"))
     return (

@@ -1659,6 +1659,7 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             F.col("subj").isNotNull() & F.col("pred").isNotNull()
             & F.col("obj").isNotNull()
         ).distinct()
+    post_project = None  # deferred grouped projection (see below)
     if pq.aggs or pq.group_by is not None:
         # aggregate form: evaluate the BGP keeping every needed variable
         # as raw bindings (NO distinct — aggregate semantics are over the
@@ -1718,12 +1719,12 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             and (pq.select or pq.aggs)  # SELECT * keeps all group keys
             and pq.select != keys
         ):
-            # project the SELECT subset AFTER grouping/HAVING so extra
-            # group keys drop out; duplicate projected rows across
-            # groups are kept (SPARQL projection semantics)
-            out = out.select(
-                *pq.select, *[a.alias for a in pq.aggs]
-            )
+            # the SELECT subset drops extra group keys — but per the
+            # SPARQL algebra (OrderBy before Project before Distinct
+            # before Slice) the projection must wait until AFTER
+            # ORDER BY, which may legally sort on a non-projected group
+            # key; deferred below
+            post_project = [*pq.select, *[a.alias for a in pq.aggs]]
     else:
         if pq.having:
             raise ValueError("HAVING requires an aggregate SELECT list")
@@ -1745,6 +1746,13 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
         out = out.orderBy(
             *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in pq.order_by]
         )
+    if post_project is not None:
+        # grouped projection: duplicates across groups are kept —
+        # unless the query said DISTINCT, which the algebra applies
+        # AFTER Project (so it dedups the projected rows)
+        out = out.select(*post_project)
+        if pq.distinct:
+            out = out.distinct()
     if pq.offset is not None:
         out = out.offset(pq.offset)
     if pq.limit is not None:

@@ -162,3 +162,12 @@ def test_sparql_encoded_rejects_outside_subset(tri):
     ]:
         with pytest.raises(ValueError, match="subset"):
             encode.sparql_encoded(enc, dic, q)
+
+
+def test_sparql_encoded_rejects_from_clause(tri):
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    with pytest.raises(ValueError, match="subset"):
+        encode.sparql_encoded(
+            enc, dic, "SELECT ?s FROM g1 WHERE { ?s hasTurn ?t }"
+        )

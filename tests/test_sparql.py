@@ -1265,3 +1265,28 @@ def test_po_list_rejections():
         parse_sparql("SELECT ?t WHERE { ?t p o ; q }")
     with pytest.raises(ValueError, match="1 term"):
         parse_sparql("SELECT ?t WHERE { ?t mentions ent:p , ent:q r }")
+
+
+def test_group_by_order_by_non_projected_key(tri):
+    """SPARQL algebra: OrderBy runs before Project, so ordering by a
+    group key the SELECT list drops is legal."""
+    q = ("SELECT ?tool (COUNT(?turn) AS ?n) "
+         "WHERE { ?conv hasTurn ?turn . ?turn usedTool ?tool } "
+         "GROUP BY ?conv ?tool ORDER BY ?conv ?tool")
+    got = [tuple(r) for r in sparql(tri, q).collect()]
+    assert got == [("tool:grep", 1), ("tool:sed", 1)]
+
+
+def test_group_by_distinct_applies_after_projection(spark):
+    """Distinct runs AFTER Project: the same tool grouped under two
+    conversations projects to two equal rows, which DISTINCT dedups."""
+    t = spark.createDataFrame(
+        [("c1", "hasTurn", "t1"), ("c2", "hasTurn", "t2"),
+         ("t1", "usedTool", "grep"), ("t2", "usedTool", "grep")],
+        "subj string, pred string, obj string",
+    )
+    q_plain = ("SELECT ?tool WHERE "
+               "{ ?c hasTurn ?t . ?t usedTool ?tool } GROUP BY ?c ?tool")
+    assert _rows(sparql(t, q_plain)) == [("grep",), ("grep",)]
+    q_dist = q_plain.replace("SELECT ?tool", "SELECT DISTINCT ?tool")
+    assert _rows(sparql(t, q_dist)) == [("grep",)]
