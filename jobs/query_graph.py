@@ -31,11 +31,12 @@ def main(argv=None) -> int:
                                        " of a parquet warehouse")
     src.add_argument("--encoded", help="term-encoded store root "
                                        "(jobs/encode_graph.py --out): BGP "
-                                       "SELECT queries join on bigint ids "
-                                       "and decode only the projected vars; "
-                                       "anything outside that subset is "
-                                       "rejected with a pointer at the "
-                                       "string warehouse")
+                                       "SELECT queries (COUNT aggregates "
+                                       "included) join and count on bigint "
+                                       "ids, decoding only projected vars/"
+                                       "group keys; anything outside that "
+                                       "subset is rejected with a pointer "
+                                       "at the string warehouse")
     p.add_argument("--follow-links", action="store_true",
                    help="with --catalog: follow rdfs:seeAlso/dcat:catalog links"
                         " to linked .ttl files (cycle-safe) and query the union")

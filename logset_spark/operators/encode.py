@@ -125,18 +125,21 @@ def _is_var(t: str) -> bool:
 def sparql_encoded(
     encoded: DataFrame, dic: DataFrame, query: str
 ) -> DataFrame:
-    """SELECT queries over the encoded store, for the BGP subset
-    bgp_encoded evaluates.  The full SPARQL surface (FILTER, OPTIONAL,
-    UNION, aggregates, paths, ...) needs lexical forms mid-plan and is
-    deliberately NOT lowered here — anything outside the subset is
-    rejected loudly with a pointer at the string warehouse, never
+    """SELECT queries over the encoded store: the BGP subset bgp_encoded
+    evaluates, plus COUNT-family aggregates (COUNT / COUNT DISTINCT /
+    COUNT(*)), which run ENTIRELY in id space — counting ids equals
+    counting terms — with group keys decoded after the aggregate.  The
+    rest of the SPARQL surface (FILTER, OPTIONAL, UNION, non-COUNT
+    aggregates, paths, ...) needs lexical forms or term ORDER mid-plan
+    and is deliberately NOT lowered here — anything outside the subset
+    is rejected loudly with a pointer at the string warehouse, never
     silently approximated.  ORDER BY / LIMIT / OFFSET / DISTINCT apply
     after decoding."""
     from .sparql import _is_path, parse_sparql
 
     pq = parse_sparql(query)
     unsupported = [
-        (pq.aggs, "aggregates"), (pq.filters, "FILTER"),
+        (pq.filters, "FILTER"),
         (pq.optionals, "OPTIONAL"), (pq.unions, "UNION"),
         (pq.binds, "BIND"), (pq.values, "VALUES"),
         (pq.not_exists, "FILTER NOT EXISTS"), (pq.minus, "MINUS"),
@@ -156,10 +159,49 @@ def sparql_encoded(
             raise ValueError(
                 f"property path {pat[1]!r} outside the encoded-BGP subset "
                 "— run against the string warehouse")
-    out = bgp_encoded(
-        encoded, dic, pq.patterns,
-        select=pq.select or None, distinct=pq.distinct,
-    )
+    if pq.aggs:
+        # COUNT family runs ENTIRELY in id space: counting ids equals
+        # counting terms (the mapping is a bijection — true for grown
+        # dictionaries too), and only the group keys decode, AFTER the
+        # aggregate, at one dictionary join per key over group-count
+        # rows.  MIN/MAX/GROUP_CONCAT/SAMPLE would need id order to
+        # mirror term order, which extend_term_dictionary's append-only
+        # ids deliberately break — rejected, not approximated.
+        non_count = sorted({a.func for a in pq.aggs if a.func != "COUNT"})
+        if non_count:
+            raise ValueError(
+                f"{', '.join(non_count)} outside the encoded subset "
+                "(only COUNT is id-safe) — run against the string "
+                "warehouse (query_graph --warehouse)")
+        needed = list(dict.fromkeys(
+            pq.select + [a.var for a in pq.aggs if a.var is not None]
+        ))
+        sol = bgp_encoded(
+            encoded, dic, pq.patterns,
+            select=needed or None, distinct=False, decode=False,
+        )
+
+        def _cnt(a):
+            if a.var is None:
+                return F.count(F.lit(1)).alias(a.alias)
+            col = F.col(f"v_{a.var}")
+            return (F.count_distinct(col) if a.distinct
+                    else F.count(col)).alias(a.alias)
+
+        out = sol.groupBy(*[f"v_{v}" for v in pq.select]).agg(
+            *[_cnt(a) for a in pq.aggs]
+        )
+        for v in pq.select:
+            d = dic.select(
+                F.col("tid").alias(f"v_{v}"), F.col("term").alias(v)
+            )
+            out = out.join(d, f"v_{v}", "inner")
+        out = out.select(*pq.select, *[a.alias for a in pq.aggs])
+    else:
+        out = bgp_encoded(
+            encoded, dic, pq.patterns,
+            select=pq.select or None, distinct=pq.distinct,
+        )
     if pq.order_by:
         out = out.orderBy(*[
             F.col(v).desc() if desc else F.col(v).asc()
@@ -178,6 +220,7 @@ def bgp_encoded(
     patterns: list[tuple[str, str, str]],
     select: list[str] | None = None,
     distinct: bool = True,
+    decode: bool = True,
 ) -> DataFrame:
     """Evaluate a BGP over the encoded table; return DECODED columns for
     the selected variables.
@@ -242,6 +285,9 @@ def bgp_encoded(
     bad = [v for v in out_vars if v not in variables]
     if bad:
         raise ValueError(f"selected variable(s) not bound by the BGP: {bad}")
+    if not decode:  # id-space result for downstream integer aggregation
+        out = joined.select(*[f"v_{v}" for v in out_vars])
+        return out.distinct() if distinct else out
     out = joined
     for v in out_vars:
         d = dic.select(

@@ -155,7 +155,8 @@ def test_sparql_encoded_rejects_outside_subset(tri):
     enc = encode.encode_triples(tri, dic)
     for q in [
         "SELECT ?c WHERE { ?c hasTurn ?t . FILTER(?t != 'x') }",
-        "SELECT ?c (COUNT(?t) AS ?n) WHERE { ?c hasTurn ?t }",
+        # MIN over ids is only order-safe for never-extended dictionaries
+        "SELECT ?c (MIN(?t) AS ?m) WHERE { ?c hasTurn ?t }",
         "SELECT ?c WHERE { ?c hasTurn ?t . OPTIONAL { ?t usedTool ?x } }",
         "SELECT ?c WHERE { ?c hasTurn+ ?t }",
         "ASK { ?c hasTurn ?t }",
@@ -171,3 +172,19 @@ def test_sparql_encoded_rejects_from_clause(tri):
         encode.sparql_encoded(
             enc, dic, "SELECT ?s FROM g1 WHERE { ?s hasTurn ?t }"
         )
+
+
+def test_sparql_encoded_count_aggregates_match_string_path(tri):
+    from logset_spark.operators.sparql import sparql
+
+    dic = encode.build_term_dictionary(tri)
+    enc = encode.encode_triples(tri, dic)
+    for q in [
+        "SELECT ?c (COUNT(?t) AS ?n) WHERE { ?c hasTurn ?t }",
+        "SELECT (COUNT(*) AS ?n) WHERE { ?t usedTool ?x }",
+        "SELECT ?c (COUNT(DISTINCT ?x) AS ?n) "
+        "WHERE { ?c hasTurn ?t . ?t usedTool ?x }",
+    ]:
+        got = sorted(map(tuple, encode.sparql_encoded(enc, dic, q).collect()))
+        want = sorted(map(tuple, sparql(tri, q).collect()))
+        assert got == want, q
