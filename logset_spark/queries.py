@@ -2358,6 +2358,32 @@ def q_encoded_bgp(spark, sf):
 SQL_ENCODED_BGP = SQL_KG_2HOP
 
 
+def q_encoded_agg(spark, sf):
+    """COUNT aggregation over the encoded store (sparql_encoded): tool
+    usage counts computed entirely in id space — the BGP joins AND the
+    groupBy run on bigints; only the group key decodes, after the
+    aggregate, at group-count scale.  Oracle = the same counts over the
+    string graph."""
+    from .operators.encode import (
+        build_term_dictionary, encode_triples, sparql_encoded,
+    )
+
+    tri = q_kg_structural(spark, sf)
+    dic = build_term_dictionary(tri)
+    enc = encode_triples(tri, dic)
+    return sparql_encoded(
+        enc, dic,
+        "SELECT ?tool (COUNT(?turn) AS ?n) WHERE { ?turn usedTool ?tool }",
+    )
+
+
+SQL_ENCODED_AGG = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT obj AS tool, count(*) AS n FROM g WHERE pred = 'usedTool'
+GROUP BY obj
+"""
+
+
 def q_term_dict_extend(spark, sf):
     """Append-only dictionary growth (encode.extend_term_dictionary):
     the property that makes term encoding viable at 10^12 triples — new
@@ -6212,6 +6238,7 @@ REGISTRY: dict[str, tuple] = {
     "q_term_dict": (q_term_dict, SQL_TERM_DICT),
     "q_encode_roundtrip": (q_encode_roundtrip, SQL_ENCODE_ROUNDTRIP),
     "q_encoded_bgp": (q_encoded_bgp, SQL_ENCODED_BGP),
+    "q_encoded_agg": (q_encoded_agg, SQL_ENCODED_AGG),
     "q_term_dict_extend": (q_term_dict_extend, SQL_TERM_DICT_EXTEND),
     "q_shacl_kinds": (q_shacl_kinds, SQL_SHACL_KINDS),
     "q_anf": (q_anf, SQL_ANF),
