@@ -4099,6 +4099,101 @@ WHERE abs((value - mu) / sigma) >= 2.5
 """
 
 
+def q_anomaly(spark, sf):
+    """Log-volume anomaly detection — the observability query a LogSet
+    operator runs hourly: per (event_type, hour) counts flagged when an
+    hour's volume exceeds 3x that type's exact mean hourly volume (the
+    burst signal).  All arithmetic integer-exact (counts, n*hours vs
+    3*total as cross-multiplication), so the flag is engine-portable
+    with no float threshold ambiguity.  One narrow groupBy + one
+    broadcast join of per-type totals — two exchanges, both on the tiny
+    (type, hour) domain."""
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("etype"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    totals = hourly.groupBy("etype").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("hours")
+    )
+    return (
+        hourly.join(F.broadcast(totals), "etype")
+        # n > 3 * (tot/hours)  <=>  n * hours > 3 * tot  (integer-exact)
+        .where(F.col("n") * F.col("hours") > 3 * F.col("tot"))
+        .select("etype", "hour", "n")
+    )
+
+
+SQL_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type AS etype, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT etype, sum(n) AS tot, count(*) AS hours FROM hourly GROUP BY 1)
+SELECT h.etype, h.hour, h.n
+FROM hourly h JOIN tot t ON h.etype = t.etype
+WHERE h.n * t.hours > 3 * t.tot
+"""
+
+
+def q_cooccur(spark, sf):
+    """Co-mention lift — the association signal behind "these two
+    entities belong together" link suggestions: for every pair of
+    event types co-occurring in a user's history, lift =
+    P(x,y)/(P(x)P(y)) materialized as the INTEGER-EXACT scaled ratio
+    (n_xy * N * 10^6) / (n_x * n_y) so the cross-engine compare has no
+    float division.  Pair generation is a per-user self-join over the
+    (user, type) incidence (bounded by the tiny type vocabulary per
+    user, never events^2); ordered pairs x < y keep one row per pair."""
+    e = _t(spark, sf, "events")
+    inc = e.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).distinct()
+    n_users = inc.select("u").distinct().count()
+    per_t = inc.groupBy("t").agg(F.count("*").alias("n_t"))
+    a = inc.select("u", F.col("t").alias("x"))
+    b = inc.select("u", F.col("t").alias("y"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    return (
+        pairs.join(F.broadcast(per_t.select(F.col("t").alias("x"),
+                                            F.col("n_t").alias("n_x"))), "x")
+        .join(F.broadcast(per_t.select(F.col("t").alias("y"),
+                                       F.col("n_t").alias("n_y"))), "y")
+        .select(
+            "x", "y", "n_xy",
+            # integer DIV, not float '/': cast-of-double rounds in
+            # DuckDB but truncates in Spark — floor division on exact
+            # int64 is engine-identical (products stay far below 2^63)
+            F.expr(
+                f"(n_xy * CAST({n_users} AS BIGINT) * 1000000) "
+                "div (n_x * n_y)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+SQL_COOCCUR = """
+WITH inc AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+n_users AS (SELECT count(DISTINCT u) AS nu FROM inc),
+per_t AS (SELECT t, count(*) AS n_t FROM inc GROUP BY t),
+pairs AS (
+  SELECT a.t AS x, b.t AS y, count(*) AS n_xy
+  FROM inc a JOIN inc b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2)
+SELECT x, y, n_xy,
+       CAST((n_xy * nu * 1000000) // (px.n_t * py.n_t) AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN per_t px ON px.t = x
+JOIN per_t py ON py.t = y
+CROSS JOIN n_users
+"""
+
+
 def q_transitions(spark, sf):
     """Event-transition matrix (first-order Markov counts): lead() over
     each user's time-ordered events, then count (from, to) pairs — one
@@ -6243,6 +6338,8 @@ REGISTRY: dict[str, tuple] = {
     "q_shacl_kinds": (q_shacl_kinds, SQL_SHACL_KINDS),
     "q_anf": (q_anf, SQL_ANF),
     "q_count_min": (q_count_min, SQL_COUNT_MIN),
+    "q_anomaly": (q_anomaly, SQL_ANOMALY),
+    "q_cooccur": (q_cooccur, SQL_COOCCUR),
     # round-3 session-8 additions
     "q_disambiguate": (q_disambiguate, SQL_DISAMBIGUATE),
     "q_ppr": (q_ppr, SQL_PPR),
