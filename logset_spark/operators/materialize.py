@@ -102,12 +102,30 @@ def planned_partitions(transcripts: DataFrame, n_buckets: int) -> DataFrame:
     return with_layout(transcripts, n_buckets).select("ts_day", "conv_bucket").distinct()
 
 
+def _manifest_or_none(spark: SparkSession, io: TableIO):
+    """Read the manifest table, returning None ONLY when it does not
+    exist yet (fresh warehouse).  Any other failure — corrupt footer
+    from a killed writer, permissions, storage hiccup — re-raises:
+    swallowing it would silently discard resume state and replay the
+    full 10^x-row pipeline while appending duplicate manifest rows."""
+    try:
+        return io.read(spark, MANIFEST)
+    except Exception as exc:  # narrow: missing-path only
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException) and (
+            "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA"
+            in str(exc)
+        ):
+            return None
+        raise
+
+
 def completed_partitions(
     spark: SparkSession, io: TableIO, run_id: str, stage: str = "materialize"
 ) -> DataFrame:
-    try:
-        m = io.read(spark, MANIFEST)
-    except Exception:
+    m = _manifest_or_none(spark, io)
+    if m is None:
         return spark.createDataFrame([], "ts_day date, conv_bucket int")
     return (
         m.where(
@@ -137,9 +155,8 @@ def completed_buckets(
 ) -> set[int]:
     """Buckets marked done for a bucket-granular stage (stage1 extraction
     checkpoints partition on conv_bucket only — ts_day is null there)."""
-    try:
-        m = io.read(spark, MANIFEST)
-    except Exception:
+    m = _manifest_or_none(spark, io)
+    if m is None:
         return set()
     rows = (
         m.where(

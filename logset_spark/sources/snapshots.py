@@ -52,6 +52,18 @@ def _key(day: str, bucket: str) -> str:
     return f"{day}|{bucket}"
 
 
+# Spark's directory spelling for a null partition value.  Rows carry
+# None; directory/mapping keys carry this string — every touched-set
+# computed from DataFrame rows MUST normalize through _part_val or
+# null-day partitions (the pipeline's sameAs rows) silently fail to
+# match their mapping keys: CoW ops would then drop or skip them.
+_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_val(v) -> str:
+    return _NULL_PART if v is None else str(v)
+
+
 def _enc_stat(v):
     """JSON-portable encoding for a manifest stat value: datetime/date
     -> ISO string (lexicographic == chronological at fixed format);
@@ -443,6 +455,35 @@ class SnapshotTableIO:
         variants = self._commit_columns(commits)
         return len(variants) > 1 or (None in variants and len(commits) > 1)
 
+    def _read_mapping_slice(
+        self, spark: SparkSession, mapping: dict,
+        keys: set[str] | None = None,
+    ) -> DataFrame | None:
+        """Read the partitions a mapping describes (all of them, or the
+        `keys` subset): builds the commit/ts_day/conv_bucket path list,
+        decides schema-merge from snapshot metadata, reads with the
+        shared basePath so partition columns come back, drops the
+        transient commit level.  Returns None when the slice is empty.
+        THE one read idiom for every CoW/diff/compact/read path — the
+        null-day bug class (and any future path-spelling change) has a
+        single home."""
+        sel = (sorted(mapping) if keys is None
+               else sorted(set(keys) & set(mapping)))
+        paths = [
+            os.path.join(self._data, f"commit={c}",
+                         f"ts_day={day}", f"conv_bucket={bucket}")
+            for k in sel
+            for day, bucket in [k.split("|", 1)]
+            for c in mapping[k]
+        ]
+        if not paths:
+            return None
+        commits = {c for k in sel for c in mapping[k]}
+        reader = spark.read.option("basePath", self._data)
+        if self._needs_merge(commits):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths).drop("commit")
+
     def merge_upsert(
         self, spark: SparkSession, updates: DataFrame, keys: list[str]
     ) -> int:
@@ -459,49 +500,53 @@ class SnapshotTableIO:
         old copy in its old partition.  The transcript vocabulary's keys
         (conv_id, turn_idx) are partition-stable by construction.
 
-        Empty-table case: degenerates to a plain insert commit."""
+        Empty-table case: degenerates to a plain insert commit.
+
+        Schema evolution: the KEPT side keeps the CURRENT table schema
+        (an updates frame predating an add-column must not strip the
+        evolved column from rows it never touched); a replacement row
+        lacking an evolved column sets it null — the update frame IS
+        the row's new state — and a column new to `updates` surfaces
+        null on kept rows, both via allowMissingColumns."""
         if self.current_version() == 0:
             return self.commit(updates)
-        # touched partitions: bounded by days x buckets, driver-tiny
         from pyspark.sql import functions as F
 
         from .tableio import with_layout
 
+        # pin: the updates plan is evaluated twice (touched discovery +
+        # the commit write) and may embed reads of this very store; an
+        # unpinned non-deterministic frame could land rows in partitions
+        # outside `touched`, repointing them WITHOUT carrying their
+        # current rows (cow_update pins for the same reason).  Bounded
+        # by the update set, never the table.
+        updates = with_layout(updates, self.n_buckets).localCheckpoint()
+        # touched partitions: bounded by days x buckets, driver-tiny
         touched = {
-            (str(r["ts_day"]), str(r["conv_bucket"]))
-            for r in with_layout(updates, self.n_buckets)
-            .select("ts_day", "conv_bucket").distinct().collect()
+            (_part_val(r["ts_day"]), _part_val(r["conv_bucket"]))
+            for r in updates.select("ts_day", "conv_bucket")
+            .distinct().collect()
         }
         snap = self._load_snapshot(self.current_version())
-        paths = [
-            os.path.join(self._data, f"commit={c}",
-                         f"ts_day={day}", f"conv_bucket={bucket}")
-            for k, commits in sorted(snap["mapping"].items())
-            for day, bucket in [k.split("|", 1)]
-            if (day, bucket) in touched
-            for c in commits
-        ]
-        data_cols = [c for c in updates.columns
-                     if c not in ("ts_day", "conv_bucket")]
-        if paths:
-            reader = spark.read.option("basePath", self._data)
-            commits = {
-                c for k, cl in snap["mapping"].items()
-                if tuple(k.split("|", 1)) in touched
-                for c in cl
-            }
-            if self._needs_merge(commits):
-                reader = reader.option("mergeSchema", "true")
-            current = reader.parquet(*paths).select(*data_cols)
+        current = self._read_mapping_slice(
+            spark, snap["mapping"], {_key(d, b) for d, b in touched}
+        )
+        upd_cols = [c for c in updates.columns
+                    if c not in ("ts_day", "conv_bucket")]
+        if current is not None:
+            data_cols = [c for c in current.columns
+                         if c not in ("ts_day", "conv_bucket")]
             # keep current rows whose key is NOT updated; updates are the
             # small side of the anti join -> broadcast
-            kept = current.join(
+            kept = current.select(*data_cols).join(
                 F.broadcast(updates.select(*keys).distinct()),
                 on=keys, how="left_anti",
             )
-            merged = kept.unionByName(updates.select(*data_cols))
+            merged = kept.unionByName(
+                updates.select(*upd_cols), allowMissingColumns=True
+            )
         else:
-            merged = updates.select(*data_cols)
+            merged = updates.select(*upd_cols)
         return self.commit(merged)
 
     def delete_where(
@@ -533,33 +578,19 @@ class SnapshotTableIO:
         if cur == 0:
             raise ValueError("cannot delete from an empty table")
         touched = {
-            (str(r["ts_day"]), str(r["conv_bucket"]))
+            (_part_val(r["ts_day"]), _part_val(r["conv_bucket"]))
             for r in self.read(spark).where(cond)
             .select("ts_day", "conv_bucket").distinct().collect()
         }
         if not touched:
             return cur
         snap = self._load_snapshot(cur)
-        paths = [
-            os.path.join(self._data, f"commit={c}",
-                         f"ts_day={day}", f"conv_bucket={bucket}")
-            for k, commits in sorted(snap["mapping"].items())
-            for day, bucket in [k.split("|", 1)]
-            if (day, bucket) in touched
-            for c in commits
-        ]
-        commits = {
-            c for k, cl in snap["mapping"].items()
-            if tuple(k.split("|", 1)) in touched
-            for c in cl
-        }
-        reader = spark.read.option("basePath", self._data)
-        if self._needs_merge(commits):
-            reader = reader.option("mergeSchema", "true")
-        current = reader.parquet(*paths)
+        current = self._read_mapping_slice(
+            spark, snap["mapping"], {_key(d, b) for d, b in touched}
+        )
         kept = current.where(~F.coalesce(cond, F.lit(False)))
         data_cols = [c for c in current.columns
-                     if c not in ("ts_day", "conv_bucket", "commit")]
+                     if c not in ("ts_day", "conv_bucket")]
         return self.commit(
             kept.select(*data_cols),
             mode="overwrite_partitions",
@@ -621,45 +652,31 @@ class SnapshotTableIO:
                                       how="left_semi")
                 .groupBy("ts_day", "conv_bucket").count().collect()
             )
-            touched |= {(str(r["ts_day"]), str(r["conv_bucket"]))
+            touched |= {(_part_val(r["ts_day"]), _part_val(r["conv_bucket"]))
                         for r in hits}
             n_del = sum(r["count"] for r in hits)
         n_ins = 0
         if inserts is not None:
             n_ins = inserts.count()
             touched |= {
-                (str(r["ts_day"]), str(r["conv_bucket"]))
+                (_part_val(r["ts_day"]), _part_val(r["conv_bucket"]))
                 for r in inserts.select("ts_day", "conv_bucket")
                 .distinct().collect()
             }
         if not touched:
             return cur, 0, 0
         snap = self._load_snapshot(cur)
-        paths = [
-            os.path.join(self._data, f"commit={c}",
-                         f"ts_day={day}", f"conv_bucket={bucket}")
-            for k, commits in sorted(snap["mapping"].items())
-            for day, bucket in [k.split("|", 1)]
-            if (day, bucket) in touched
-            for c in commits
-        ]
+        current = self._read_mapping_slice(
+            spark, snap["mapping"], {_key(d, b) for d, b in touched}
+        )
         merged = None
-        if paths:
-            commits = {
-                c for k, cl in snap["mapping"].items()
-                if tuple(k.split("|", 1)) in touched
-                for c in cl
-            }
-            reader = spark.read.option("basePath", self._data)
-            if self._needs_merge(commits):
-                reader = reader.option("mergeSchema", "true")
-            current = reader.parquet(*paths)
+        if current is not None:
             kept = current
             if deletes is not None and n_del:
                 kept = current.join(deletes.distinct(), on=on,
                                     how="left_anti")
             data_cols = [c for c in current.columns
-                         if c not in ("ts_day", "conv_bucket", "commit")]
+                         if c not in ("ts_day", "conv_bucket")]
             merged = kept.select(*data_cols)
         if inserts is not None and n_ins:
             data_cols = [c for c in inserts.columns
@@ -744,18 +761,38 @@ class SnapshotTableIO:
         return out
 
     def last_batch_id(self) -> int | None:
-        """Highest streaming micro-batch id any retained snapshot was
-        stamped with (None = no streaming commits).  Metadata-scale scan:
-        one tiny JSON per retained snapshot."""
-        best = None
+        """Highest streaming micro-batch id among snapshots REACHABLE
+        from main or a named ref (None = no streaming commits).
+
+        Reachability matters for exactly-once: a crash inside _publish —
+        after the v*.json write, before the pointer os.replace — leaves
+        an ORPHAN snapshot whose batch never became visible.  Counting
+        it (a plain directory scan would) makes the replayed micro-batch
+        skip itself and lose the batch permanently; walking the parent
+        chains from the published heads counts only batches a reader can
+        actually see.  Metadata-scale: one tiny JSON per retained
+        snapshot on the chains."""
         if not os.path.isdir(self._meta):
             return None
-        for fname in os.listdir(self._meta):
-            if fname.startswith("v") and fname.endswith(".json"):
-                with open(os.path.join(self._meta, fname)) as f:
-                    b = json.load(f).get("batch_id")
+        refs = self._load_refs()
+        heads = ({self.current_version()}
+                 | set(refs["tags"].values())
+                 | set(refs["branches"].values()))
+        best = None
+        seen: set[int] = set()
+        for head in heads:
+            v = head
+            while v > 0 and v not in seen:
+                seen.add(v)
+                path = self._snap_path(v)
+                if not os.path.exists(path):
+                    break  # expired tail: its batches are long surpassed
+                with open(path) as f:
+                    snap = json.load(f)
+                b = snap.get("batch_id")
                 if b is not None and (best is None or b > best):
                     best = b
+                v = snap["parent"]
         return best
 
     def rollback(self, to_version: int) -> int:
@@ -814,14 +851,23 @@ class SnapshotTableIO:
         name (tag/branch/'main')."""
         v = self._resolve(version)
         snap = self._load_snapshot(v)
-        paths = self.partition_dirs(v)
-        if not paths:
-            raise ValueError(f"snapshot v{v} is empty")
-        commits = {c for cl in snap["mapping"].values() for c in cl}
-        reader = spark.read.option("basePath", self._data)
-        if self._needs_merge(commits):
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths).drop("commit")
+        out = self._read_mapping_slice(spark, snap["mapping"])
+        if out is not None:
+            return out
+        # an EMPTY snapshot is a legitimate state (delete_where removed
+        # every row; overwrite_table with an empty frame): serve a 0-row
+        # frame with the nearest data-bearing ancestor's schema instead
+        # of failing — reads of an empty table must compose (diff,
+        # read_pruned, downstream joins)
+        p = snap.get("parent", 0)
+        while p:
+            s2 = self._load_snapshot(p)
+            if s2["mapping"]:
+                return self.read(spark, p).limit(0)
+            p = s2.get("parent", 0)
+        raise ValueError(
+            f"snapshot v{v} is empty and no ancestor ever held data "
+            "(no schema to serve)")
 
     def incremental_read(
         self, spark: SparkSession, from_version: int,
@@ -866,7 +912,14 @@ class SnapshotTableIO:
         paths = []
         data_commits = set()
         for v, op in reversed(chain):
-            if op in ("append", "overwrite_partitions", "overwrite_table"):
+            # 'update' (cow_update / SPARQL INSERT+DELETE) both rewrites
+            # partitions AND adds rows — by the "rewriting a partition IS
+            # the change" rule it must contribute, or CDC consumers
+            # silently miss every SPARQL-inserted row.  Only 'delete',
+            # compactions, and rollbacks (no new rows by construction)
+            # are skippable.
+            if op in ("append", "overwrite_partitions", "overwrite_table",
+                      "update"):
                 commit_dir = os.path.join(self._data, f"commit={v}")
                 if not os.path.isdir(commit_dir):
                     raise ValueError(
@@ -913,15 +966,6 @@ class SnapshotTableIO:
         )
         m_to = dict(self._load_snapshot(to_v)["mapping"])
 
-        def _paths(mapping, keys):
-            return [
-                os.path.join(self._data, f"commit={c}",
-                             f"ts_day={day}", f"conv_bucket={bucket}")
-                for k in sorted(keys)
-                for c in mapping[k]
-                for day, bucket in [k.split("|", 1)]
-            ]
-
         changed = {
             k for k in set(m_from) | set(m_to)
             if m_from.get(k) != m_to.get(k)
@@ -929,14 +973,8 @@ class SnapshotTableIO:
         empty = self.read(spark, to_v).limit(0)
 
         def _side(mapping):
-            keys = changed & set(mapping)
-            if not keys:
-                return empty
-            commits = {c for k in keys for c in mapping[k]}
-            reader = spark.read.option("basePath", self._data)
-            if self._needs_merge(commits):
-                reader = reader.option("mergeSchema", "true")
-            return reader.parquet(*_paths(mapping, keys)).drop("commit")
+            out = self._read_mapping_slice(spark, mapping, changed)
+            return empty if out is None else out
 
         old, new = _side(m_from), _side(m_to)
         from pyspark.sql import functions as F
@@ -958,7 +996,9 @@ class SnapshotTableIO:
         """One row per retained snapshot: version, parent, operation,
         n_partitions — the `table.history()` metadata surface."""
         rows = []
-        for fname in sorted(os.listdir(self._meta)):
+        meta_files = (sorted(os.listdir(self._meta))
+                      if os.path.isdir(self._meta) else [])
+        for fname in meta_files:
             if fname.startswith("v") and fname.endswith(".json"):
                 with open(os.path.join(self._meta, fname)) as f:
                     s = json.load(f)
@@ -993,18 +1033,7 @@ class SnapshotTableIO:
         commit_dir = os.path.join(self._data, f"commit={version}")
         if os.path.isdir(commit_dir):  # crashed earlier attempt
             shutil.rmtree(commit_dir)
-        paths = [
-            os.path.join(self._data, f"commit={c}",
-                         f"ts_day={day}", f"conv_bucket={bucket}")
-            for k, commits in sorted(targets.items())
-            for c in commits
-            for day, bucket in [k.split("|", 1)]
-        ]
-        reader = spark.read.option("basePath", self._data)
-        frag_commits = {c for v in targets.values() for c in v}
-        if self._needs_merge(frag_commits):
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths).drop("commit")
+        df = self._read_mapping_slice(spark, snap["mapping"], set(targets))
         # rows already carry their layout columns from the read; restore
         # the within-partition clustering when the sort keys survived into
         # this table's schema
@@ -1019,14 +1048,32 @@ class SnapshotTableIO:
         mapping = dict(snap["mapping"])
         for k in targets:
             mapping[k] = [version]
-        self._publish({
+        new_snap = {
             "version": version,
             "parent": current,
             "operation": f"compact_{len(targets)}_partitions",
             "mapping": mapping,
             "columns": [c for c in df.schema.fieldNames()
                         if c not in ("ts_day", "conv_bucket")],
-        })
+        }
+        # stats preservation: routine maintenance must not degrade
+        # read_pruned — recompute [min, max] for every column the folded
+        # commits carried stats for (one column-pruned scan of the fresh
+        # commit; without this each compacted partition silently falls
+        # back to conservative full inclusion forever)
+        frag_commits = {c for v in targets.values() for c in v}
+        stat_cols: set[str] = set()
+        for c in frag_commits:
+            path = self._snap_path(c)
+            if os.path.exists(path):
+                with open(path) as f:
+                    for per_part in json.load(f).get("stats", {}).values():
+                        stat_cols.update(per_part)
+        if stat_cols:
+            new_snap["stats"] = self._partition_stats(
+                spark, commit_dir, sorted(stat_cols)
+            )
+        self._publish(new_snap)
         return version
 
     def expire_snapshots(self, keep_from: int) -> list[int]:
@@ -1037,6 +1084,8 @@ class SnapshotTableIO:
         retention) — drop the ref first to let them expire.  Returns
         removed commits."""
         current = self.current_version()
+        if not os.path.isdir(self._meta):
+            return []  # fresh table: nothing committed, nothing to expire
         keep_from = min(keep_from, current)
         refs = self._load_refs()
         ref_pinned = set(refs["tags"].values()) | set(

@@ -672,3 +672,135 @@ def test_incremental_read_walks_lineage_not_numbers(spark, store):
     # tip "since the branch head" must raise, not mix histories
     with pytest.raises(ValueError, match="ancestor"):
         store.incremental_read(spark, 2, to_version=3)
+
+
+def _null_day_frame(spark, rows):
+    """Rows with NULL ts (the pipeline's sameAs shape) land in the
+    __HIVE_DEFAULT_PARTITION__ pseudo-day."""
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, etype string"
+    ).withColumn("ts", F.lit(None).cast("timestamp")).select(
+        "conv_id", "turn_idx", "ts", "etype"
+    )
+
+
+def test_cow_ops_reach_null_day_partitions(spark, store):
+    """Regression: touched-partition keys derived from rows spelled null
+    ts_day as 'None' while mapping keys use Spark's
+    __HIVE_DEFAULT_PARTITION__ — null-day rows were invisible to every
+    CoW op (silent non-delete; inserts REPOINTING the pseudo-day and
+    dropping its rows)."""
+    base = _frame(spark, _base_rows())
+    nulls = _null_day_frame(
+        spark, [("same1", 0, "sameAs"), ("same2", 0, "sameAs")]
+    )
+    store.commit(base.unionByName(nulls))
+    assert store.read(spark).where(F.col("ts").isNull()).count() == 2
+
+    # delete_where matching ONLY null-day rows must remove them (was: a
+    # zero-path crash, or a silent no-op when mixed)
+    store.delete_where(spark, "etype = 'sameAs' AND conv_id = 'same2'")
+    left = store.read(spark).where(F.col("ts").isNull())
+    assert {r.conv_id for r in left.collect()} == {"same1"}
+
+    # cow_update inserting MORE null-ts rows must carry the existing
+    # null-day rows through the rewrite (was: repoint-and-drop)
+    ins = _null_day_frame(spark, [("same3", 0, "sameAs")])
+    store.cow_update(spark, inserts=ins)
+    left = store.read(spark).where(F.col("ts").isNull())
+    assert {r.conv_id for r in left.collect()} == {"same1", "same3"}
+    # and the non-null days were never touched
+    assert store.read(spark).where(F.col("ts").isNotNull()).count() == 18
+
+
+def test_last_batch_id_ignores_unpublished_snapshot(spark, store):
+    """Regression: a crash between the snapshot-file write and the
+    pointer move leaves an orphan v*.json; counting its batch_id makes
+    the streaming replay skip itself and lose the batch."""
+    import json
+
+    store.commit(_frame(spark, _base_rows()), mode="append", batch_id=7)
+    assert store.last_batch_id() == 7
+    # simulate the torn publish: snapshot file exists, pointer never moved
+    orphan = {"version": 99, "parent": 1, "operation": "append",
+              "mapping": {}, "batch_id": 8}
+    with open(store._snap_path(99), "w") as f:
+        json.dump(orphan, f)
+    assert store.last_batch_id() == 7  # the orphan batch never published
+    # the replayed batch 8 must therefore COMMIT, not skip
+    v = store.commit(_frame(spark, _base_rows()[:3]), mode="append",
+                     batch_id=8)
+    assert store.current_version() == v
+    assert store.last_batch_id() == 8
+
+
+def test_incremental_read_sees_cow_update_inserts(spark, store):
+    """Regression: 'update' commits were filtered out of the incremental
+    scan, so SPARQL-inserted rows were invisible to CDC consumers."""
+    store.commit(_frame(spark, _base_rows()))
+    v1 = store.current_version()
+    ins = _frame(spark, [("cNEW", 0, "2024-03-01 05:00:00", "ins")])
+    v2, _, n_ins = store.cow_update(spark, inserts=ins)
+    assert n_ins == 1
+    inc = store.incremental_read(spark, v1, v2)
+    assert inc.where(F.col("conv_id") == "cNEW").count() == 1
+
+
+def test_merge_upsert_keeps_evolved_columns_on_kept_rows(spark, store):
+    """Regression: kept rows in touched partitions were rewritten with
+    only the updates frame's columns, permanently dropping evolved
+    columns from rows the merge never touched."""
+    store.commit(_frame(spark, _base_rows()))
+    evolved = _frame(spark, [("c0", 9, "2024-03-01 09:00:00", "msg")]) \
+        .withColumn("lang", F.lit("en"))
+    store.commit(evolved, mode="append")
+    # pre-evolution-shaped updates frame touches day 2024-03-01
+    upd = _frame(spark, [("c0", 0, "2024-03-01 00:00:00", "patched")])
+    store.merge_upsert(spark, upd, keys=["conv_id", "turn_idx"])
+    now = store.read(spark)
+    assert "lang" in now.columns
+    # the evolved row was NOT part of the upsert: its lang survives
+    assert now.where(
+        (F.col("conv_id") == "c0") & (F.col("turn_idx") == 9)
+    ).first()["lang"] == "en"
+    # the patched row exists with lang null (its new state IS the update)
+    assert now.where(F.col("etype") == "patched").count() == 1
+
+
+def test_read_of_fully_emptied_table_is_empty_frame(spark, store):
+    """Regression: delete_where removing every row produced a snapshot
+    read() refused to serve (ValueError), breaking diff/read_pruned and
+    any downstream reader of a legitimately empty state."""
+    store.commit(_frame(spark, _base_rows()))
+    store.delete_where(spark, "true")
+    out = store.read(spark)
+    assert out.count() == 0
+    assert "conv_id" in out.columns  # ancestor schema served
+    # diff across the delete shows pure removals and doesn't crash
+    d = store.diff(spark, 1)
+    assert d.where(F.col("op") == "+").count() == 0
+    assert d.where(F.col("op") == "-").count() == 18
+
+
+def test_expire_and_history_on_fresh_table(spark, store):
+    assert store.expire_snapshots(keep_from=5) == []
+    assert store.history(spark).count() == 0
+
+
+def test_compact_preserves_manifest_stats(spark, store):
+    """Regression: compaction published its snapshot without stats, so
+    read_pruned silently degraded to full inclusion for every compacted
+    partition forever after."""
+    store.commit(_frame(spark, _base_rows()), stats_cols=["turn_idx"])
+    store.commit(
+        _frame(spark, [("c0", 50, "2024-03-01 10:00:00", "late")]),
+        mode="append", stats_cols=["turn_idx"],
+    )
+    v = store.compact(spark)
+    assert v is not None
+    # pruning on turn_idx still skips dirs post-compaction
+    paths_all, _ = store.pruned_partition_dirs("turn_idx", lo=None, hi=None)
+    paths_hi, _ = store.pruned_partition_dirs("turn_idx", lo=40, hi=None)
+    assert len(paths_hi) < len(paths_all)
+    got = store.read_pruned(spark, "turn_idx", lo=40).collect()
+    assert [r.etype for r in got] == ["late"]

@@ -220,11 +220,12 @@ def test_store_delete_can_empty_a_partition(spark, store):
     v, n_del, _ = apply_update(store, spark, "DELETE WHERE { ?s ?p ?o }")
     assert n_del == 12
     # the fully-emptied partitions are DROPPED from the mapping (the
-    # replaced_partitions contract) — an empty snapshot raises on read,
-    # same as delete_where's all-rows case
+    # replaced_partitions contract) — and an empty table is a VALID
+    # state: read() serves a 0-row frame with the ancestor's schema
     assert _mapping(store) == {}
-    with pytest.raises(ValueError, match="empty"):
-        store.read(spark)
+    out = store.read(spark)
+    assert out.count() == 0
+    assert "subj" in out.columns
 
 
 def test_cow_update_empty_table_rejected(spark, tmp_path):
