@@ -25,9 +25,11 @@ Model — a distributional one-rest-of-corpus pass, no training loop:
 3. Election: argmax per (d, surface) with a total deterministic order —
    score DESC, dictionary prior weight DESC, canonical URI ASC.
 
-Plan shape at 100 TB: the dictionary and the derived profile table are
-dimension-scale (|entities| x |vocab| bounded, independent of corpus
-row count) and ride broadcast joins; the corpus is tokenized ONCE and
+Plan shape at 100 TB: the dictionary is dimension-scale and rides
+broadcast joins; the derived profile table is |entities| x |vocab|
+bounded (independent of corpus ROW count, but a large vocabulary can
+exceed broadcast size — its joins are left to the optimizer, which
+AQE sizes from measured stats); the corpus is tokenized ONCE and
 every other join is co-partitioned on doc_id or on the token key.  The
 candidate fan-out is |candidates per surface| (dictionary-bounded),
 never corpus x corpus.  Nothing here collects data-scale rows to the
@@ -65,12 +67,31 @@ def doc_tokens(
 
 def split_dictionary(dictionary: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(unambiguous, ambiguous) dictionary rows by candidate count per
-    surface.  The dictionary is dimension-scale; the count rides a
-    broadcast self-join, no data-side shuffle."""
-    n = dictionary.groupBy("surface").agg(
-        F.count_distinct("canon_uri").alias("n_cand")
+    NORMALIZED surface.  Surfaces normalize through the SAME
+    link.normalize_form the exact-link path uses — deciding ambiguity on
+    raw spellings would count 'Mercury' and 'mercury' as two separate
+    unambiguous surfaces (each silently voting for its own candidate),
+    and a raw surface can never equal a lowercased token anyway.
+    Duplicate (surface, canon_uri) rows collapse to max weight so a
+    dictionary merged from several sources cannot multiply a candidate's
+    score by its row count.  Surfaces that normalize to '' are dropped
+    (they could only ever match punctuation).  Multi-word surfaces stay
+    a documented limitation of the [a-z]+ token space.  The dictionary
+    is dimension-scale; the count rides a broadcast self-join, no
+    data-side shuffle."""
+    from .link import normalize_form
+
+    d = (
+        dictionary.select(
+            normalize_form(F.col("surface")).alias("surface"),
+            "canon_uri", "weight",
+        )
+        .where(F.col("surface") != "")
+        .groupBy("surface", "canon_uri")
+        .agg(F.max("weight").alias("weight"))
     )
-    d = dictionary.join(F.broadcast(n), "surface")
+    n = d.groupBy("surface").agg(F.count("*").alias("n_cand"))
+    d = d.join(F.broadcast(n), "surface")
     return d.where("n_cand = 1").drop("n_cand"), d.where("n_cand > 1").drop(
         "n_cand"
     )
@@ -118,7 +139,11 @@ def _score_and_elect(mention: DataFrame, ctx: DataFrame, prof: DataFrame) -> Dat
         .join(ctx, "doc_id")
         .where(F.col("ctx") != F.col("surface"))
         .join(
-            F.broadcast(prof),
+            # no broadcast hint: the profile is |entities| x |vocab|
+            # bounded — small on catalog-sized entity sets, but a corpus
+            # vocabulary can push it past broadcast limits; the
+            # optimizer (AQE) picks the strategy from measured size
+            prof,
             (F.col("ctx") == F.col("token"))
             & (F.col("cand") == F.col("canon_uri")),
         )
@@ -166,8 +191,15 @@ def conv_winners(evidence: DataFrame, ambiguous: DataFrame) -> DataFrame:
         .groupBy("canon_uri", "token")
         .agg(F.count("*").alias("cnt"))
     )
-    mention = ambiguous.select(
-        F.col("conv_id").alias("doc_id"), "surface", "cand", "weight"
+    # defensive dedup: duplicate (conv, surface, cand) rows — a merged
+    # dictionary carrying the same candidate at two weights — would
+    # multiply that candidate's score and emit duplicate winner rows
+    mention = (
+        ambiguous.select(
+            F.col("conv_id").alias("doc_id"), "surface", "cand", "weight"
+        )
+        .groupBy("doc_id", "surface", "cand")
+        .agg(F.max("weight").alias("weight"))
     )
     won = _score_and_elect(
         mention, tokens.select("doc_id", F.col("token").alias("ctx")), prof

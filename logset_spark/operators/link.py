@@ -52,6 +52,10 @@ def best_surface_dictionary(dictionary: DataFrame) -> DataFrame:
     )
     return (
         dictionary.withColumn("surface", normalize_form(F.col("surface")))
+        # a surface that normalizes to '' (pure punctuation) would
+        # exact-link every punctuation-only mention to an arbitrary
+        # entity — drop it rather than elect a winner for nothing
+        .where(F.col("surface") != "")
         .withColumn("rn", F.row_number().over(w))
         .where("rn = 1")
         .select("surface", "canon_uri", F.col("weight").alias("score"))
@@ -95,7 +99,7 @@ def temporal_surface_dictionary(dictionary: DataFrame) -> DataFrame:
         "canon_uri",
         "weight",
         "valid_from",
-    )
+    ).where(F.col("surface") != "")  # same guard as the untimed election
     bounds = (
         d.select("surface", "valid_from")
         .distinct()
@@ -166,7 +170,16 @@ def salted_join(
     """Generic skew-safe equi-join: fact gets a random-ish (but
     deterministic) salt from its own row identity, dim is exploded xR.
     Join key becomes (key, salt) so a hot key spreads over R reducers.
-    Use when the dim is too big to broadcast and the fact key is skewed."""
+    Use when the dim is too big to broadcast and the fact key is skewed.
+
+    `how` is restricted to inner/left: under right/full outer an
+    unmatched dim row would surface once PER SALT COPY (n_salts
+    duplicate output rows) — rejected rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', not {how!r}: an "
+            "unmatched exploded dim row would duplicate n_salts times "
+            "under an outer join preserving the dim side")
     salted_fact = fact.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int"),

@@ -171,14 +171,26 @@ class IncrementalAggView:
             *[F.col(a).alias(f"d_{a}") for a in self._agg_cols],
         )
         current = self._read_buckets(spark, meta["mapping"], buckets, d)
-        merged = current.join(d, self.group_cols, "full").select(
-            *self.group_cols,
+        # NULL-SAFE join on the group keys: a plain USING join never
+        # matches NULL = NULL, so a NULL-keyed group in both the stored
+        # view and the delta would surface as two rows (or a spurious
+        # negative-count error) instead of merging — breaking the
+        # maintained == recomputed invariant for nullable group columns
+        cond = None
+        for g in self.group_cols:
+            eq = current[g].eqNullSafe(d[g])
+            cond = eq if cond is None else cond & eq
+        merged = current.join(d, cond, "full").select(
+            *[
+                F.coalesce(current[g], d[g]).alias(g)
+                for g in self.group_cols
+            ],
             *[
                 (F.coalesce(F.col(f"cur_{a}"), F.lit(0))
                  + F.coalesce(F.col(f"d_{a}"), F.lit(0))).alias(a)
                 for a in self._agg_cols
             ],
-        )
+        ).localCheckpoint(eager=True)  # guard + write: evaluate ONCE
         if merged.filter(F.col("n_rows") < 0).limit(1).count():
             raise ValueError(
                 "changelog removed rows the view never counted — the view "

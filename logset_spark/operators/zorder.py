@@ -41,14 +41,33 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def scale_expr(col: Column, mn: Column, mx: Column, bits: int) -> Column:
-    """Rank-normalize `col` into [0, 2^bits) with integer-exact math:
-    floor(((col - mn) * (2^bits - 1)) / max(mx - mn, 1)).  All bigint —
-    the same expression replays verbatim in any SQL engine."""
+def scale_expr(
+    col: Column, mn: Column, mx: Column, bits: int, shift: int = 0
+) -> Column:
+    """Rank-normalize `col` into [0, 2^bits) with EXACT integer math:
+    floor(((col - mn) >> shift) * (2^bits - 1) / ((mx - mn) >> shift)).
+
+    `shift` is the overflow/precision guard the CALLER bakes in from the
+    numeric span (write() computes it driver-side from the same stats
+    that supply mn/mx): shifting keeps the shifted span under 2^36, so
+    the product with top (< 2^16) stays under 2^52 — inside the double
+    mantissa, where floor-of-division is exact — and can never wrap
+    int64.  Without it, a wide-range column (epoch microseconds over
+    years) silently overflows the multiply with ANSI off.  Discarding
+    `shift` low bits is free precision-wise: the output has only 2^bits
+    buckets, far coarser than what was dropped."""
     top = F.lit((1 << bits) - 1).cast("long")
-    span = F.greatest((mx - mn).cast("long"), F.lit(1).cast("long"))
-    return F.floor(((col.cast("long") - mn.cast("long")) * top) / span) \
-            .cast("long")
+    d = F.shiftright((col.cast("long") - mn.cast("long")), shift)
+    span = F.greatest(
+        F.shiftright((mx - mn).cast("long"), shift), F.lit(1).cast("long")
+    )
+    return F.floor((d * top) / span).cast("long")
+
+
+def span_shift(span: int, bits: int = 16) -> int:
+    """The right-shift scale_expr needs so (span >> shift) * (2^bits - 1)
+    stays exactly representable in a double (< 2^52)."""
+    return max(0, int(span).bit_length() + bits - 52)
 
 
 def interleave_expr(x: Column, y: Column, bits: int) -> Column:
@@ -77,11 +96,36 @@ class ZOrderedTable:
     def _manifest(self) -> str:
         return os.path.join(self.root, "zorder_manifest.json")
 
+    def _load_manifest(self) -> dict:
+        with open(self._manifest) as f:
+            return json.load(f)
+
+    def _data_dir(self, manifest: dict | None = None) -> str:
+        m = manifest if manifest is not None else self._load_manifest()
+        return os.path.join(self.root, m.get("data_dir", "data"))
+
     def write(self, df: DataFrame, n_files: int = 32) -> dict:
         """Cluster `df` on the z-curve and write `n_files` files plus the
         stats manifest.  Plan: one 4-value stats aggregate (broadcast
         back as literals), one range exchange on z, a per-file min/max
-        aggregate at file-count scale, one write."""
+        aggregate at file-count scale, one write.
+
+        Atomicity: the data lands in a FRESH versioned directory and the
+        manifest (which names it) is published LAST via os.replace — a
+        crash anywhere mid-write leaves the previous manifest still
+        pointing at the previous, untouched data.  An in-place overwrite
+        would instead leave a stale manifest describing new files, and
+        pruning would silently drop rows forever after."""
+        import shutil
+
+        version = 1
+        if os.path.exists(self._manifest):
+            version = self._load_manifest().get("version", 0) + 1
+        data_dir = f"data-v{version:04d}"
+        target = os.path.join(self.root, data_dir)
+        if os.path.isdir(target):  # crashed earlier attempt, unreferenced
+            shutil.rmtree(target)
+
         a, b = F.col(self.col_a), F.col(self.col_b)
         stats = df.agg(
             F.min(a.cast("long")).alias("mna"),
@@ -89,9 +133,17 @@ class ZOrderedTable:
             F.min(b.cast("long")).alias("mnb"),
             F.max(b.cast("long")).alias("mxb"),
         ).first()
+
+        def _scaled(col, mn, mx):
+            span = int(mx - mn) if mx is not None and mn is not None else 0
+            return scale_expr(
+                col, F.lit(mn), F.lit(mx), self.bits,
+                shift=span_shift(span, self.bits),
+            )
+
         z = interleave_expr(
-            scale_expr(a, F.lit(stats["mna"]), F.lit(stats["mxa"]), self.bits),
-            scale_expr(b, F.lit(stats["mnb"]), F.lit(stats["mxb"]), self.bits),
+            _scaled(a, stats["mna"], stats["mxa"]),
+            _scaled(b, stats["mnb"], stats["mxb"]),
             self.bits,
         )
         laid = (
@@ -108,9 +160,10 @@ class ZOrderedTable:
             F.count(F.lit(1)).alias("rows"),
         ).collect()  # file-count scale — bounded by n_files
         (laid.drop("_z")
-             .write.partitionBy("_fid").mode("overwrite")
-             .parquet(os.path.join(self.root, "data")))
+             .write.partitionBy("_fid").mode("errorifexists")
+             .parquet(target))
         manifest = {
+            "version": version, "data_dir": data_dir,
             "col_a": self.col_a, "col_b": self.col_b, "bits": self.bits,
             "files": {
                 str(r["_fid"]): {
@@ -125,24 +178,33 @@ class ZOrderedTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest)
+        # the superseded data dir is now unreferenced: reclaim it
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if (d.startswith("data") and d != data_dir
+                    and os.path.isdir(full)):
+                shutil.rmtree(full)
         return manifest
 
     def prune(self, lo_a=None, hi_a=None, lo_b=None, hi_b=None) -> list[str]:
         """File ids whose stat-box overlaps the query rectangle (an
-        unbounded side matches everything).  Driver-side metadata only."""
-        with open(self._manifest) as f:
-            manifest = json.load(f)
+        unbounded side matches everything).  Driver-side metadata only.
+        A None stat (the column was all-NULL in that file — NULL z sorts
+        first, so NULL-heavy data clusters into one file) is UNKNOWN and
+        conservatively included, never compared."""
+        manifest = self._load_manifest()
+
+        def miss(mn, mx, lo, hi) -> bool:
+            if mn is None or mx is None:
+                return False  # unknown stats cannot exclude the file
+            return (lo is not None and mx < lo) or \
+                   (hi is not None and mn > hi)
 
         def hits(s) -> bool:
-            if lo_a is not None and s["max_a"] < lo_a:
-                return False
-            if hi_a is not None and s["min_a"] > hi_a:
-                return False
-            if lo_b is not None and s["max_b"] < lo_b:
-                return False
-            if hi_b is not None and s["min_b"] > hi_b:
-                return False
-            return True
+            return not (
+                miss(s["min_a"], s["max_a"], lo_a, hi_a)
+                or miss(s["min_b"], s["max_b"], lo_b, hi_b)
+            )
 
         return sorted(
             (fid for fid, s in manifest["files"].items() if hits(s)),
@@ -154,7 +216,7 @@ class ZOrderedTable:
         """Rows of the files surviving rectangle pruning.  Callers apply
         the actual predicate on top — pruning only elides IO."""
         fids = self.prune(lo_a, hi_a, lo_b, hi_b)
-        data = os.path.join(self.root, "data")
+        data = self._data_dir()
         if not fids:
             return spark.read.parquet(data).limit(0).drop("_fid")
         paths = [os.path.join(data, f"_fid={fid}") for fid in fids]
@@ -164,5 +226,4 @@ class ZOrderedTable:
         )
 
     def n_files(self) -> int:
-        with open(self._manifest) as f:
-            return len(json.load(f)["files"])
+        return len(self._load_manifest()["files"])

@@ -204,3 +204,60 @@ def test_disambiguate_flag_noop_on_unambiguous_dict(spark, tmp_path):
     b = io2.read(spark, "triples").select("subj", "pred", "obj").sort(
         "subj", "pred", "obj").collect()
     assert a == b
+
+
+def test_split_dictionary_normalizes_and_dedupes(spark):
+    """Regression: ambiguity was decided on RAW surfaces, so 'Mercury'
+    and 'mercury' counted as two unambiguous surfaces (each silently
+    certain of its own candidate), and duplicate (surface, cand) rows
+    multiplied that candidate's score."""
+    from logset_spark.operators.disambig import split_dictionary
+
+    d = spark.createDataFrame(
+        [
+            ("Mercury", "ent:planet", 1.0),
+            ("mercury", "ent:element", 2.0),
+            ("mercury ", "ent:element", 3.0),  # dup after normalize
+            ("alpha", "ent:a", 1.0),
+        ],
+        "surface string, canon_uri string, weight double",
+    )
+    unamb, amb = split_dictionary(d)
+    assert {r.surface for r in amb.collect()} == {"mercury"}
+    amb_rows = {(r.surface, r.canon_uri, r.weight) for r in amb.collect()}
+    # dedup kept max weight, one row per candidate
+    assert amb_rows == {
+        ("mercury", "ent:planet", 1.0), ("mercury", "ent:element", 3.0)
+    }
+    assert {r.surface for r in unamb.collect()} == {"alpha"}
+
+
+def test_empty_surface_rows_dropped(spark):
+    from logset_spark.operators.disambig import split_dictionary
+    from logset_spark.operators.link import (
+        best_surface_dictionary, temporal_surface_dictionary,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [("***", "ent:junk", 9.0), ("alpha", "ent:a", 1.0)],
+        "surface string, canon_uri string, weight double",
+    )
+    assert best_surface_dictionary(d).where(
+        F.col("surface") == "").count() == 0
+    u, a = split_dictionary(d)
+    assert u.unionByName(a).where(F.col("surface") == "").count() == 0
+    dt = d.withColumn("valid_from", F.lit("2024-01-01").cast("timestamp"))
+    assert temporal_surface_dictionary(dt).where(
+        F.col("surface") == "").count() == 0
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from logset_spark.operators.link import salted_join
+
+    f = spark.createDataFrame([("k1", 1)], "k string, v int")
+    d = spark.createDataFrame([("k1", "x"), ("k2", "y")], "k string, w string")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(f, d, "k", how="full")

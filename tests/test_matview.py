@@ -194,3 +194,52 @@ def test_unpublished_refresh_is_invisible_and_rerunnable(spark, roots):
     assert _sorted(view.read(spark)) == old_view  # reader unaffected
     view.refresh(spark, store)  # re-run converges
     assert _sorted(view.read(spark)) == _recomputed(spark, store, view)
+
+
+def test_null_group_keys_merge_correctly(spark, roots):
+    """Regression: the stored-view/delta merge joined group keys with
+    null-UNSAFE equality, so a NULL-keyed group could never match its
+    own stored row — deletes raised the spurious negative-count error
+    and inserts split the group into duplicate rows."""
+    base_root, view_root = roots
+    store = SnapshotTableIO(root=base_root, n_buckets=4)
+    view = IncrementalAggView(view_root, group_cols=["etype"],
+                              sum_cols=["turn_idx"], n_buckets=4)
+    def _s(df):  # None-safe sort for rows with NULL group keys
+        return sorted((tuple(r) for r in df.collect()),
+                      key=lambda t: tuple((v is None, v) for v in t))
+
+    rows = _frame(spark, _rows(12)).withColumn(
+        "etype",
+        F.when(F.col("etype") == "a", F.lit(None).cast("string"))
+        .otherwise(F.col("etype")),
+    )
+    store.commit(rows)
+    view.refresh(spark, store)
+    assert _s(view.read(spark)) == _s(
+        store.read(spark).groupBy("etype").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("turn_idx").alias("sum_turn_idx")))
+
+    # delete SOME null-group rows -> the NULL group must merge, not error
+    store.delete_where(spark, "etype IS NULL AND turn_idx < 5")
+    r = view.refresh(spark, store)
+    assert r["mode"] == "incremental"
+    assert _s(view.read(spark)) == _s(
+        store.read(spark).groupBy("etype").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("turn_idx").alias("sum_turn_idx")))
+
+    # add more null-group rows -> still ONE null-key row in the view
+    store.commit(
+        _frame(spark, [("cz", 99, "2024-03-01 03:00:00", "zz")])
+        .withColumn("etype", F.lit(None).cast("string")),
+        mode="append",
+    )
+    view.refresh(spark, store)
+    out = view.read(spark)
+    assert out.where(F.col("etype").isNull()).count() == 1
+    assert _s(out) == _s(
+        store.read(spark).groupBy("etype").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("turn_idx").alias("sum_turn_idx")))
