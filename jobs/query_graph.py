@@ -72,6 +72,14 @@ def main(argv=None) -> int:
                         "triples (named graph kg:data), so SPARQL answers "
                         "'which run generated partition X, when, with how "
                         "many rows' next to the data itself")
+    p.add_argument("--star", action="store_true",
+                   help="with --warehouse: SPARQL-star — quoted-triple "
+                        "patterns (<< ?s ?p ?o >> kg:confidence ?c) "
+                        "evaluated against statement-level annotations "
+                        "derived from the graph's provenance columns "
+                        "(conf -> kg:confidence, conv/turn -> "
+                        "kg:derivedFrom) via the reification mapping "
+                        "(operators/star.py)")
     p.add_argument("--rdfs", action="store_true",
                    help="query under RDFS entailment: materialize "
                         "subClassOf/subPropertyOf/domain/range inferences "
@@ -199,7 +207,26 @@ def main(argv=None) -> int:
         from logset_spark.operators.sparql import analyze
 
         stats = analyze(triples)
-    result = sparql(triples, query, services=services or None, stats=stats)
+    if args.star:
+        if not args.warehouse:
+            p.error("--star needs a --warehouse (annotations derive "
+                    "from the triple table's provenance columns)")
+        for flag, name in ((args.rdfs, "--rdfs"), (args.owl, "--owl"),
+                           (args.provenance, "--provenance")):
+            if flag:
+                p.error(f"--star cannot combine with {name} (inferred/"
+                        "provenance rows carry no per-statement conf)")
+        from logset_spark.operators.star import (
+            graph_star_annotations,
+            sparql_star,
+        )
+
+        anns = graph_star_annotations(triples)
+        result = sparql_star(triples, anns, query,
+                             services=services or None, stats=stats)
+    else:
+        result = sparql(triples, query, services=services or None,
+                        stats=stats)
 
     return _emit(p, args, spark, result)
 

@@ -5127,6 +5127,151 @@ FROM read_csv('{TRIG_FLAT_FIXTURE}', header=true, auto_detect=false,
 """
 
 
+STAR_FIXTURE = _fixture("star.ttl")
+STAR_FLAT_FIXTURE = _fixture("star_flat.csv")
+
+
+def q_star_source(spark, sf):
+    """RDF-star (Turtle-star) ingestion (sources/turtle.py
+    parse_turtle_star): `{| ... |}` annotation blocks and
+    subject-position `<< s p o >>` statements, landing on the WIDE
+    annotation frame (subj, pred, obj, a_pred, a_obj) — quoted triples
+    never become encoded string terms.  The DuckDB oracle reads the
+    committed pre-flattened CSV of the same fixture (hand-verified),
+    value-checking the star parser end-to-end."""
+    from .sources.turtle import load_turtle_star
+
+    _triples, anns = load_turtle_star(spark, STAR_FIXTURE)
+    return anns
+
+
+SQL_STAR_SOURCE = f"""
+SELECT subj, pred, obj, a_pred, a_obj
+FROM read_csv('{STAR_FLAT_FIXTURE}', header=true, auto_detect=false,
+              delim=',', quote='"', escape='"',
+              columns={{'subj': 'VARCHAR', 'pred': 'VARCHAR',
+                        'obj': 'VARCHAR', 'a_pred': 'VARCHAR',
+                        'a_obj': 'VARCHAR'}})
+"""
+
+
+def _order_annotations(spark, sf):
+    """Deterministic wide annotation frame from orders: each thinned
+    order is the triple (customer, kg:placed, order) annotated with its
+    status and priority — the statement-metadata shape the linker
+    produces, with no floats so both engines agree lexically."""
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 61 == 0)
+    base = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("kg:placed").alias("pred"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string"))
+        .alias("obj"),
+        "o_orderstatus", "o_orderpriority",
+    )
+    status = base.select(
+        "subj", "pred", "obj",
+        F.lit("kg:status").alias("a_pred"),
+        F.col("o_orderstatus").alias("a_obj"),
+    )
+    prio = base.select(
+        "subj", "pred", "obj",
+        F.lit("kg:priority").alias("a_pred"),
+        F.col("o_orderpriority").alias("a_obj"),
+    )
+    return status.unionByName(prio)
+
+
+_ORDER_ANN_SQL = """
+  WITH o AS (SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS subj,
+                    'kg:placed' AS pred,
+                    'o:' || CAST(o_orderkey AS VARCHAR) AS obj,
+                    o_orderstatus, o_orderpriority
+             FROM orders WHERE o_orderkey % 61 = 0)
+  SELECT subj, pred, obj, 'kg:status' AS a_pred,
+         o_orderstatus AS a_obj FROM o
+  UNION ALL
+  SELECT subj, pred, obj, 'kg:priority', o_orderpriority FROM o
+"""
+
+
+def q_reify(spark, sf):
+    """Statement-level metadata lowered to STANDARD RDF reification
+    (operators/star.py reify): one content-addressed statement node
+    (`_:stmt-md5(s\\x1fp\\x1fo)`) per distinct annotated triple with its
+    rdf:subject/predicate/object skeleton, plus one triple per
+    annotation row.  Content-addressing makes reify idempotent across
+    partitions — two tasks annotating the same triple converge on the
+    same node with no coordination.  The oracle mints the identical
+    nodes with DuckDB's md5 (hex md5 agrees across engines)."""
+    from .operators.star import reify
+
+    return reify(_order_annotations(spark, sf))
+
+
+SQL_REIFY = f"""
+WITH ann AS MATERIALIZED ({_ORDER_ANN_SQL}),
+base AS (SELECT DISTINCT subj, pred, obj FROM ann),
+node AS (SELECT subj, pred, obj,
+                '_:stmt-' || md5(subj || chr(31) || pred || chr(31) || obj)
+                AS n
+         FROM base),
+nann AS (SELECT a.a_pred, a.a_obj,
+                '_:stmt-' || md5(a.subj || chr(31) || a.pred || chr(31)
+                                 || a.obj) AS n
+         FROM ann a)
+SELECT n AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM node
+UNION ALL SELECT n, 'rdf:subject', subj FROM node
+UNION ALL SELECT n, 'rdf:predicate', pred FROM node
+UNION ALL SELECT n, 'rdf:object', obj FROM node
+UNION ALL SELECT n, a_pred, a_obj FROM nann
+"""
+
+
+def q_star_roundtrip(spark, sf):
+    """reify -> unreify round-trip (operators/star.py): the wide
+    annotation frame survives the trip through standard reification
+    triples bit-exactly — the oracle is the ORIGINAL wide SQL, so any
+    drift in node minting, skeleton pivot, or note join hash-fails.
+    unreify's plan is one pivot groupBy + one equi-join on the
+    statement node, independent of annotations-per-statement."""
+    from .operators.star import reify, unreify
+
+    return unreify(reify(_order_annotations(spark, sf)))
+
+
+SQL_STAR_ROUNDTRIP = f"""
+SELECT subj, pred, obj, a_pred, a_obj FROM ({_ORDER_ANN_SQL}) ann
+"""
+
+
+def q_sparql_star(spark, sf):
+    """SPARQL-star (operators/star.py sparql_star): the quoted-triple
+    pattern `<< ?cust kg:placed ?ordr >> ?ap ?ao` is rewritten to the
+    spec's reification mapping over triples UNION reify(annotations) and
+    evaluated by the plain BGP compiler.  The annotation predicate is a
+    VARIABLE here deliberately — it exercises the injected FILTER that
+    keeps the reification skeleton from leaking as annotation matches.
+    The oracle is the wide annotation SQL directly, so a leak (extra
+    rdf:* rows) or a lost annotation hash-fails."""
+    from .operators.star import sparql_star
+
+    anns = _order_annotations(spark, sf)
+    asserted = anns.select("subj", "pred", "obj").distinct()
+    return sparql_star(
+        asserted, anns,
+        """SELECT ?cust ?ordr ?ap ?ao WHERE {
+             << ?cust <kg:placed> ?ordr >> ?ap ?ao .
+           }""",
+    )
+
+
+SQL_SPARQL_STAR = f"""
+SELECT subj AS cust, obj AS ordr, a_pred AS ap, a_obj AS ao
+FROM ({_ORDER_ANN_SQL}) ann
+"""
+
+
 def q_csv_source(spark, sf):
     """S-family CSV transcript ingestion (sources/csvsrc.py): explicit
     north-rule schema, PERMISSIVE parse, malformed rows quarantined — the
@@ -5806,6 +5951,85 @@ FROM d WHERE dist > 0 GROUP BY node
 """
 
 
+def _motif_edges(spark, sf):
+    """Directed typed edge set for motif finding, built from the TPC-H
+    geography: supplier -located_in-> nation -part_of-> region, plus a
+    ships_to shortcut edge supplier -> region for every third supplier
+    (so the negated-edge term below filters a real, non-trivial
+    subset)."""
+    s = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+        F.lit("located_in").alias("pred"),
+        F.col("s_suppkey").alias("_k"),
+        F.col("s_nationkey").alias("_n"),
+    )
+    n = _t(spark, sf, "nation").select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+        F.lit("part_of").alias("pred"),
+        "n_nationkey",
+        "n_regionkey",
+    )
+    ships = (
+        s.where(F.col("_k") % 3 == 0)
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              s["_n"] == F.col("n_nationkey"))
+        .select(
+            "src",
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")
+                     ).alias("dst"),
+            F.lit("ships_to").alias("pred"),
+        )
+    )
+    return (
+        s.select("src", "dst", "pred")
+        .unionByName(n.select("src", "dst", "pred"))
+        .unionByName(ships)
+    )
+
+
+def q_motif(spark, sf):
+    """GraphFrames-style motif finding (operators/motif.py) lowered to
+    Catalyst equi-joins + a left-anti for the negated term: suppliers
+    with a located_in -> part_of chain to a region they have NO direct
+    ships_to edge to.  The pattern mixes a named edge (projected pred
+    column), an anonymous edge, and a negation, so all three term kinds
+    hit the oracle.  The oracle replays the identical join chain + NOT
+    EXISTS over the same edge CTE."""
+    from .operators.motif import find_motifs
+
+    out = find_motifs(
+        _motif_edges(spark, sf),
+        "(s)-[e]->(n); (n)-[]->(r); !(s)-[]->(r)",
+    )
+    return out.orderBy("s", "n", "r", "e_pred")
+
+
+SQL_MOTIF = """
+WITH edges AS MATERIALIZED (
+  SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS src,
+         'n:' || CAST(s_nationkey AS VARCHAR) AS dst,
+         'located_in' AS pred
+  FROM supplier
+  UNION ALL
+  SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+         'r:' || CAST(n_regionkey AS VARCHAR), 'part_of'
+  FROM nation
+  UNION ALL
+  SELECT 's:' || CAST(s.s_suppkey AS VARCHAR),
+         'r:' || CAST(n.n_regionkey AS VARCHAR), 'ships_to'
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE s.s_suppkey % 3 = 0)
+SELECT e1.src AS s, e1.dst AS n, e1.pred AS e_pred, e2.dst AS r
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+WHERE NOT EXISTS (SELECT 1 FROM edges x
+                  WHERE x.src = e1.src AND x.dst = e2.dst)
+ORDER BY s, n, r, e_pred
+"""
+
+
 _DUP_WINDOW = 8  # tokens per duplicate-detection window
 
 
@@ -6446,6 +6670,11 @@ REGISTRY: dict[str, tuple] = {
     "q_snapshot_delete": (q_snapshot_delete, SQL_SNAPSHOT_DELETE),
     "q_snapshot_prune": (q_snapshot_prune, SQL_SNAPSHOT_PRUNE),
     "q_rdfs_infer": (q_rdfs_infer, SQL_RDFS_INFER),
+    "q_motif": (q_motif, SQL_MOTIF),
+    "q_star_source": (q_star_source, SQL_STAR_SOURCE),
+    "q_reify": (q_reify, SQL_REIFY),
+    "q_star_roundtrip": (q_star_roundtrip, SQL_STAR_ROUNDTRIP),
+    "q_sparql_star": (q_sparql_star, SQL_SPARQL_STAR),
     # ---- block B: r01-only greens, refreshed to fill the window ------
     "q_kg_dedup": (q_kg_dedup, SQL_KG_DEDUP),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

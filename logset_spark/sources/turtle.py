@@ -32,6 +32,17 @@ r02 item 2) covering what actual rdflib-serialized catalogs use:
   nodes kept verbatim;
 * comments anywhere outside quotes.
 
+* RDF-star (Turtle-star subset): `<< s p o >>` quoted triples in
+  SUBJECT position and `{| pred obj ; ... |}` annotation blocks after
+  an object — both land on the parser's WIDE annotation list
+  (subj, pred, obj, a_pred, a_obj), never as encoded string terms
+  (operators/star.py holds the columnar reify/unreify lowerings).
+  Outside the subset and rejected loudly: quoted triples in
+  object/predicate position, nested quoted triples, anon bnodes or
+  collections inside `<< >>`, and star syntax inside TriG blocks.
+  `parse_turtle`/`parse_trig` keep their triple/quad-only contracts and
+  reject star documents — use `parse_turtle_star`;
+
 * anonymous blank nodes `[ pred obj ; ... ]` in subject/object position
   (fresh labels minted in the parser-reserved `_:anon-<n>` space —
   explicit `_:anon-*` labels in input are rejected to keep the space
@@ -99,8 +110,8 @@ _TOKEN = re.compile(
             | "(?:[^"\\\n]|\\.)*"
             | '(?:[^'\\\n]|\\.)*')
     | (?P<iri><[^<>"{}|^`\\\s]*>)
-    | (?P<punct>\^\^|[;,\[\](){}])
-    | (?P<word>[^\s;,\[\]()"'<>]+)
+    | (?P<punct>\^\^|<<|>>|\{\||\|\}|[;,\[\](){}])
+    | (?P<word>[^\s;,\[\](){}|"'<>]+)
     """,
     re.VERBOSE,
 )
@@ -152,6 +163,9 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
         self.triples: list[tuple[str, str, str]] = []
+        # RDF-star: (subj, pred, obj, a_pred, a_obj) — one row per
+        # annotation on the quoted triple (subj, pred, obj)
+        self.annotations: list[tuple[str, str, str, str, str]] = []
         self._anon = 0
 
     def _fresh_bnode(self) -> str:
@@ -229,6 +243,13 @@ class _Parser:
                 return node
             self._pred_obj_list(node, bracket=True)
             return node
+        if k == "punct" and v == "<<":
+            # A quoted triple reaching term() is in OBJECT / collection /
+            # verb position — outside the supported subset (annotations
+            # are subject-position by construction; see module note).
+            raise ValueError(
+                "quoted triple term only supported in subject position "
+                "(<< s p o >> pred obj .) or via {| |} annotation syntax")
         if k == "punct" and v == "(":
             if verb:
                 raise ValueError("collection in predicate position")
@@ -285,15 +306,60 @@ class _Parser:
             return True
         return False
 
+    def _quoted_triple(self) -> tuple[str, str, str]:
+        """`<< s p o >>` — quoted triple of PLAIN terms (iri / pname /
+        blank label / literal).  Nested quoted triples, anonymous blank
+        nodes and collections inside the quotes are rejected loudly:
+        annotations-on-annotations are outside the supported subset, and
+        a generating term would assert triples from an unasserted
+        context."""
+        self.expect("punct", "<<")
+        parts = []
+        for role, verb in (("subject", False), ("predicate", True),
+                           ("object", False)):
+            k, v = self.peek()
+            if k == "punct" and v in ("<<", "[", "("):
+                raise ValueError(
+                    f"{v!r} not allowed as quoted-triple {role} "
+                    "(plain terms only inside << >>)")
+            parts.append(self.term(verb=verb))
+        self.expect("punct", ">>")
+        return tuple(parts)
+
+    def _annotation_block(self, base: tuple[str, str, str]) -> None:
+        """`{| pred obj (, obj)* (; ...)* |}` — predicate-object list
+        about the quoted form of `base`, onto self.annotations."""
+        self.expect("punct", "{|")
+        while True:
+            pred = self.term(verb=True)
+            while True:
+                self.annotations.append((*base, pred, self.term()))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("punct", ";"):
+                self.next()
+                if self.peek() == ("punct", "|}"):  # trailing ';'
+                    break
+                continue
+            break
+        self.expect("punct", "|}")
+
     def _pred_obj_list(self, subj: str, *, bracket: bool) -> None:
         """`pred obj (, obj)* (; pred obj ...)*` onto self.triples.
         bracket=True: a [ ... ] property list — consumes the closing
         ']'; bracket=False: a top-level statement — the caller consumes
-        the terminating '.'."""
+        the terminating '.'.  An object may carry a Turtle-star
+        `{| ... |}` annotation block (the triple stays asserted; the
+        annotation rows land on self.annotations)."""
         while True:
             pred = self.term(verb=True)
             while True:  # object list
-                self.triples.append((subj, pred, self.term()))
+                triple = (subj, pred, self.term())
+                self.triples.append(triple)
+                if self.peek() == ("punct", "{|"):
+                    self._annotation_block(triple)
                 if self.peek() == ("punct", ","):
                     self.next()
                     continue
@@ -310,10 +376,35 @@ class _Parser:
         if bracket:
             self.expect("punct", "]")
 
+    def _star_statement(self) -> None:
+        """`<< s p o >> pred obj (, obj)* (; ...)*` — the subject-
+        position RDF-star form: the quoted triple is NOT asserted, the
+        predicate-object list lands on self.annotations.  The caller
+        consumes the terminating '.'."""
+        base = self._quoted_triple()
+        while True:
+            pred = self.term(verb=True)
+            while True:
+                self.annotations.append((*base, pred, self.term()))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("punct", ";"):
+                self.next()
+                if self.peek()[0] == "dot":  # trailing ';'
+                    break
+                continue
+            break
+
     def statements(self) -> list[tuple[str, str, str]]:
         self.triples = []
         while self.peek()[0] is not None:
             if self.directive():
+                continue
+            if self.peek() == ("punct", "<<"):
+                self._star_statement()
+                self.expect("dot")
                 continue
             was_bnode_list = self.peek() == ("punct", "[")
             subj = self.term()
@@ -332,6 +423,13 @@ class _Parser:
         """One Turtle statement onto self.triples; the terminating '.'
         is consumed here, except it may be omitted before a block's
         closing '}' (TriG grammar)."""
+        if self.peek() == ("punct", "<<"):
+            self._star_statement()
+            if self.peek()[0] == "dot":
+                self.next()
+            elif self.peek() != ("punct", "}"):
+                self.expect("dot")
+            return
         was_bnode_list = self.peek() == ("punct", "[")
         subj = self.term()
         if was_bnode_list and self.peek()[0] == "dot":
@@ -392,10 +490,43 @@ class _Parser:
 
 
 def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]:
-    """Full-subset parse -> (triples, prefix bindings)."""
+    """Full-subset parse -> (triples, prefix bindings).  Triple-only
+    contract: a document using RDF-star syntax is rejected here (the
+    annotations would be silently dropped) — use parse_turtle_star."""
     p = _Parser(_tokenize(text))
     trips = p.statements()
+    if p.annotations:
+        raise ValueError(
+            "document uses RDF-star annotations; parse with "
+            "parse_turtle_star to receive them")
     return trips, p.prefixes
+
+
+def parse_turtle_star(
+    text: str,
+) -> tuple[
+    list[tuple[str, str, str]],
+    list[tuple[str, str, str, str, str]],
+    dict[str, str],
+]:
+    """Turtle-star parse -> (asserted triples, annotations, prefixes).
+
+    Annotations are WIDE rows (subj, pred, obj, a_pred, a_obj) — one per
+    statement about the quoted triple (subj, pred, obj) — produced by
+    either star form:
+
+    * `s p o {| a_pred a_obj ; ... |} .` — asserts (s, p, o) AND
+      annotates it;
+    * `<< s p o >> a_pred a_obj .` — annotates WITHOUT asserting.
+
+    The wide shape is deliberate: quoted triples never become encoded
+    string terms inside the engine, so every downstream operator
+    (including reify/unreify in operators/star.py) is plain columnar
+    work — the only places star syntax exists are this parser and the
+    Turtle-star emitters."""
+    p = _Parser(_tokenize(text))
+    trips = p.statements()
+    return trips, p.annotations, p.prefixes
 
 
 def parse_trig(
@@ -407,7 +538,13 @@ def parse_trig(
     any block are default-graph; the final statement of a block may omit
     its '.'.  graph is None for default-graph quads."""
     p = _Parser(_tokenize(text))
-    return p.trig_statements(), p.prefixes
+    quads = p.trig_statements()
+    if p.annotations:
+        raise ValueError(
+            "RDF-star annotations inside TriG are not supported (no "
+            "graph attribution for annotation rows); keep star "
+            "statements in a .ttl loaded via parse_turtle_star")
+    return quads, p.prefixes
 
 
 def to_trig(quads: pd.DataFrame) -> str:
@@ -522,6 +659,144 @@ def load_turtle(spark, path: str):
     with open(path, encoding="utf-8") as f:
         trips, _ = parse_turtle(f.read())
     return spark.createDataFrame(trips, "subj string, pred string, obj string")
+
+
+_ANN_COLS = ["subj", "pred", "obj", "a_pred", "a_obj"]
+
+
+def to_turtle_star(triples: pd.DataFrame,
+                   annotations: pd.DataFrame) -> str:
+    """(triples, wide annotations) -> deterministic Turtle-star text:
+    the sorted asserted statements first (same form as to_turtle), then
+    one sorted `<< s p o >> a_pred a_obj .` statement per annotation
+    row.  The subject-position form is the canonical emission — it is
+    assertion-neutral, so annotations on unasserted triples serialize
+    identically to annotations on asserted ones (the asserted set is
+    carried by the plain statements)."""
+    out = to_turtle(triples)
+    rows = annotations[_ANN_COLS].drop_duplicates().sort_values(_ANN_COLS)
+    lines = [
+        f"<< {_term(s)} <{p}> {_term(o)} >> <{ap}> {_term(ao)} ."
+        for s, p, o, ap, ao in rows.itertuples(index=False)
+    ]
+    return out + ("\n".join(lines) + "\n" if lines else "")
+
+
+def from_turtle_star(text: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Parse Turtle-star text -> (triples frame, wide annotations
+    frame(subj, pred, obj, a_pred, a_obj))."""
+    trips, anns, _ = parse_turtle_star(text)
+    return (
+        pd.DataFrame(trips, columns=["subj", "pred", "obj"]),
+        pd.DataFrame(anns, columns=_ANN_COLS),
+    )
+
+
+def load_turtle_star(spark, path: str):
+    """One .ttl (Turtle-star) file -> (triples DF, annotations DF).
+    Driver-parsed like load_turtle (catalog-scale input); the wide
+    annotation frame feeds operators/star.py reify/unreify and the
+    confidence surfaces directly — no string-encoded quoted terms."""
+    with open(path, encoding="utf-8") as f:
+        trips, anns, _ = parse_turtle_star(f.read())
+    t = spark.createDataFrame(
+        trips, "subj string, pred string, obj string")
+    a = spark.createDataFrame(
+        anns, "subj string, pred string, obj string, "
+              "a_pred string, a_obj string")
+    return t, a
+
+
+def save_turtle_star(triples, annotations, path: str,
+                     mode: str = "overwrite") -> None:
+    """DISTRIBUTED Turtle-star sink: the asserted triples as plain
+    statements plus one single-line `<< s p o >> a_pred a_obj .` per
+    annotation row, unioned into one text write.  Same native-only
+    formatting and control-character rejection as save_turtle (both
+    frames are checked); load back with load_turtle_star on a
+    concatenation or any shard."""
+    from pyspark.sql import functions as F
+
+    def term(col):
+        is_uri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
+        esc = F.regexp_replace(col, r"\\", r"\\\\")
+        esc = F.regexp_replace(esc, '"', '\\\\"')
+        esc = F.regexp_replace(esc, "\n", r"\\n")
+        esc = F.regexp_replace(esc, "\r", r"\\r")
+        esc = F.regexp_replace(esc, "\t", r"\\t")
+        return F.when(is_uri, F.concat(F.lit("<"), col, F.lit(">"))) \
+            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+
+    bad = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+           "\\x{0085}\\x{2028}\\x{2029}]")
+    for df, cols in ((triples, ["subj", "pred", "obj"]),
+                     (annotations, _ANN_COLS)):
+        pred_bad = None
+        for c in cols:
+            hit = F.col(c).rlike(bad)
+            pred_bad = hit if pred_bad is None else (pred_bad | hit)
+        if df.where(pred_bad).limit(1).count():
+            raise ValueError(
+                "rows contain control characters outside the Turtle "
+                "sink's escape subset — refusing to write a corrupt "
+                "catalog")
+    plain = triples.select(
+        F.concat(
+            term(F.col("subj")), F.lit(" "),
+            F.lit("<"), F.col("pred"), F.lit("> "),
+            term(F.col("obj")), F.lit(" ."),
+        ).alias("value")
+    )
+    starred = annotations.select(
+        F.concat(
+            F.lit("<< "), term(F.col("subj")), F.lit(" "),
+            F.lit("<"), F.col("pred"), F.lit("> "),
+            term(F.col("obj")), F.lit(" >> "),
+            F.lit("<"), F.col("a_pred"), F.lit("> "),
+            term(F.col("a_obj")), F.lit(" ."),
+        ).alias("value")
+    )
+    plain.unionByName(starred).write.mode(mode).text(path)
+
+
+def load_turtle_star_dir(spark, path: str):
+    """Read a save_turtle_star output directory back DISTRIBUTED:
+    star lines split into the wide annotation frame, plain lines into
+    the triple frame, all with native regexps (the sink's own framing:
+    one statement per line, the escape subset of save_turtle)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).where(F.length("value") > 0)
+    star = lines.where(F.col("value").startswith("<< "))
+    plain = lines.where(~F.col("value").startswith("<< "))
+
+    t = r'(<[^>]*>|"(?:[^"\\]|\\.)*")'
+    star_re = f"^<< {t} {t} {t} >> {t} {t} \\.$"
+    plain_re = f"^{t} {t} {t} \\.$"
+
+    def decode(col):
+        uri = F.regexp_extract(col, "^<(.*)>$", 1)
+        lit = F.regexp_extract(col, '^"(.*)"$', 1)
+        # sentinel-protect escaped backslashes first (load_turtle_dir's
+        # trick): `\\n` is a literal backslash + n, not a newline
+        lit = F.regexp_replace(lit, r"\\\\", "\x00")
+        lit = F.regexp_replace(lit, r"\\t", "\t")
+        lit = F.regexp_replace(lit, r"\\r", "\r")
+        lit = F.regexp_replace(lit, r"\\n", "\n")
+        lit = F.regexp_replace(lit, r'\\"', '"')
+        lit = F.regexp_replace(lit, "\x00", r"\\")
+        return F.when(col.startswith("<"), uri).otherwise(lit)
+
+    def extract(df, regex, names):
+        for i, n in enumerate(names):
+            df = df.withColumn(n, decode(F.regexp_extract("value", regex,
+                                                          i + 1)))
+        return df.drop("value")
+
+    return (
+        extract(plain, plain_re, ["subj", "pred", "obj"]),
+        extract(star, star_re, _ANN_COLS),
+    )
 
 
 def save_turtle(triples, path: str, mode: str = "overwrite") -> None:
