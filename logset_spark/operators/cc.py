@@ -132,6 +132,69 @@ def connected_components(
     return labels
 
 
+def cc_incremental(
+    assignment: DataFrame,
+    new_edges: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of NEW
+    edges into an existing [node, component] assignment without
+    recomputing untouched components.
+
+    This is the cross-batch canonicalization story at 10^12 turns: a new
+    day of transcripts yields new alias edges; re-running CC over the
+    full historical edge set is O(|E_total|) per batch, while the merge
+    only needs O(|delta| + |affected components|):
+
+      1. affected = components containing any endpoint of a new edge
+         (two semi-join-shaped hops on the assignment — never the raw
+         edge history);
+      2. the existing assignment is replayed as STAR edges
+         (component -> node) for the affected components only — an
+         equivalence-preserving compression of all historical edges
+         that converges in ~1 propagation round;
+      3. connected_components runs over (affected stars UNION new
+         edges); untouched rows pass through verbatim.
+
+    Label semantics and stability: `component` must be a member node of
+    its component (connected_components' min-node labels satisfy this).
+    Untouched components keep their labels BYTE-IDENTICAL — downstream
+    tables keyed on canonical ids don't churn when unrelated entities
+    arrive.  Merged components relabel to the min over (old labels +
+    new nodes), which equals the min member when the input labels are
+    canonical min-nodes — so incremental == full recompute, which is
+    exactly what q_cc_incremental's DuckDB oracle (full recompute over
+    both batches) hash-checks, and what the pytest asserts against
+    connected_components on the unioned edge set.
+
+    cc_kwargs forward to connected_components (e.g. small_graph_edges=0
+    to force the distributed loop)."""
+    assignment = assignment.localCheckpoint(eager=True)
+    new_edges = new_edges.localCheckpoint(eager=True)
+    touched = (
+        new_edges.select(F.col("src").alias("node"))
+        .unionByName(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    touched_comps = (
+        assignment.join(touched, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    affected = assignment.join(
+        touched_comps, "component", "left_semi"
+    ).localCheckpoint(eager=True)
+    untouched = assignment.join(touched_comps, "component", "left_anti")
+
+    stars = affected.select(
+        F.col("component").alias("src"), F.col("node").alias("dst")
+    )
+    merged = connected_components(
+        stars.unionByName(new_edges.select("src", "dst")), **cc_kwargs
+    )
+    return untouched.unionByName(merged)
+
+
 def same_as_triples(components: DataFrame) -> DataFrame:
     """node != component representative -> (node, sameAs, component)."""
     return components.where(F.col("node") != F.col("component")).select(

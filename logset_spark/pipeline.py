@@ -213,11 +213,23 @@ def _same_as_triples(
         .union(links.select(F.col("form").alias("src"), F.col("canon_uri").alias("dst")))
         .distinct()
     )
-    marked = pairs.select(
+    comps = cc.connected_components(_mark_alias_pairs(pairs))
+    return _assignment_to_sameas(comps)
+
+
+def _mark_alias_pairs(pairs: DataFrame) -> DataFrame:
+    """(src=surface form, dst=canon ent URI) -> marked CC edges: the
+    '1#'/'0#' sort-marker prefixes make ent: URIs win the min-label
+    election so a component representative is never a surface form."""
+    return pairs.select(
         F.concat(F.lit("1#"), "src").alias("src"),
         F.concat(F.lit("0#"), "dst").alias("dst"),
     )
-    comps = cc.connected_components(marked)
+
+
+def _assignment_to_sameas(comps: DataFrame) -> DataFrame:
+    """[node, component] over marked alias nodes -> ent->ent sameAs
+    triple rows in the pipeline's 7-column schema."""
     return (
         cc.same_as_triples(comps)
         .where(F.col("subj").startswith("0#"))  # ent->ent merges only
@@ -231,6 +243,103 @@ def _same_as_triples(
         .withColumn("ts", F.lit(None).cast("timestamp"))
         .withColumn("conf", F.lit(1.0))
     )
+
+
+def _alias_state_latest(spark: SparkSession, state_path: str):
+    """-> (version:int, assignment DataFrame) of the newest COMPLETE
+    epoch under state_path, or (0, None).  Epochs are zero-padded
+    `v=NNNNNN` dirs; only dirs whose write finished (_SUCCESS present)
+    are eligible, so a crash mid-write leaves the previous epoch
+    authoritative."""
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = path.getFileSystem(hconf)
+    if not fs.exists(path):
+        return 0, None
+    best = 0
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if v > best and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            best = v
+    if best == 0:
+        return 0, None
+    return best, spark.read.parquet(f"{state_path}/v={best:06d}")
+
+
+def merge_aliases_incremental(
+    spark: SparkSession,
+    new_pairs: DataFrame,
+    state_path: str,
+    keep_epochs: int = 2,
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold NEW alias pairs (surface, canon_uri) into a persistent
+    canonicalization assignment WITHOUT recomputing the historical alias
+    graph — the dictionary-growth twin of the batch pipeline's stage 3.
+
+    At 10^9-entity dictionary scale a daily alias drop is tiny next to
+    the accumulated graph; cc.cc_incremental confines the merge to the
+    components the new pairs actually touch (star edges + delta), so
+    per-drop cost is O(|delta| + |affected components|), and untouched
+    canonical ids are BYTE-STABLE across drops — downstream tables keyed
+    on them never churn for unrelated entities.  The state is an
+    epoch-versioned [node, component] parquet (newest _SUCCESS-complete
+    `v=NNNNNN` wins, previous epoch kept as the crash fallback; the
+    state is also always re-derivable by a full stage-3 run, so losing
+    it degrades to a recompute, never to wrong answers).
+
+    Returns the FULL refreshed sameAs triple set (7-column pipeline
+    schema) — a superset-or-equal of the previous epoch's, since alias
+    additions only ever merge components.  cc_kwargs forward to the
+    underlying connected_components (tests force the distributed
+    loop)."""
+    pairs = new_pairs.select(
+        link.normalize_form(F.col("surface")).alias("src"),
+        F.col("canon_uri").alias("dst"),
+    ).distinct()
+    version, state = _alias_state_latest(spark, state_path)
+    marked = _mark_alias_pairs(pairs)
+    if state is None:
+        merged = cc.connected_components(marked, **cc_kwargs)
+    else:
+        # only genuinely new pairs enter the delta: a re-submitted drop
+        # (at-least-once upstream) must be a no-op
+        known = state.select(
+            F.col("node").alias("src"), F.col("component").alias("dst")
+        )
+        delta = marked.join(
+            state.select(F.col("node").alias("src")), "src", "left_anti"
+        ).unionByName(
+            marked.join(known.select("src"), "src", "left_semi").join(
+                known, ["src", "dst"], "left_anti"
+            )
+        )
+        merged = cc.cc_incremental(state, delta, **cc_kwargs)
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{state_path}/v={version + 1:06d}")
+    # prune epochs older than the fallback window
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    versions = sorted(
+        int(st.getPath().getName()[2:])
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("v=")
+    )
+    for v in versions[: max(0, len(versions) - keep_epochs)]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_path}/v={v:06d}"), True)
+    return _assignment_to_sameas(merged)
 
 
 def _finalize(

@@ -6533,6 +6533,157 @@ FROM nodes n JOIN h{_HITS_ROUNDS} h ON n.node = h.node
 )
 
 
+# ---- directed-graph structure: SCC, topo levels, incremental CC -----------
+
+
+def q_scc(spark, sf):
+    """Strongly connected components (operators/digraph.py scc — block
+    refinement with min-label propagation + pointer halving), forced
+    down the DISTRIBUTED loop.  Fixture: 16 rings of 8 nodes (the
+    cyclic SCCs) whose anchors chain ring->ring (a 16-deep DAG
+    condensation — exercises re-blocking AND per-round finalization),
+    plus a 2-node singleton spur.  Oracle = DuckDB WITH RECURSIVE
+    mutual-reachability (scc(v) = min{u : u ~> v and v ~> u},
+    reflexive) — an independent exact algorithm for the same
+    assignment."""
+    from .operators.digraph import scc
+
+    p = _t(spark, sf, "part").where(F.col("p_partkey").between(0, 127))
+    k = F.col("p_partkey")
+    ring = p.select(
+        F.format_string("s:%03d", k).alias("src"),
+        F.format_string(
+            "s:%03d", (k - k % 8) + (k + 1) % 8
+        ).alias("dst"),
+    )
+    anchors = p.where((k % 8 == 0) & (k < 120)).select(
+        F.format_string("s:%03d", k).alias("src"),
+        F.format_string("s:%03d", k + 8).alias("dst"),
+    )
+    spur = spark.createDataFrame(
+        [("s:000", "spur:a"), ("spur:a", "spur:b")], "src string, dst string"
+    )
+    return scc(
+        ring.unionByName(anchors).unionByName(spur), small_graph_edges=0
+    )
+
+
+SQL_SCC = """
+WITH RECURSIVE
+e AS (
+  SELECT 's:' || lpad(CAST(p_partkey AS VARCHAR), 3, '0') AS src,
+         's:' || lpad(CAST((p_partkey - p_partkey % 8) + (p_partkey + 1) % 8
+                           AS VARCHAR), 3, '0') AS dst
+  FROM part WHERE p_partkey BETWEEN 0 AND 127
+  UNION ALL
+  SELECT 's:' || lpad(CAST(p_partkey AS VARCHAR), 3, '0'),
+         's:' || lpad(CAST(p_partkey + 8 AS VARCHAR), 3, '0')
+  FROM part WHERE p_partkey % 8 = 0 AND p_partkey BETWEEN 0 AND 119
+  UNION ALL
+  SELECT * FROM (VALUES ('s:000', 'spur:a'), ('spur:a', 'spur:b')) v(s, d)
+),
+nodes AS (SELECT DISTINCT src AS n FROM e UNION SELECT DISTINCT dst FROM e),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.n AS node, least(n.n, coalesce(min(m.u), n.n)) AS scc
+FROM nodes n LEFT JOIN mutual m ON m.v = n.n
+GROUP BY n.n
+"""
+
+
+def q_topo(spark, sf):
+    """Topological levels via distributed Kahn peel
+    (operators/digraph.py topo_levels, forced distributed):
+    level = LONGEST path from a root = the earliest wave a node is
+    schedulable in a dependency execution.  Fixture: the binary
+    containment tree (p div 2 -> p, keys 2..127) PLUS sibling edges
+    (p-1 -> p for odd p), so the longest path is genuinely longer than
+    the tree depth and the peel order differs from BFS order.  Oracle =
+    DuckDB WITH RECURSIVE max-length walk from the root — independent
+    algorithm, same maximum."""
+    from .operators.digraph import topo_levels
+
+    p = _t(spark, sf, "part").where(F.col("p_partkey").between(2, 127))
+    k = F.col("p_partkey")
+    tree = p.select(
+        F.format_string("t:%03d", F.expr("p_partkey div 2")).alias("src"),
+        F.format_string("t:%03d", k).alias("dst"),
+    )
+    sib = p.where((k % 2 == 1)).select(
+        F.format_string("t:%03d", k - 1).alias("src"),
+        F.format_string("t:%03d", k).alias("dst"),
+    )
+    return topo_levels(tree.unionByName(sib), small_graph_edges=0)
+
+
+SQL_TOPO = """
+WITH RECURSIVE
+e AS (
+  SELECT 't:' || lpad(CAST(p_partkey // 2 AS VARCHAR), 3, '0') AS src,
+         't:' || lpad(CAST(p_partkey AS VARCHAR), 3, '0') AS dst
+  FROM part WHERE p_partkey BETWEEN 2 AND 127
+  UNION ALL
+  SELECT 't:' || lpad(CAST(p_partkey - 1 AS VARCHAR), 3, '0'),
+         't:' || lpad(CAST(p_partkey AS VARCHAR), 3, '0')
+  FROM part WHERE p_partkey BETWEEN 2 AND 127 AND p_partkey % 2 = 1
+),
+nodes AS (SELECT DISTINCT src AS n FROM e UNION SELECT DISTINCT dst FROM e),
+roots AS (SELECT n FROM nodes WHERE n NOT IN (SELECT dst FROM e)),
+walk(node, len) AS (
+  SELECT n, 0 FROM roots
+  UNION
+  SELECT e.dst, w.len + 1 FROM walk w JOIN e ON e.src = w.node
+)
+SELECT node, CAST(max(len) AS INTEGER) AS level FROM walk GROUP BY node
+"""
+
+
+def q_cc_incremental(spark, sf):
+    """Incremental connected-components maintenance (operators/cc.py
+    cc_incremental): batch 1 of alias edges is canonicalized up front,
+    batch 2 folds in through the affected-components-only merge (star
+    edges + delta, distributed loop forced) — the cross-batch
+    canonicalization path a daily transcript drop takes.  Oracle = full
+    recompute over BOTH batches in DuckDB (WITH RECURSIVE min-label),
+    which the merge must equal exactly because labels are canonical
+    min-nodes."""
+    from .operators.cc import cc_incremental, connected_components
+
+    e = _t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        F.col("user_id"),
+    ).distinct()
+    batch1 = edges.where(F.col("user_id") % 3 != 0).select("src", "dst")
+    batch2 = edges.where(F.col("user_id") % 3 == 0).select("src", "dst")
+    base = connected_components(batch1)
+    return cc_incremental(base, batch2, small_graph_edges=0)
+
+
+SQL_CC_INCREMENTAL = """
+WITH RECURSIVE
+base AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                         't:' || event_type AS dst
+         FROM events),
+edges AS (SELECT src, dst FROM base
+          UNION SELECT dst AS src, src AS dst FROM base),
+walk(node, comp) AS (
+  SELECT src AS node, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6548,6 +6699,10 @@ FROM nodes n JOIN h{_HITS_ROUNDS} h ON n.node = h.node
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-11 additions
+    "q_scc": (q_scc, SQL_SCC),
+    "q_topo": (q_topo, SQL_TOPO),
+    "q_cc_incremental": (q_cc_incremental, SQL_CC_INCREMENTAL),
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),

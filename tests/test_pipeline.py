@@ -378,3 +378,94 @@ def test_auto_salt_measures_skew_and_output_unchanged(spark, tmp_path):
     b = io_b.read(spark, "triples").select("subj", "pred", "obj")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def _sameas_set(df) -> set:
+    return {(r["subj"], r["obj"]) for r in df.collect()}
+
+
+def test_merge_aliases_incremental_two_drops_equal_full(spark, tmp_path):
+    """Dictionary-growth canonicalization: two alias drops folded through
+    pipeline.merge_aliases_incremental must yield the SAME sameAs set as
+    one full stage-3 computation over the union — and untouched canonical
+    ids must be byte-stable across drops."""
+    from logset_spark.operators import cc
+    from logset_spark.pipeline import (
+        _assignment_to_sameas,
+        _mark_alias_pairs,
+        merge_aliases_incremental,
+    )
+
+    state = str(tmp_path / "alias_state")
+    batch1 = spark.createDataFrame(
+        [
+            ("GitHub", "ent:github_a"),
+            ("github", "ent:github_b"),   # same normalized form -> merge
+            ("spark", "ent:spark"),
+            ("flink", "ent:flink"),
+        ],
+        "surface string, canon_uri string",
+    )
+    s1 = merge_aliases_incremental(spark, batch1, state)
+    assert _sameas_set(s1) == {("ent:github_b", "ent:github_a")}
+
+    # drop 2: bridge spark<->flink via a shared alias; add a new entity
+    batch2 = spark.createDataFrame(
+        [
+            ("sprk", "ent:spark"),
+            ("sprk", "ent:flink"),
+            ("duck", "ent:duckdb"),
+        ],
+        "surface string, canon_uri string",
+    )
+    s2 = merge_aliases_incremental(spark, batch2, state)
+
+    from logset_spark.operators.link import normalize_form
+
+    full_pairs = batch1.unionByName(batch2).select(
+        normalize_form(F.col("surface")).alias("src"),
+        F.col("canon_uri").alias("dst"),
+    ).distinct()
+    full = _assignment_to_sameas(
+        cc.connected_components(_mark_alias_pairs(full_pairs))
+    )
+    assert _sameas_set(s2) == _sameas_set(full)
+    # untouched github component unchanged across drops
+    assert ("ent:github_b", "ent:github_a") in _sameas_set(s2)
+
+
+def test_merge_aliases_incremental_resubmission_is_noop(spark, tmp_path):
+    from logset_spark.pipeline import merge_aliases_incremental
+
+    state = str(tmp_path / "alias_state")
+    batch = spark.createDataFrame(
+        [("GitHub", "ent:a"), ("github", "ent:b")],
+        "surface string, canon_uri string",
+    )
+    s1 = _sameas_set(merge_aliases_incremental(spark, batch, state))
+    s2 = _sameas_set(merge_aliases_incremental(spark, batch, state))
+    assert s1 == s2 == {("ent:b", "ent:a")}
+
+
+def test_merge_aliases_state_epochs_pruned_and_success_gated(
+    spark, tmp_path
+):
+    import os
+
+    from logset_spark.pipeline import (
+        _alias_state_latest,
+        merge_aliases_incremental,
+    )
+
+    state = str(tmp_path / "alias_state")
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(f"alias{i}", f"ent:e{i}")], "surface string, canon_uri string"
+        )
+        merge_aliases_incremental(spark, batch, state, keep_epochs=2)
+    epochs = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert epochs == ["v=000002", "v=000003"]
+    # an incomplete (no _SUCCESS) newer epoch must NOT win the election
+    os.makedirs(f"{state}/v=000009")
+    v, df = _alias_state_latest(spark, state)
+    assert v == 3 and df is not None
