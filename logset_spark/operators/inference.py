@@ -330,3 +330,101 @@ def _owl_pass(t: DataFrame, connected_components, transitive_closure
     return (
         rewritten.unionByName(stars).unionByName(schema).distinct()
     )
+
+
+EQUIV_CLASS = "owl:equivalentClass"
+EQUIV_PROP = "owl:equivalentProperty"
+DISJOINT_WITH = "owl:disjointWith"
+
+
+def owl_equivalence_expand(triples: DataFrame) -> DataFrame:
+    """owl:equivalentClass / owl:equivalentProperty lowered to the RDFS
+    vocabulary: each equivalence assertion becomes the subClassOf /
+    subPropertyOf pair in BOTH directions (OWL RL scm-eqc1/2,
+    scm-eqp1/2), so composing with rdfs_materialize entails through
+    equivalence chains for free — the subClassOf* closure is already
+    transitive, and a bidirected chain is mutually reachable end to
+    end.  Asserted equivalence triples stay in the output (they are
+    ontology facts); only the derived sub* rows are added.  Ontology-
+    scale work: one filtered scan + a union of two projections."""
+    mapping = {EQUIV_CLASS: SUBCLASS, EQUIV_PROP: SUBPROP}
+    eq = triples.where(F.col("pred").isin(list(mapping)))
+    sub_pred = F.when(F.col("pred") == EQUIV_CLASS, SUBCLASS).otherwise(
+        SUBPROP
+    )
+    fwd = eq.select("subj", sub_pred.alias("pred"), "obj")
+    bwd = eq.select(
+        F.col("obj").alias("subj"), sub_pred.alias("pred"),
+        F.col("subj").alias("obj"),
+    )
+    extra = fwd.unionByName(bwd)
+    for c in triples.columns:
+        if c not in ("subj", "pred", "obj"):
+            extra = extra.withColumn(c, F.lit(None).cast(triples.schema[c].dataType))
+    return triples.unionByName(extra.select(triples.columns)).distinct()
+
+
+def owl_inconsistencies(triples: DataFrame) -> DataFrame:
+    """Consistency REPORT (not materialization): rows describing where
+    the data contradicts its ontology —
+
+      kind='disjoint'    (c1 owl:disjointWith c2), (x type c1),
+                         (x type c2)  ->  (x, least(c1,c2), greatest)
+                         — pair normalized so a symmetric assertion
+                         yields one row
+      kind='functional'  (p a owl:FunctionalProperty), subject s holds
+                         n > 1 distinct p-values  ->  (s, p, n)
+
+    Unlike owl_materialize's prp-fp (which MERGES the values via
+    sameAs under the unique-name-free OWL reading), this is the data-
+    quality reading: report, don't repair — validate_graph-style exit
+    gating wants the violation rows.
+
+    Plan shape: both ontology slices broadcast; the type table is
+    pre-filtered to classes mentioned in any disjointWith pair BEFORE
+    the self-join, so the join runs on the ontology-relevant slice, and
+    the functional check is one groupBy on the functional-pred slice.
+    Output: (kind, node, a, b) — b carries the second class or the
+    stringified distinct-value count."""
+    types = triples.where(F.col("pred") == RDF_TYPE).select(
+        F.col("subj").alias("node"), F.col("obj").alias("cls")
+    ).distinct()
+    dis = triples.where(F.col("pred") == DISJOINT_WITH).select(
+        F.least("subj", "obj").alias("c1"),
+        F.greatest("subj", "obj").alias("c2"),
+    ).distinct()
+    relevant = dis.select(F.col("c1").alias("cls")).unionByName(
+        dis.select(F.col("c2").alias("cls"))
+    ).distinct()
+    slim = types.join(F.broadcast(relevant), "cls", "left_semi")
+    disjoint_rows = (
+        slim.alias("l")
+        .join(slim.alias("r"), "node")
+        .join(
+            F.broadcast(dis),
+            (F.col("l.cls") == F.col("c1")) & (F.col("r.cls") == F.col("c2")),
+        )
+        .select(
+            F.lit("disjoint").alias("kind"),
+            "node",
+            F.col("c1").alias("a"),
+            F.col("c2").alias("b"),
+        )
+    )
+
+    func_preds = triples.where(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == FUNCTIONAL)
+    ).select(F.col("subj").alias("pred"))
+    func_rows = (
+        triples.join(F.broadcast(func_preds), "pred", "left_semi")
+        .groupBy(F.col("subj").alias("node"), "pred")
+        .agg(F.countDistinct("obj").alias("n"))
+        .where(F.col("n") > 1)
+        .select(
+            F.lit("functional").alias("kind"),
+            "node",
+            F.col("pred").alias("a"),
+            F.col("n").cast("string").alias("b"),
+        )
+    )
+    return disjoint_rows.unionByName(func_rows)

@@ -222,3 +222,25 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
     )
+
+
+def void_statistics(triples: DataFrame, exact: bool = True) -> DataFrame:
+    """VoID-style property-partition statistics — the dataset
+    description a published RDF dataset carries (void:propertyPartition:
+    per predicate, void:triples / void:distinctSubjects /
+    void:distinctObjects) and the same numbers the SPARQL compiler's
+    ANALYZE path wants for join ordering.
+
+    exact=True: one aggregation with two count-distincts (Catalyst
+    lowers multi-distinct to an expand — fine per-predicate since the
+    group count is vocabulary-scale).  exact=False: the 100-TB path —
+    approx_count_distinct (HLL, one pass, no expand), for when the
+    numbers feed ANALYZE rather than a published dataset description.
+    Output: (pred, n_triples, n_subjects, n_objects)."""
+    d = (F.countDistinct if exact
+         else lambda c: F.approx_count_distinct(c, 0.02))
+    return triples.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        d("subj").alias("n_subjects"),
+        d("obj").alias("n_objects"),
+    )

@@ -6684,6 +6684,156 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+# ---- ontology breadth: equivalence, consistency report, VoID stats --------
+
+
+def q_owl_equiv(spark, sf):
+    """owl:equivalentClass chains entailed through the RDFS machinery
+    (operators/inference.py owl_equivalence_expand: each equivalence
+    becomes the bidirectional subClassOf pair, then rdfs_materialize's
+    path-doubling subClassOf* closure carries types through the chain).
+    Fixture: user rdf:type event-class instances; click ≡ tap ≡ press
+    (a 2-step equivalence chain) plus one plain subClassOf.  Oracle =
+    DuckDB WITH RECURSIVE closure over the same bidirected edges."""
+    from .operators.inference import owl_equivalence_expand, rdfs_materialize
+
+    e = _t(spark, sf, "events")
+    inst = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.concat(F.lit("cls:"), F.col("event_type")).alias("obj"),
+    ).distinct()
+    onto = spark.createDataFrame(
+        [
+            ("cls:click", "owl:equivalentClass", "cls:tap"),
+            ("cls:tap", "owl:equivalentClass", "cls:press"),
+            ("cls:purchase", "rdfs:subClassOf", "cls:conversion"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = rdfs_materialize(owl_equivalence_expand(inst.unionByName(onto)))
+    return out.where(F.col("pred") == "rdf:type").select(
+        "subj", "pred", "obj"
+    ).distinct()
+
+
+SQL_OWL_EQUIV = """
+WITH RECURSIVE
+inst AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS subj,
+                         'cls:' || event_type AS obj
+         FROM events),
+sub(c, d) AS (
+  SELECT * FROM (VALUES
+    ('cls:click', 'cls:tap'), ('cls:tap', 'cls:click'),
+    ('cls:tap', 'cls:press'), ('cls:press', 'cls:tap'),
+    ('cls:purchase', 'cls:conversion')) v(c, d)),
+closure(c, d) AS (
+  SELECT c, d FROM sub
+  UNION
+  SELECT cl.c, s.d FROM closure cl JOIN sub s ON s.c = cl.d
+)
+SELECT subj, 'rdf:type' AS pred, obj FROM inst
+UNION
+SELECT i.subj, 'rdf:type' AS pred, cl.d AS obj
+FROM inst i JOIN closure cl ON cl.c = i.obj
+"""
+
+
+def q_owl_inconsistent(spark, sf):
+    """OWL consistency REPORT (operators/inference.py
+    owl_inconsistencies): owl:disjointWith co-typing violations
+    (normalized pair, type slice pre-filtered to disjoint-relevant
+    classes before the self-join) and owl:FunctionalProperty subjects
+    holding >1 distinct value — report-don't-repair, the dual of
+    owl_materialize's prp-fp merge.  Oracle replays both checks as
+    plain SQL joins/aggregates."""
+    from .operators.inference import owl_inconsistencies
+
+    e = _t(spark, sf, "events")
+    types = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.concat(F.lit("cls:"), F.col("event_type")).alias("obj"),
+    ).distinct()
+    kinds = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("ev:kind").alias("pred"),
+        F.concat(F.lit("cls:"), F.col("event_type")).alias("obj"),
+    ).distinct()
+    onto = spark.createDataFrame(
+        [
+            ("cls:error", "owl:disjointWith", "cls:click"),
+            ("ev:kind", "rdf:type", "owl:FunctionalProperty"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return owl_inconsistencies(
+        types.unionByName(kinds).unionByName(onto)
+    )
+
+
+SQL_OWL_INCONSISTENT = """
+WITH pairs AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS node,
+                               'cls:' || event_type AS cls
+               FROM events)
+SELECT 'disjoint' AS kind, p1.node AS node,
+       'cls:click' AS a, 'cls:error' AS b
+FROM pairs p1 JOIN pairs p2 ON p1.node = p2.node
+WHERE p1.cls = 'cls:click' AND p2.cls = 'cls:error'
+UNION ALL
+SELECT 'functional' AS kind, node, 'ev:kind' AS a,
+       CAST(COUNT(DISTINCT cls) AS VARCHAR) AS b
+FROM pairs GROUP BY node HAVING COUNT(DISTINCT cls) > 1
+"""
+
+
+def q_void(spark, sf):
+    """VoID-style property-partition statistics (operators/quality.py
+    void_statistics, exact mode): per predicate, void:triples /
+    void:distinctSubjects / void:distinctObjects — the published
+    dataset description AND the input the ANALYZE join-ordering stats
+    want.  The approx (HLL) mode is the documented 100-TB path; the
+    oracle checks the exact one."""
+    from .operators.quality import void_statistics
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 13 == 0)
+    ok = F.concat(F.lit("o:"), F.col("o_orderkey").cast("string"))
+    triples = (
+        o.select(ok.alias("subj"), F.lit("kg:cust").alias("pred"),
+                 F.concat(F.lit("c:"),
+                          F.col("o_custkey").cast("string")).alias("obj"))
+        .unionByName(o.select(
+            ok.alias("subj"), F.lit("kg:status").alias("pred"),
+            F.concat(F.lit("st:"), F.col("o_orderstatus")).alias("obj")))
+        .unionByName(o.select(
+            ok.alias("subj"), F.lit("kg:prio").alias("pred"),
+            F.concat(F.lit("pr:"), F.col("o_orderpriority")).alias("obj")))
+    )
+    return void_statistics(triples)
+
+
+SQL_VOID = """
+WITH t AS (
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'kg:cust' AS pred,
+         'c:' || CAST(o_custkey AS VARCHAR) AS obj
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'kg:status',
+         'st:' || o_orderstatus
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'kg:prio',
+         'pr:' || o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT pred, COUNT(*) AS n_triples,
+       COUNT(DISTINCT subj) AS n_subjects,
+       COUNT(DISTINCT obj) AS n_objects
+FROM t GROUP BY pred
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6703,6 +6853,9 @@ REGISTRY: dict[str, tuple] = {
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),
     "q_cc_incremental": (q_cc_incremental, SQL_CC_INCREMENTAL),
+    "q_owl_equiv": (q_owl_equiv, SQL_OWL_EQUIV),
+    "q_owl_inconsistent": (q_owl_inconsistent, SQL_OWL_INCONSISTENT),
+    "q_void": (q_void, SQL_VOID),
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),

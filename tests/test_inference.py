@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from logset_spark.operators.inference import rdfs_materialize
 
 SCHEMA_PREDS = {
@@ -288,3 +290,78 @@ def test_owl_random_graphs_match_python(spark):
             rows.add((rng.choice(nodes), "owl:sameAs", rng.choice(nodes)))
         rows = sorted(rows)
         assert _run_owl(spark, rows) == _py_owl(rows), f"trial {trial}"
+
+
+def test_equivalence_chain_entails_both_directions(spark):
+    from logset_spark.operators.inference import (
+        owl_equivalence_expand,
+        rdfs_materialize,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("cls:a", "owl:equivalentClass", "cls:b"),
+            ("cls:b", "owl:equivalentClass", "cls:c"),
+            ("x", "rdf:type", "cls:a"),
+            ("y", "rdf:type", "cls:c"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = rdfs_materialize(owl_equivalence_expand(t))
+    types = {
+        (r["subj"], r["obj"])
+        for r in out.where(F.col("pred") == "rdf:type").collect()
+    }
+    # chain is mutually reachable end-to-end in BOTH directions
+    assert {("x", "cls:a"), ("x", "cls:b"), ("x", "cls:c")} <= types
+    assert {("y", "cls:a"), ("y", "cls:b"), ("y", "cls:c")} <= types
+
+
+def test_equivalent_property_generalizes_triples(spark):
+    from logset_spark.operators.inference import (
+        owl_equivalence_expand,
+        rdfs_materialize,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("p", "owl:equivalentProperty", "q"),
+            ("s", "p", "o"),
+            ("s2", "q", "o2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = rdfs_materialize(owl_equivalence_expand(t))
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert ("s", "q", "o") in got and ("s2", "p", "o2") in got
+
+
+def test_owl_inconsistencies_report(spark):
+    from logset_spark.operators.inference import owl_inconsistencies
+
+    t = spark.createDataFrame(
+        [
+            # disjointness asserted in BOTH directions -> ONE row
+            ("cls:cat", "owl:disjointWith", "cls:dog"),
+            ("cls:dog", "owl:disjointWith", "cls:cat"),
+            ("x", "rdf:type", "cls:cat"),
+            ("x", "rdf:type", "cls:dog"),
+            ("ok", "rdf:type", "cls:cat"),
+            ("fp", "rdf:type", "owl:FunctionalProperty"),
+            ("s", "fp", "v1"),
+            ("s", "fp", "v2"),
+            ("s", "fp", "v2"),   # duplicate assertion, not a 3rd value
+            ("t", "fp", "v1"),   # single value: no violation
+            ("t", "np", "v1"),   # non-functional pred: never reported
+            ("t", "np", "v2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {
+        (r["kind"], r["node"], r["a"], r["b"])
+        for r in owl_inconsistencies(t).collect()
+    }
+    assert rows == {
+        ("disjoint", "x", "cls:cat", "cls:dog"),
+        ("functional", "s", "fp", "2"),
+    }

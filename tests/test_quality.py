@@ -98,3 +98,22 @@ def test_count_min_never_underestimates_and_merges(spark):
     whole = count_min_sketch(df, "key", width=64, depth=3)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_void_statistics_exact_and_approx(spark):
+    from logset_spark.operators.quality import void_statistics
+
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1"),
+         ("s1", "q", "o1")],
+        "subj string, pred string, obj string",
+    )
+    exact = {r["pred"]: r for r in void_statistics(t).collect()}
+    assert (exact["p"]["n_triples"], exact["p"]["n_subjects"],
+            exact["p"]["n_objects"]) == (3, 2, 2)
+    assert (exact["q"]["n_triples"], exact["q"]["n_subjects"],
+            exact["q"]["n_objects"]) == (1, 1, 1)
+    approx = {r["pred"]: r for r in
+              void_statistics(t, exact=False).collect()}
+    # HLL at rsd=0.02 is exact at this cardinality
+    assert approx["p"]["n_subjects"] == 2 and approx["p"]["n_objects"] == 2
