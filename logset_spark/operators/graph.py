@@ -315,33 +315,12 @@ def ppr_fixedpoint(
     return ranks
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """edges: DataFrame[a:string, b:string], undirected (any direction,
-    duplicates/self-loops tolerated).  Returns DataFrame[node, n_tri]
-    with each node's triangle participation count (nodes in no triangle
-    are absent).
-
-    DEGREE-ORIENTED wedge join — the algorithm that survives skew: orient every
-    edge from its lower-(degree, id) endpoint to the higher one, so each
-    node's out-degree is bounded by ~sqrt(|E|) even on power-law graphs
-    (a celebrity node has huge in-degree but tiny out-degree).  Wedges
-    are generated per out-neighbor pair of the SMALL side only, then
-    closed with one more equi-join against the oriented edge set —
-    3 shuffles total, never a quadratic blowup on hot nodes.  A naive
-    a<b<c self-join materializes deg^2 wedges on every hot node; the
-    oracle uses exactly that naive algorithm (fine at oracle scale),
-    which cross-checks this orientation logic against an independent
-    formulation."""
-    canon = (
-        edges.select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        # referenced by the degree agg AND both sides of the wedge join:
-        # checkpoint so the upstream edge derivation runs once, not 4x
-        .localCheckpoint(eager=True)
-    )
+def _oriented_triangles(canon: DataFrame) -> DataFrame:
+    """canon: CANONICAL undirected edges [u < v, distinct, no loops],
+    already checkpointed.  Returns one row per triangle [src, x, y] —
+    corner node ids, each triangle exactly once — via the
+    degree-oriented wedge join (see triangle_count's docstring for why
+    this is the formulation that survives power-law skew)."""
     deg = (
         canon.select(F.col("u").alias("node"))
         .unionByName(canon.select(F.col("v").alias("node")))
@@ -370,7 +349,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("x"), F.col("dst").alias("y")
     )
-    tri = wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+    return wedges.join(closing, ["x", "y"]).select("src", "x", "y")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """edges: DataFrame[a:string, b:string], undirected (any direction,
+    duplicates/self-loops tolerated).  Returns DataFrame[node, n_tri]
+    with each node's triangle participation count (nodes in no triangle
+    are absent).
+
+    DEGREE-ORIENTED wedge join — the algorithm that survives skew: orient every
+    edge from its lower-(degree, id) endpoint to the higher one, so each
+    node's out-degree is bounded by ~sqrt(|E|) even on power-law graphs
+    (a celebrity node has huge in-degree but tiny out-degree).  Wedges
+    are generated per out-neighbor pair of the SMALL side only, then
+    closed with one more equi-join against the oriented edge set —
+    3 shuffles total, never a quadratic blowup on hot nodes.  A naive
+    a<b<c self-join materializes deg^2 wedges on every hot node; the
+    oracle uses exactly that naive algorithm (fine at oracle scale),
+    which cross-checks this orientation logic against an independent
+    formulation."""
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        # referenced by the degree agg AND both sides of the wedge join:
+        # checkpoint so the upstream edge derivation runs once, not 4x
+        .localCheckpoint(eager=True)
+    )
+    tri = _oriented_triangles(canon)
     corners = (
         tri.select(F.col("src").alias("node"))
         .unionByName(tri.select(F.col("x").alias("node")))
@@ -1070,3 +1079,133 @@ def negative_samples(
         .select("center", "context", "j", F.col("node").alias("negative"))
     )
     return out
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """edges: DataFrame[a, b] undirected -> DataFrame[node, deg, n_tri,
+    coef]: local clustering coefficient 2*tri / (deg*(deg-1)) in
+    FIXED-POINT (floor((2*tri*10^4) div (deg*(deg-1))) / 10^4 — integer
+    arithmetic end to end, then one exact int/10^4 double division, so
+    the value is bit-identical across engines; the same determinism
+    discipline as pagerank_fixedpoint, avoiding the half-up-vs-half-
+    even double-rounding divergence entirely).  deg<2 nodes get 0.0.
+    Rides the degree-oriented triangle enumeration, so the per-node
+    wedge work stays ~sqrt(|E|) even on power-law graphs; the remaining
+    cost is two aggregations and one join on the node domain."""
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = _oriented_triangles(canon)
+    corners = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    base = deg.join(corners, "node", "left").select(
+        "node", "deg", F.coalesce("n_tri", F.lit(0)).alias("n_tri")
+    )
+    return base.select(
+        "node",
+        "deg",
+        "n_tri",
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("(2 * n_tri * 10000) div (deg * (deg - 1))")
+            .cast("double") / 10000.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coef"),
+    )
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """Per-CANONICAL-edge triangle support over canonical edge set
+    `canon` (checkpointed): [u, v, support].  Edges in no triangle are
+    ABSENT (join with coalesce 0 at the call site)."""
+    tri = _oriented_triangles(canon)
+    legs = (
+        tri.select(F.least("src", "x").alias("u"),
+                   F.greatest("src", "x").alias("v"))
+        .unionByName(tri.select(F.least("src", "y").alias("u"),
+                                F.greatest("src", "y").alias("v")))
+        .unionByName(tri.select(F.least("x", "y").alias("u"),
+                                F.greatest("x", "y").alias("v")))
+    )
+    return legs.groupBy("u", "v").agg(F.count("*").alias("support"))
+
+
+def ktruss_peel(
+    edges: DataFrame, k: int, rounds: int | None = None,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """k-truss: the maximal subgraph whose every edge closes >= k-2
+    triangles WITHIN the subgraph — the edge-level strengthening of the
+    k-core (cohesive communities that survive hub removal).  edges:
+    DataFrame[a, b] undirected; returns DataFrame[u, v, support] —
+    surviving canonical edges with their support in the SURVIVING
+    subgraph.
+
+    rounds=None (production default): peel to CONVERGENCE — each round
+    recomputes per-edge support via the degree-oriented triangle
+    enumeration and drops edges under k-2; a one-row probe ("did any
+    edge drop?") stops the loop, so unknown peel depth at 100x scale
+    cannot silently return a superset (same discipline as kcore_peel,
+    VERDICT r02 item 1).  rounds=<int>: exactly that many peel rounds —
+    the oracle-facing mode (q_ktruss unrolls the identical rounds in
+    SQL with the NAIVE a<b<c triangle join, cross-checking the
+    orientation algebra); output support is then recomputed on the
+    survivor set so both modes share one output contract.
+
+    Cost: one triangle enumeration per round on an ever-shrinking edge
+    set — the round count is the truss peel depth (typically small; a
+    pathological triangle-chain cascade is the deep case, pinned in
+    tests)."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1)")
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    to_convergence = rounds is None
+    n_rounds = max_rounds if to_convergence else rounds
+    for _ in range(n_rounds):
+        sup = _edge_support(canon)
+        kept = (
+            canon.join(sup, ["u", "v"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if to_convergence:
+            dropped = canon.join(kept, ["u", "v"], "left_anti")
+            canon = kept
+            if dropped.limit(1).count() == 0:
+                break
+        else:
+            canon = kept
+    else:
+        if to_convergence:
+            raise RuntimeError(
+                f"k-truss peel did not converge in {max_rounds} rounds"
+            )
+    sup = _edge_support(canon)
+    return canon.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    )

@@ -6684,6 +6684,106 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+# ---- cohesion analytics: clustering coefficient, k-truss ------------------
+
+
+def q_clustering(spark, sf):
+    """Local clustering coefficient over the co-purchase graph
+    (operators/graph.py clustering_coefficient): 2*tri/(deg*(deg-1)) in
+    FIXED-POINT basis points — integer floor division, then one exact
+    int/10^4 double division, so the value hash-matches across engines
+    (no float-rounding caveat).  Triangles ride the degree-oriented
+    wedge join; the oracle recounts them with the naive a<b<c self-join
+    and replays the identical fixed-point algebra."""
+    from .operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_copurchase_edges(spark, sf))
+
+
+SQL_CLUSTERING = f"""
+WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM
+    (SELECT u AS node FROM e UNION ALL SELECT v FROM e) nn
+  GROUP BY node),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.uk = e1.vk
+  JOIN e e3 ON e3.uk = e1.uk AND e3.vk = e2.vk),
+corners AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) cs
+  GROUP BY node)
+SELECT d.node, d.deg, coalesce(c.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN CAST((2 * coalesce(c.n_tri, 0) * 10000)
+                      // (d.deg * (d.deg - 1)) AS DOUBLE) / 10000.0
+            ELSE 0.0 END AS coef
+FROM deg d LEFT JOIN corners c ON c.node = d.node
+"""
+
+
+_KTRUSS_K, _KTRUSS_ROUNDS = 8, 4
+
+
+def q_ktruss(spark, sf):
+    """8-truss of the co-purchase graph by 4 fixed peel rounds
+    (operators/graph.py ktruss_peel; the peel converges in 3 dropping
+    rounds on this graph, so 4 IS the 8-truss) — surviving edges with
+    their triangle support in the surviving subgraph.  Fixed-round is
+    the oracle-facing mode; production default peels to convergence
+    with a one-row probe (kcore_peel discipline).  The oracle unrolls
+    the identical rounds with the NAIVE a<b<c triangle join, so the
+    degree-oriented support counting is checked against an independent
+    formulation every round."""
+    from .operators.graph import ktruss_peel
+
+    return ktruss_peel(
+        _copurchase_edges(spark, sf), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    )
+
+
+def _ktruss_sql() -> str:
+    min_sup = _KTRUSS_K - 2
+    tri = """
+tri{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{p} e1
+  JOIN e{p} e2 ON e2.u = e1.v
+  JOIN e{p} e3 ON e3.u = e1.u AND e3.v = e2.v),
+sup{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT a AS u, b AS v FROM tri{i}
+    UNION ALL SELECT b, c FROM tri{i}
+    UNION ALL SELECT a, c FROM tri{i}) legs
+  GROUP BY u, v)"""
+    rounds = []
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        rounds.append(tri.format(i=i, p=i - 1) + f""",
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN sup{i} s ON s.u = e.u AND s.v = e.v
+  WHERE s.s >= {min_sup})""")
+    n = _KTRUSS_ROUNDS
+    return (
+        f"WITH e0 AS MATERIALIZED (SELECT u, v FROM ({_COPURCHASE_SQL}) ce),"
+        + ",".join(rounds)
+        + ","
+        + tri.format(i="f", p=n)
+        + f"""
+SELECT least(e.u, e.v) AS u, greatest(e.u, e.v) AS v,
+       coalesce(s.s, 0) AS support
+FROM e{n} e LEFT JOIN supf s ON s.u = e.u AND s.v = e.v
+"""
+    )
+
+
+SQL_KTRUSS = _ktruss_sql()
+
+
 # ---- ontology breadth: equivalence, consistency report, VoID stats --------
 
 
@@ -6856,6 +6956,8 @@ REGISTRY: dict[str, tuple] = {
     "q_owl_equiv": (q_owl_equiv, SQL_OWL_EQUIV),
     "q_owl_inconsistent": (q_owl_inconsistent, SQL_OWL_INCONSISTENT),
     "q_void": (q_void, SQL_VOID),
+    "q_clustering": (q_clustering, SQL_CLUSTERING),
+    "q_ktruss": (q_ktruss, SQL_KTRUSS),
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),

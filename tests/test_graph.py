@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from logset_spark.operators.graph import (
     PR_SCALE,
     pagerank_fixedpoint,
@@ -755,3 +757,110 @@ def test_anf_reach_estimates_and_monotonicity(spark):
     # FM with 32 salts: typical error ~ 0.78/sqrt(32) ~ 14%; allow slack
     assert rel_errs, "fixture produced no reaches >= 4"
     assert sum(rel_errs) / len(rel_errs) < 0.35, sum(rel_errs) / len(rel_errs)
+
+
+def _py_truss(edges: list[tuple[str, str]], k: int) -> dict[tuple, int]:
+    """Brute-force k-truss: peel edges with support < k-2 until stable;
+    returns surviving canonical edge -> support in survivor graph."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+    def support(eset):
+        nbrs = {}
+        for u, v in eset:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(nbrs[u] & nbrs[v]) for u, v in eset
+        }
+
+    while True:
+        sup = support(es)
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return sup
+        es -= drop
+
+
+def _py_clustering(edges: list[tuple[str, str]]) -> dict[str, tuple]:
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs: dict[str, set] = {}
+    for u, v in es:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    out = {}
+    for n, ns in nbrs.items():
+        d = len(ns)
+        t = sum(
+            1
+            for a in ns
+            for b in ns
+            if a < b and tuple(sorted((a, b))) in es
+        )
+        coef = ((2 * t * 10000) // (d * (d - 1))) / 10000.0 if d >= 2 else 0.0
+        out[n] = (d, t, coef)
+    return out
+
+
+def test_clustering_coefficient_matches_bruteforce(spark):
+    rng = random.Random(5)
+    edges = [
+        (f"n{rng.randrange(14)}", f"n{rng.randrange(14)}") for _ in range(40)
+    ]
+    from logset_spark.operators.graph import clustering_coefficient
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["coef"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got == _py_clustering(edges)
+
+
+def test_ktruss_matches_bruteforce_random(spark):
+    from logset_spark.operators.graph import ktruss_peel
+
+    for seed in (6, 7):
+        rng = random.Random(seed)
+        edges = [
+            (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}")
+            for _ in range(45)
+        ]
+        df = spark.createDataFrame(edges, "a string, b string")
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in ktruss_peel(df, k=4).collect()
+        }
+        assert got == _py_truss(edges, 4)
+
+
+def test_ktruss_converges_on_triangle_chain_cascade(spark):
+    """A chain of triangles sharing edges: removing the weakest end
+    edge cascades one triangle per round — the deep-peel adversary.
+    Convergence mode must fully dissolve it for k=4 (every edge is in
+    at most 2 triangles... chain interior edges are in 2, so the 4-truss
+    (support>=2) keeps the interior until the cascade eats inward)."""
+    from logset_spark.operators.graph import ktruss_peel
+
+    # triangles (i, i+1, i+2) for i in 0..6: shared edges form the chain
+    edges = []
+    for i in range(7):
+        a, b, c = f"t{i:02d}", f"t{i + 1:02d}", f"t{i + 2:02d}"
+        edges += [(a, b), (b, c), (a, c)]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in ktruss_peel(df, k=4).collect()
+    }
+    assert got == _py_truss(edges, 4)
+    # and a fixed round count SHORT of convergence differs (superset),
+    # proving the convergence probe is load-bearing
+    short = ktruss_peel(df, k=4, rounds=1).count()
+    assert short > len(got)
+
+
+def test_ktruss_rejects_small_k(spark):
+    from logset_spark.operators.graph import ktruss_peel
+
+    df = spark.createDataFrame([("a", "b")], "a string, b string")
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss_peel(df, k=2)
