@@ -6684,6 +6684,57 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+# ---- R2RML-lite declarative relational-to-RDF mapping ----------------------
+
+
+def q_r2rml(spark, sf):
+    """R2RML-lite mapping executed as a DataFrame plan
+    (operators/r2rml.py): orders rows become typed subjects with
+    template/column object maps, plus a RefObjectMap join turning the
+    customer foreign key into a graph edge whose object is the PARENT
+    map's subject — the star-schema-to-graph rule.  Every term is
+    minted by codegen'd concat (no Python in the row path); the oracle
+    replays the identical templates and join in SQL."""
+    from .operators.r2rml import Col, Const, Ref, Template, TriplesMap, r2rml_map
+
+    tables = {
+        "orders": _t(spark, sf, "orders"),
+        "customer": _t(spark, sf, "customer"),
+    }
+    tm = TriplesMap(
+        table="orders",
+        subject=Template("o:{o_orderkey}"),
+        where="o_orderkey % 17 = 0",
+        pos=(
+            ("rdf:type", Const("kg:Order")),
+            ("kg:status", Col("o_orderstatus")),
+            ("kg:prio", Template("pr:{o_orderpriority}")),
+            ("kg:cust", Ref("customer", "o_custkey", "c_custkey",
+                            Template("c:{c_custkey}"))),
+        ),
+    )
+    return r2rml_map(tables, [tm])
+
+
+SQL_R2RML = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey % 17 = 0)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'rdf:type' AS pred, 'kg:Order' AS obj FROM o
+  UNION ALL
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'kg:status',
+         o_orderstatus FROM o
+  UNION ALL
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'kg:prio',
+         'pr:' || o_orderpriority FROM o
+  UNION ALL
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'kg:cust',
+         'c:' || CAST(c_custkey AS VARCHAR)
+  FROM o JOIN customer ON o_custkey = c_custkey
+) t
+"""
+
+
 # ---- cohesion analytics: clustering coefficient, k-truss ------------------
 
 
@@ -6958,6 +7009,7 @@ REGISTRY: dict[str, tuple] = {
     "q_void": (q_void, SQL_VOID),
     "q_clustering": (q_clustering, SQL_CLUSTERING),
     "q_ktruss": (q_ktruss, SQL_KTRUSS),
+    "q_r2rml": (q_r2rml, SQL_R2RML),
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),
