@@ -1209,3 +1209,138 @@ def ktruss_peel(
     return canon.join(sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce("support", F.lit(0)).alias("support")
     )
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality (Brandes): run the exact
+    dependency accumulation from the `sources` sample only, so the
+    score is the exact betweenness restricted to those roots — the
+    standard estimator (scale by N/|S| for an unbiased full-graph
+    estimate; the raw restricted sum is returned so callers control the
+    scaling).  edges: [src, dst]; sources: [node];
+    returns DataFrame[node, score] for nodes with nonzero dependency —
+    sources themselves (endpoints) excluded per Brandes.
+
+    Two level-synchronous phases, both all-sources-at-once (the tagged
+    frontier trick bfs_distances_tagged uses, so rounds = max
+    eccentricity over the sample, not |S| x rounds):
+
+      forward   per (source, node): shortest-path distance AND path
+                count sigma — sigma is INTEGER (sum over same-level
+                predecessors), deterministic across partitionings.
+      backward  per level, deepest first: delta(v) = sum over
+                successors w one level deeper of
+                sigma(v)/sigma(w) * (1 + delta(w)) — one join per
+                level on the two adjacent level slices.
+
+    The ratios make delta a float whose cross-engine summation order
+    is not fixed — which is WHY this operator is registry rows-only
+    (same class as HLL): the pytest gate replays exact Brandes in
+    Python instead.  sigma is bigint: path counts can overflow past
+    ~9e18 on adversarially dense DAGs — at that count the estimator is
+    meaningless anyway; document, don't mask.
+
+    Scale shape: per-round work proportional to the frontier /
+    level-slice out-degree, localCheckpoint per round (lineage), the
+    single driver crossing per round is a scalar probe; the backward
+    loop reads only two adjacent level slices per step."""
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    state = (
+        sources.select(F.col("node").alias("bsrc"))
+        .distinct()
+        .select(
+            "bsrc",
+            F.col("bsrc").alias("node"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_iter):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                "bsrc",
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+                "sigma",
+            )
+            .groupBy("bsrc", "node")
+            .agg(F.min("dist").alias("dist"), F.sum("sigma").alias("sigma"))
+            .join(
+                state.select("bsrc", "node"), ["bsrc", "node"], "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"betweenness forward BFS did not settle in {max_iter} rounds"
+        )
+
+    maxd = state.agg(F.max("dist")).first()[0] or 0
+    spark = edges.sparkSession
+    delta = spark.createDataFrame(
+        [], "bsrc string, node string, delta double"
+    )
+    for lvl in range(maxd - 1, -1, -1):
+        vside = state.where(F.col("dist") == lvl).select(
+            "bsrc", F.col("node").alias("v"), F.col("sigma").alias("sv")
+        )
+        wside = (
+            state.where(F.col("dist") == lvl + 1)
+            .select("bsrc", F.col("node").alias("w"),
+                    F.col("sigma").alias("sw"))
+            .join(
+                delta.select("bsrc", F.col("node").alias("w"), "delta"),
+                ["bsrc", "w"],
+                "left",
+            )
+            .select("bsrc", "w", "sw",
+                    F.coalesce("delta", F.lit(0.0)).alias("dw"))
+        )
+        contrib = (
+            vside.join(e, vside["v"] == e["src"])
+            .join(
+                wside,
+                (vside["bsrc"] == wside["bsrc"]) & (e["dst"] == wside["w"]),
+            )
+            .select(
+                vside["bsrc"],
+                F.col("v").alias("node"),
+                (
+                    F.col("sv").cast("double") / F.col("sw")
+                    * (F.lit(1.0) + F.col("dw"))
+                ).alias("part"),
+            )
+            .groupBy("bsrc", "node")
+            .agg(F.sum("part").alias("delta"))
+        )
+        delta = delta.unionByName(contrib).localCheckpoint(eager=True)
+
+    return (
+        delta.join(
+            state.where(F.col("dist") == 0).select("bsrc", "node"),
+            ["bsrc", "node"],
+            "left_anti",
+        )
+        .groupBy("node")
+        .agg(F.sum("delta").alias("score"))
+    )

@@ -6684,6 +6684,35 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+# ---- landmark-sampled betweenness centrality -------------------------------
+
+
+def q_betweenness(spark, sf):
+    """Landmark-sampled Brandes betweenness (operators/graph.py
+    betweenness_approx) over the binary containment tree + sibling
+    edges, landmarks {t:001, t:003}.  ROWS-ONLY by design: the
+    dependency ratios sigma_v/sigma_w make the score a float whose
+    cross-engine summation order cannot be fixed (same class as the HLL
+    q_approx); the quantitative gate is the exact Python Brandes replay
+    in tests/test_graph.py (abs tol 1e-9, directed and undirected)."""
+    from .operators.graph import betweenness_approx
+
+    p = _t(spark, sf, "part").where(F.col("p_partkey").between(2, 127))
+    k = F.col("p_partkey")
+    tree = p.select(
+        F.format_string("t:%03d", F.expr("p_partkey div 2")).alias("src"),
+        F.format_string("t:%03d", k).alias("dst"),
+    )
+    sib = p.where(k % 2 == 1).select(
+        F.format_string("t:%03d", k - 1).alias("src"),
+        F.format_string("t:%03d", k).alias("dst"),
+    )
+    sources = spark.createDataFrame([("t:001",), ("t:003",)], "node string")
+    return betweenness_approx(
+        tree.unionByName(sib), sources, directed=True
+    )
+
+
 # ---- R2RML-lite declarative relational-to-RDF mapping ----------------------
 
 
@@ -7010,6 +7039,7 @@ REGISTRY: dict[str, tuple] = {
     "q_clustering": (q_clustering, SQL_CLUSTERING),
     "q_ktruss": (q_ktruss, SQL_KTRUSS),
     "q_r2rml": (q_r2rml, SQL_R2RML),
+    "q_betweenness": (q_betweenness, None),
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),

@@ -864,3 +864,87 @@ def test_ktruss_rejects_small_k(spark):
     df = spark.createDataFrame([("a", "b")], "a string, b string")
     with pytest.raises(ValueError, match="k >= 3"):
         ktruss_peel(df, k=2)
+
+
+def _py_brandes(
+    edges: list[tuple[str, str]], sources: list[str], directed: bool
+) -> dict[str, float]:
+    """Exact Brandes dependency accumulation restricted to `sources`."""
+    from collections import deque
+
+    adj: dict[str, list[str]] = {}
+    es = {(a, b) for a, b in edges if a != b}
+    if not directed:
+        es |= {(b, a) for a, b in es}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+    score: dict[str, float] = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+        delta = {v: 0.0 for v in order}
+        for v in reversed(order):
+            for w in adj.get(v, ()):
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if v != s and delta[v] > 0:
+                score[v] = score.get(v, 0.0) + delta[v]
+    return score
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_betweenness_matches_exact_brandes(spark, directed):
+    from logset_spark.operators.graph import betweenness_approx
+
+    rng = random.Random(17)
+    edges = [
+        (f"n{rng.randrange(16)}", f"n{rng.randrange(16)}") for _ in range(40)
+    ]
+    sources = ["n0", "n3", "n7"]
+    got = {
+        r["node"]: r["score"]
+        for r in betweenness_approx(
+            spark.createDataFrame(edges, "src string, dst string"),
+            spark.createDataFrame([(s,) for s in sources], "node string"),
+            directed=directed,
+        ).collect()
+    }
+    want = _py_brandes(edges, sources, directed)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_betweenness_bridge_dominates(spark):
+    """Two cliques joined by one bridge: the bridge endpoints carry the
+    mass — the sanity property a sampled estimator must preserve."""
+    from logset_spark.operators.graph import betweenness_approx
+
+    edges = []
+    for base in ("a", "b"):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((f"{base}{i}", f"{base}{j}"))
+    edges.append(("a0", "b0"))
+    got = {
+        r["node"]: r["score"]
+        for r in betweenness_approx(
+            spark.createDataFrame(edges, "src string, dst string"),
+            spark.createDataFrame(
+                [("a1",), ("b2",)], "node string"
+            ),
+        ).collect()
+    }
+    assert got["a0"] > max(got.get(f"a{i}", 0) for i in (2, 3))
+    assert got["b0"] > max(got.get(f"b{i}", 0) for i in (1, 3))
