@@ -1344,3 +1344,119 @@ def betweenness_approx(
         .groupBy("node")
         .agg(F.sum("delta").alias("score"))
     )
+
+
+def neighbor_sample(
+    edges: DataFrame, k: int, salt: str = "ns"
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: for every src
+    keep the k out-neighbors minimizing md5(salt:src:dst) ->
+    DataFrame[src, dst, rank] (rank 1..k in hash order).  The hash IS
+    the sampler (uniform over neighbors, reseeded by `salt`), and the
+    same determinism contract as deterministic_walks: resumable jobs
+    regenerate byte-identical minibatch neighborhoods, and the DuckDB
+    oracle replays the identical argmin.  One window shuffle on src;
+    hub nodes cost hash evaluations, never a candidate blowup — the
+    sample bounds every downstream fanout at k."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    h = F.md5(F.concat_ws(":", F.lit(salt), "src", "dst"))
+    w = W.partitionBy("src").orderBy(h)
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "rank")
+    )
+
+
+def sample_fanout(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    salt: str = "ns",
+) -> DataFrame:
+    """Layered minibatch neighborhood sampling (the GraphSAGE fanout
+    schedule): from `seeds` [node], sample fanouts[0] neighbors, then
+    fanouts[1] neighbors of THOSE, ... -> DataFrame[layer, src, dst,
+    rank] (layer 1-based).  Each layer is one semi-join restricting the
+    presampled ranks to the current frontier — the global
+    neighbor_sample ranking is computed ONCE and reused across layers,
+    so the whole schedule costs one window shuffle plus a semi-join per
+    layer, and a node sampled at two layers contributes the SAME
+    neighbor set (deterministic minibatches).  Frontier growth is
+    bounded by prod(fanouts) x |seeds| by construction."""
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
+    ranked = neighbor_sample(
+        edges, max(fanouts), salt
+    ).localCheckpoint(eager=True)
+    frontier = seeds.select(F.col("node").alias("src")).distinct()
+    outs = []
+    for layer, k in enumerate(fanouts, start=1):
+        sampled = ranked.where(F.col("rank") <= k).join(
+            frontier, "src", "left_semi"
+        )
+        outs.append(
+            sampled.select(
+                F.lit(layer).alias("layer"), "src", "dst", "rank"
+            ).localCheckpoint(eager=True)
+        )
+        frontier = sampled.select(F.col("dst").alias("src")).distinct()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def ego_network(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    directed: bool = False,
+    max_nodes: int | None = None,
+) -> DataFrame:
+    """K-hop ego network: the edge set INDUCED on every node within
+    `hops` of a seed (undirected reach by default) -> DataFrame[src,
+    dst] of original-direction edges with both endpoints in the ball.
+    The serving-side subgraph extraction for "show me the neighborhood
+    of entity X" — frontier BFS (per-round work proportional to the
+    frontier) followed by one induction semi-join per endpoint.
+
+    max_nodes: optional hard cap — a hub seed at 10^12 edges can own a
+    ball of millions; beyond the cap the operator raises rather than
+    silently materializing it (the caller picks sampling instead:
+    sample_fanout is the bounded alternative)."""
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+    walk = e if directed else e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    walk = walk.localCheckpoint(eager=True)
+    ball = seeds.select("node").distinct().localCheckpoint(eager=True)
+    frontier = ball
+    for _ in range(hops):
+        nxt = (
+            frontier.join(walk, frontier["node"] == walk["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(ball, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        ball = ball.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if max_nodes is not None and ball.limit(max_nodes + 1).count() > max_nodes:
+        raise ValueError(
+            f"ego ball exceeds max_nodes={max_nodes}; use sample_fanout "
+            "for a bounded neighborhood"
+        )
+    return (
+        e.join(ball.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(ball.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+    )

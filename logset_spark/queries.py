@@ -6684,6 +6684,130 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+# ---- GNN-prep / serving: neighbor sampling, fanout schedule, ego nets ------
+
+
+def _tree_sib_edges(spark, sf):
+    """Shared directed DAG fixture: binary containment tree (2..127)
+    plus sibling edges p-1 -> p for odd p (same shape q_topo uses)."""
+    p = _t(spark, sf, "part").where(F.col("p_partkey").between(2, 127))
+    k = F.col("p_partkey")
+    tree = p.select(
+        F.format_string("t:%03d", F.expr("p_partkey div 2")).alias("src"),
+        F.format_string("t:%03d", k).alias("dst"),
+    )
+    sib = p.where(k % 2 == 1).select(
+        F.format_string("t:%03d", k - 1).alias("src"),
+        F.format_string("t:%03d", k).alias("dst"),
+    )
+    return tree.unionByName(sib)
+
+
+_TREE_SIB_SQL = """
+  SELECT 't:' || lpad(CAST(p_partkey // 2 AS VARCHAR), 3, '0') AS src,
+         't:' || lpad(CAST(p_partkey AS VARCHAR), 3, '0') AS dst
+  FROM part WHERE p_partkey BETWEEN 2 AND 127
+  UNION
+  SELECT 't:' || lpad(CAST(p_partkey - 1 AS VARCHAR), 3, '0'),
+         't:' || lpad(CAST(p_partkey AS VARCHAR), 3, '0')
+  FROM part WHERE p_partkey BETWEEN 2 AND 127 AND p_partkey % 2 = 1
+"""
+
+
+def q_neighbor_sample(spark, sf):
+    """Deterministic GraphSAGE-style neighbor sampling
+    (operators/graph.py neighbor_sample): per supplier keep the 3
+    co-occurring parts minimizing md5(salt:src:dst) — the hash IS the
+    sampler, so minibatch neighborhoods are byte-stable across reruns
+    and the oracle replays the identical argmin with ROW_NUMBER over
+    the same md5."""
+    from .operators.graph import neighbor_sample
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    edges = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return neighbor_sample(edges, k=3)
+
+
+SQL_NEIGHBOR_SAMPLE = """
+WITH e AS (
+  SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p:' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey % 7 = 0),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY src
+           ORDER BY md5('ns:' || src || ':' || dst)) AS rank
+  FROM e)
+SELECT src, dst, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_sample_fanout(spark, sf):
+    """Layered fanout sampling (operators/graph.py sample_fanout,
+    fanouts [2, 2] from seed t:001 over the tree+sibling DAG): the
+    global hash ranking is computed once and restricted per layer, so
+    a node sampled at two layers gets the SAME neighbors.  Oracle =
+    two unrolled window passes over the identical md5 ranking."""
+    from .operators.graph import sample_fanout
+
+    seeds = spark.createDataFrame([("t:001",)], "node string")
+    return sample_fanout(_tree_sib_edges(spark, sf), seeds, [2, 2])
+
+
+SQL_SAMPLE_FANOUT = f"""
+WITH e AS ({_TREE_SIB_SQL}),
+ranked AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY src
+           ORDER BY md5('ns:' || src || ':' || dst)) AS rank
+  FROM (SELECT DISTINCT src, dst FROM e WHERE src <> dst) ee),
+l1 AS (SELECT src, dst, rank FROM ranked
+       WHERE rank <= 2 AND src = 't:001'),
+l2 AS (SELECT src, dst, rank FROM ranked
+       WHERE rank <= 2 AND src IN (SELECT DISTINCT dst FROM l1))
+SELECT 1 AS layer, src, dst, CAST(rank AS INTEGER) AS rank FROM l1
+UNION ALL
+SELECT 2, src, dst, CAST(rank AS INTEGER) FROM l2
+"""
+
+
+def q_ego(spark, sf):
+    """2-hop ego network around t:020 (operators/graph.py ego_network,
+    undirected reach): frontier BFS to the ball, then the edge set
+    induced on it — the serving-side "neighborhood of entity X"
+    extraction, with a max_nodes guard against hub balls at scale
+    (sample_fanout is the bounded alternative).  Oracle = recursive
+    depth-capped walk over bidirected edges + induction joins."""
+    from .operators.graph import ego_network
+
+    seeds = spark.createDataFrame([("t:020",)], "node string")
+    return ego_network(_tree_sib_edges(spark, sf), seeds, hops=2)
+
+
+SQL_EGO = f"""
+WITH RECURSIVE e AS ({_TREE_SIB_SQL}),
+bi AS (SELECT src, dst FROM e WHERE src <> dst
+       UNION SELECT dst, src FROM e WHERE src <> dst),
+ball(node, d) AS (
+  SELECT 't:020', 0
+  UNION
+  SELECT bi.dst, b.d + 1 FROM ball b JOIN bi ON bi.src = b.node
+  WHERE b.d < 2),
+nodes AS (SELECT DISTINCT node FROM ball)
+SELECT DISTINCT e.src, e.dst
+FROM e
+WHERE e.src <> e.dst
+  AND e.src IN (SELECT node FROM nodes)
+  AND e.dst IN (SELECT node FROM nodes)
+"""
+
+
 # ---- landmark-sampled betweenness centrality -------------------------------
 
 
@@ -7040,6 +7164,9 @@ REGISTRY: dict[str, tuple] = {
     "q_ktruss": (q_ktruss, SQL_KTRUSS),
     "q_r2rml": (q_r2rml, SQL_R2RML),
     "q_betweenness": (q_betweenness, None),
+    "q_neighbor_sample": (q_neighbor_sample, SQL_NEIGHBOR_SAMPLE),
+    "q_sample_fanout": (q_sample_fanout, SQL_SAMPLE_FANOUT),
+    "q_ego": (q_ego, SQL_EGO),
     # round-3 session-9 additions
     "q_coref": (q_coref, SQL_COREF),
     "q_stream_structural": (q_stream_structural, SQL_STREAM_STRUCTURAL),

@@ -948,3 +948,87 @@ def test_betweenness_bridge_dominates(spark):
     }
     assert got["a0"] > max(got.get(f"a{i}", 0) for i in (2, 3))
     assert got["b0"] > max(got.get(f"b{i}", 0) for i in (1, 3))
+
+
+def test_neighbor_sample_deterministic_and_bounded(spark):
+    from logset_spark.operators.graph import neighbor_sample
+
+    rng = random.Random(23)
+    edges = [
+        (f"s{rng.randrange(6)}", f"d{rng.randrange(30)}") for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, neighbor_sample(df, 4).collect()))
+    b = sorted(map(tuple, neighbor_sample(df, 4).collect()))
+    assert a == b  # byte-stable across runs
+    per_src: dict[str, list] = {}
+    for s, d, r in a:
+        per_src.setdefault(s, []).append(r)
+    for s, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+    # reseeding actually changes the sample
+    c = sorted(map(tuple, neighbor_sample(df, 4, salt="other").collect()))
+    assert c != a
+    with pytest.raises(ValueError, match="k must be"):
+        neighbor_sample(df, 0)
+
+
+def test_sample_fanout_layers_and_consistency(spark):
+    from logset_spark.operators.graph import neighbor_sample, sample_fanout
+
+    rng = random.Random(29)
+    edges = [
+        (f"n{rng.randrange(10)}", f"n{rng.randrange(10)}") for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    out = sample_fanout(df, seeds, [3, 2]).collect()
+    l1 = [(r["src"], r["dst"]) for r in out if r["layer"] == 1]
+    l2 = [(r["src"], r["dst"]) for r in out if r["layer"] == 2]
+    assert {s for s, _ in l1} <= {"n0", "n1"}
+    assert {s for s, _ in l2} <= {d for _, d in l1}
+    # layer-2 fanout respects its own k and matches the global ranking
+    ranked = {
+        (r["src"], r["dst"]): r["rank"]
+        for r in neighbor_sample(df, 3).collect()
+    }
+    for s, d in l2:
+        assert ranked[(s, d)] <= 2
+    with pytest.raises(ValueError, match="fanouts"):
+        sample_fanout(df, seeds, [])
+
+
+def test_ego_network_matches_python_ball(spark):
+    from logset_spark.operators.graph import ego_network
+
+    rng = random.Random(31)
+    edges = list({
+        (f"n{rng.randrange(20)}", f"n{rng.randrange(20)}")
+        for _ in range(45)
+    })
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    got = {
+        (r["src"], r["dst"])
+        for r in ego_network(df, seeds, hops=2).collect()
+    }
+    # python replay: undirected 2-hop ball, then induced original edges
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    ball = {"n0"}
+    frontier = {"n0"}
+    for _ in range(2):
+        frontier = {
+            w for v in frontier for w in adj.get(v, ()) if w not in ball
+        }
+        ball |= frontier
+    want = {
+        (a, b) for a, b in edges if a != b and a in ball and b in ball
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="max_nodes"):
+        ego_network(df, seeds, hops=3, max_nodes=2)
