@@ -1460,3 +1460,88 @@ def ego_network(
         .join(ball.select(F.col("node").alias("dst")), "dst", "left_semi")
         .select("src", "dst")
     )
+
+
+def modularity_parts(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition, ALL-INTEGER: for each
+    community c over the canonical undirected edge set,
+        q_num(c) = 4*m*e_c - deg_c^2
+    so that modularity Q = sum(q_num) / (4*m^2) — one exact-integer
+    numerator per community and a single float division the CALLER
+    performs (modularity_score), keeping every distributed aggregate
+    order-independent and hash-comparable across engines (the
+    pagerank_fixedpoint discipline applied to community scoring).
+
+    edges: [a, b] undirected; labels: [node, label] (e.g.
+    label_propagation or connected_components output).  Returns
+    DataFrame[label, n_nodes, e_intra, deg_sum, q_num].  m rides the
+    plan as a broadcast one-row aggregate — never a driver collect.
+    Overflow: |q_num| <= 4m^2, so bigint holds any graph to m ~ 10^9
+    edges per community partition; beyond that, scale the decomposition
+    per partition slice."""
+    canon = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select("node", "label")
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    per_label = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    intra = (
+        canon.join(
+            lab.select(F.col("node").alias("u"),
+                       F.col("label").alias("lu")), "u"
+        )
+        .join(
+            lab.select(F.col("node").alias("v"),
+                       F.col("label").alias("lv")), "v"
+        )
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").alias("e_intra"))
+    )
+    m_row = canon.agg(F.count("*").alias("m"))
+    return (
+        per_label.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("e_intra", F.lit(0)).alias("e_intra"),
+            "deg_sum",
+            (
+                4 * F.col("m") * F.coalesce("e_intra", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).alias("q_num"),
+        )
+    )
+
+
+def modularity_score(edges: DataFrame, labels: DataFrame) -> float:
+    """Scalar modularity Q = sum(q_num) / (4*m^2) — the one float
+    division, driver-side, over the integer decomposition."""
+    parts = modularity_parts(edges, labels)
+    canon = edges.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    row = parts.agg(F.sum("q_num").alias("num")).crossJoin(
+        canon.agg(F.count("*").alias("m"))
+    ).first()
+    if not row["m"]:
+        return 0.0
+    return row["num"] / (4.0 * row["m"] * row["m"])

@@ -6684,6 +6684,61 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+# ---- community quality: all-integer modularity decomposition ---------------
+
+
+def q_modularity(spark, sf):
+    """Per-community modularity decomposition of the LPA partition on
+    the co-purchase graph (operators/graph.py modularity_parts):
+    q_num(c) = 4*m*e_c - deg_c^2, ALL-INTEGER (Q = sum/4m^2 is the one
+    caller-side float division — modularity_score), so the distributed
+    aggregates are order-independent and the oracle hash-matches
+    exactly.  The oracle composes the unrolled SQL_LPA rounds with the
+    same integer algebra."""
+    from .operators.graph import label_propagation, modularity_parts
+
+    edges = _copurchase_edges(spark, sf)
+    labels = label_propagation(edges, n_iter=_LPA_ROUNDS)
+    return modularity_parts(edges, labels)
+
+
+def _modularity_sql() -> str:
+    lpa_body = (
+        f"""
+WITH e AS MATERIALIZED (SELECT u, v FROM ({_COPURCHASE_SQL}) ce),
+adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
+                     UNION ALL SELECT v, u FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),"""
+        + ",".join(
+            _LPA_ITER_SQL.format(i=i, p=i - 1)
+            for i in range(1, _LPA_ROUNDS + 1)
+        )
+    )
+    return (
+        lpa_body
+        + f""",
+lab AS MATERIALIZED (SELECT node, label FROM l{_LPA_ROUNDS}),
+m AS (SELECT count(*) AS m FROM e),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+per_label AS (
+  SELECT l.label, count(*) AS n_nodes,
+         CAST(sum(d.deg) AS BIGINT) AS deg_sum
+  FROM deg d JOIN lab l ON l.node = d.node GROUP BY l.label),
+intra AS (
+  SELECT lu.label, count(*) AS e_intra
+  FROM e JOIN lab lu ON lu.node = e.u
+         JOIN lab lv ON lv.node = e.v
+  WHERE lu.label = lv.label GROUP BY lu.label)
+SELECT p.label, p.n_nodes, coalesce(i.e_intra, 0) AS e_intra, p.deg_sum,
+       4 * m.m * coalesce(i.e_intra, 0) - p.deg_sum * p.deg_sum AS q_num
+FROM per_label p LEFT JOIN intra i ON i.label = p.label CROSS JOIN m
+"""
+    )
+
+
+SQL_MODULARITY = _modularity_sql()
+
+
 # ---- GNN-prep / serving: neighbor sampling, fanout schedule, ego nets ------
 
 
@@ -7164,6 +7219,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ktruss": (q_ktruss, SQL_KTRUSS),
     "q_r2rml": (q_r2rml, SQL_R2RML),
     "q_betweenness": (q_betweenness, None),
+    "q_modularity": (q_modularity, SQL_MODULARITY),
     "q_neighbor_sample": (q_neighbor_sample, SQL_NEIGHBOR_SAMPLE),
     "q_sample_fanout": (q_sample_fanout, SQL_SAMPLE_FANOUT),
     "q_ego": (q_ego, SQL_EGO),

@@ -8,6 +8,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from logset_spark.operators.graph import (
     PR_SCALE,
@@ -1032,3 +1033,47 @@ def test_ego_network_matches_python_ball(spark):
     assert got == want
     with pytest.raises(ValueError, match="max_nodes"):
         ego_network(df, seeds, hops=3, max_nodes=2)
+
+
+def test_modularity_matches_python_and_prefers_true_partition(spark):
+    from logset_spark.operators.graph import (
+        modularity_parts,
+        modularity_score,
+    )
+
+    # two 4-cliques plus one bridge
+    edges = []
+    for base in ("a", "b"):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((f"{base}{i}", f"{base}{j}"))
+    edges.append(("a0", "b0"))
+    df = spark.createDataFrame(edges, "a string, b string")
+    good = spark.createDataFrame(
+        [(f"{b}{i}", b) for b in ("a", "b") for i in range(4)],
+        "node string, label string",
+    )
+    allone = good.select("node", F.lit("x").alias("label"))
+
+    # python replay of the integer decomposition for the good partition
+    m = len(edges)
+    deg: dict[str, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    want = {}
+    for lbl in ("a", "b"):
+        e_c = sum(1 for u, v in edges if u[0] == lbl and v[0] == lbl)
+        d_c = sum(d for n, d in deg.items() if n[0] == lbl)
+        want[lbl] = (4, e_c, d_c, 4 * m * e_c - d_c * d_c)
+    got = {
+        r["label"]: (r["n_nodes"], r["e_intra"], r["deg_sum"], r["q_num"])
+        for r in modularity_parts(df, good).collect()
+    }
+    assert got == want
+    q_good = modularity_score(df, good)
+    assert abs(q_good - sum(w[3] for w in want.values()) / (4 * m * m)) < 1e-12
+    # the true community split scores higher than the trivial partition
+    assert q_good > modularity_score(df, allone)
+    # and the trivial all-in-one partition has Q == 0 exactly
+    assert modularity_score(df, allone) == 0.0
