@@ -24,10 +24,11 @@ def test_registry_shape():
     # every oracle key names a query; all values are non-empty strings
     assert set(sqls) <= set(qs)
     assert all(isinstance(s, str) and s.strip() for s in sqls.values())
-    # rows-only set stays the documented six
+    # rows-only set stays the documented seven (betweenness joined in
+    # session 11: float dependency ratios are not SQL-reproducible)
     assert sorted(set(qs) - set(sqls)) == [
-        "q_ann_ivf", "q_ann_lsh", "q_approx", "q_dedup_minhash",
-        "q_dedup_simhash", "q_multimodal_features",
+        "q_ann_ivf", "q_ann_lsh", "q_approx", "q_betweenness",
+        "q_dedup_minhash", "q_dedup_simhash", "q_multimodal_features",
     ]
     assert all(callable(f) for f in qs.values())
 
