@@ -70,6 +70,15 @@ def main(argv=None) -> int:
                         "— maintained per-predicate KG stats)")
     p.add_argument("--view-sum-cols", default="",
                    help="comma-separated exact-numeric columns to sum")
+    p.add_argument("--analyze", action="store_true",
+                   help="compute per-predicate statistics (count + "
+                        "approx distinct subj/obj) in one pass and "
+                        "persist them under <warehouse>/_stats — the "
+                        "ANALYZE TABLE pattern: query_graph --analyze "
+                        "then reuses the persisted rows instead of "
+                        "scanning per query; re-run on the compaction "
+                        "cadence (stats only steer join order, so "
+                        "staleness can mis-order but never mis-answer)")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -125,6 +134,16 @@ def main(argv=None) -> int:
             sum_cols=[c for c in args.view_sum_cols.split(",") if c],
         )
         out["view_refresh"] = view.refresh(spark, store)
+    if args.analyze:
+        import os
+
+        from logset_spark.operators.sparql import analyze, save_stats
+
+        st = analyze(store.read(spark).select("subj", "pred", "obj"))
+        save_stats(
+            st, spark, os.path.join(args.warehouse, "_stats", "pred_stats")
+        )
+        out["analyze"] = {"preds": len(st.pred_counts), "total": st.total}
     out["version_after"] = store.current_version()
     if args.refs:
         out["refs"] = [r.asDict() for r in store.refs(spark).collect()]

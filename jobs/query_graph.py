@@ -204,9 +204,23 @@ def main(argv=None) -> int:
             services[iri] = TableIO(root=path).read(spark, "triples")
     stats = None
     if args.analyze:
-        from logset_spark.operators.sparql import analyze
+        from logset_spark.operators.sparql import analyze, load_stats
 
-        stats = analyze(triples)
+        stats_path = (
+            os.path.join(args.warehouse, "_stats", "pred_stats")
+            if args.warehouse else None
+        )
+        if (
+            stats_path
+            and os.path.isdir(stats_path)
+            # persisted stats describe the BASE graph only — under
+            # entailment/provenance expansion the per-pred counts
+            # differ, so fall back to a fresh scan of the expanded set
+            and not (args.rdfs or args.owl or args.provenance)
+        ):
+            stats = load_stats(spark, stats_path)
+        else:
+            stats = analyze(triples)
     if args.star:
         if not args.warehouse:
             p.error("--star needs a --warehouse (annotations derive "

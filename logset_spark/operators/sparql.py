@@ -1783,3 +1783,33 @@ def read_vertical(spark, path: str) -> DataFrame:
     triples DataFrame — bgp()/sparql() work unchanged; Catalyst turns
     their pred-constant filters into partition pruning."""
     return spark.read.parquet(path)
+
+
+def save_stats(stats: GraphStats, spark, path: str) -> None:
+    """Persist ANALYZE output as a vocabulary-sized parquet (one row
+    per predicate) — the Hive-ANALYZE-TABLE pattern: at 10^12 triples
+    the stats scan is a full pass, so it belongs in maintenance
+    (jobs/maintain_table.py --analyze), not on every query; query_graph
+    --analyze reuses the persisted rows.  Stats only steer join ORDER,
+    so staleness after new ingest can mis-order but never mis-answer —
+    re-run the maintenance pass on the usual compaction cadence."""
+    rows = [
+        (p, stats.pred_counts[p],
+         stats.pred_subj.get(p, 0), stats.pred_obj.get(p, 0))
+        for p in sorted(stats.pred_counts)
+    ]
+    spark.createDataFrame(
+        rows, "pred string, n long, ds long, do long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_stats(spark, path: str) -> GraphStats:
+    """Persisted stats parquet -> GraphStats (driver-side dict; the
+    file is one row per predicate)."""
+    rows = spark.read.parquet(path).collect()
+    return GraphStats(
+        total=sum(r["n"] for r in rows),
+        pred_counts={r["pred"]: r["n"] for r in rows},
+        pred_subj={r["pred"]: r["ds"] for r in rows},
+        pred_obj={r["pred"]: r["do"] for r in rows},
+    )

@@ -1290,3 +1290,24 @@ def test_group_by_distinct_applies_after_projection(spark):
     assert _rows(sparql(t, q_plain)) == [("grep",), ("grep",)]
     q_dist = q_plain.replace("SELECT ?tool", "SELECT DISTINCT ?tool")
     assert _rows(sparql(t, q_dist)) == [("grep",)]
+
+
+def test_stats_save_load_roundtrip_and_same_ordering(spark, tmp_path):
+    """save_stats/load_stats: the persisted rows rebuild a GraphStats
+    whose estimates (and therefore join orderings) match the fresh
+    ANALYZE exactly — total, per-pred counts, distinct estimates."""
+    from logset_spark.operators.sparql import analyze, load_stats, save_stats
+
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"), ("a", "q", "y"),
+         ("a", "q", "z"), ("c", "r", "x")],
+        "subj string, pred string, obj string",
+    )
+    fresh = analyze(t)
+    path = str(tmp_path / "stats")
+    save_stats(fresh, spark, path)
+    loaded = load_stats(spark, path)
+    assert loaded.total == fresh.total == 5
+    assert loaded.pred_counts == fresh.pred_counts
+    assert loaded.pred_subj == fresh.pred_subj
+    assert loaded.pred_obj == fresh.pred_obj
