@@ -477,3 +477,36 @@ def test_bgp_encoded_joins_on_bigint(spark, tmp_path):
         ), m.group(0)
     for bad in ("subj#", "pred#", "obj#"):
         assert f"hashpartitioning({bad}" not in plan
+
+
+def test_r2rml_where_pushes_to_scan(spark, sf_dir):
+    """The TriplesMap where-filter must reach the parquet scan as a
+    pushed filter — a mapping over 100 TB that scans everything to
+    apply `o_orderkey % 17 = 0` post-scan is wrong."""
+    fn, _ = REGISTRY["q_r2rml"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderkey)" in plan
+    assert "EvalPython" not in plan  # term minting stays codegen'd
+
+
+def test_neighbor_sample_single_exchange(spark, sf_dir):
+    """Deterministic neighbor sampling = distinct + one ranking window.
+    The window must REUSE the distinct's hash partitioning on src where
+    possible; the plan may carry at most the two exchanges those two
+    operators need — a third means the rank recomputes a shuffle it
+    already had."""
+    fn, _ = REGISTRY["q_neighbor_sample"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_void_statistics_is_one_aggregate_pass(spark, sf_dir):
+    """Exact VoID stats: the multi-distinct lowers to expand +
+    aggregate — but still ONE scan of the triple source (no
+    self-union of scans)."""
+    fn, _ = REGISTRY["q_void"]
+    plan = _plan(fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 3  # the 3 projections of orders
+    assert "EvalPython" not in plan
