@@ -68,12 +68,17 @@ def main(argv=None) -> int:
     triples = graph.select("subj", "pred", "obj").distinct()
     save_turtle_star(triples, anns, args.out)
 
-    n_t = spark.read.text(args.out).where(
-        ~F.col("value").startswith("<< ")).count()
-    n_a = spark.read.text(args.out).where(
-        F.col("value").startswith("<< ")).count()
-    print(json.dumps({"out": args.out, "triples": n_t,
-                      "annotations": n_a}))
+    # one conditional aggregation over ONE scan of the written shards —
+    # a full-warehouse export is big; don't read it twice for a summary
+    counts = spark.read.text(args.out).agg(
+        F.sum(F.when(F.col("value").startswith("<< "), 0)
+              .otherwise(1)).alias("n_t"),
+        F.sum(F.when(F.col("value").startswith("<< "), 1)
+              .otherwise(0)).alias("n_a"),
+    ).first()
+    print(json.dumps({"out": args.out, "triples": counts["n_t"] or 0,
+                      "annotations": counts["n_a"] or 0}))
+    spark.stop()
     return 0
 
 

@@ -203,7 +203,7 @@ def main(argv=None) -> int:
         else:
             services[iri] = TableIO(root=path).read(spark, "triples")
     stats = None
-    if args.analyze:
+    if args.analyze and not args.star:
         from logset_spark.operators.sparql import analyze, load_stats
 
         stats_path = (
@@ -236,6 +236,17 @@ def main(argv=None) -> int:
         )
 
         anns = graph_star_annotations(triples)
+        if args.analyze:
+            # --star evaluates over triples UNION reify(annotations);
+            # base-graph stats (persisted or fresh) would tell the join
+            # orderer the reification predicates are empty — analyze
+            # the ACTUAL expanded dataset instead
+            from logset_spark.operators.sparql import analyze
+            from logset_spark.operators.star import reify
+
+            stats = analyze(
+                triples.select("subj", "pred", "obj").unionByName(
+                    reify(anns)))
         result = sparql_star(triples, anns, query,
                              services=services or None, stats=stats)
     else:

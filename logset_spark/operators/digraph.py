@@ -298,11 +298,11 @@ def scc(
             "rounds — pathological condensation; raise max_rounds"
         )
 
+    if not assigned_parts:  # zero-round loop (max_rounds=0 edge case)
+        return spark.createDataFrame([], "node string, scc string")
     out = assigned_parts[0]
     for part in assigned_parts[1:]:
         out = out.unionByName(part)
-    if not assigned_parts:
-        return spark.createDataFrame([], "node string, scc string")
     return out
 
 
@@ -397,10 +397,14 @@ def topo_levels(
         ).localCheckpoint(eager=True)
         remaining = remaining.localCheckpoint(eager=True)
     else:
-        raise RuntimeError(
-            f"topo peel did not finish in {max_rounds} rounds — DAG "
-            "deeper than the backstop; raise max_rounds"
-        )
+        # the loop observes completion at the TOP of an iteration, so a
+        # DAG of depth exactly max_rounds exhausts the range with
+        # remaining already empty — only a truly unfinished peel raises
+        if remaining.limit(1).count() > 0:
+            raise RuntimeError(
+                f"topo peel did not finish in {max_rounds} rounds — DAG "
+                "deeper than the backstop; raise max_rounds"
+            )
 
     spark = edges.sparkSession
     out = parts[0] if parts else spark.createDataFrame(

@@ -1297,9 +1297,15 @@ def betweenness_approx(
 
     maxd = state.agg(F.max("dist")).first()[0] or 0
     spark = edges.sparkSession
-    delta = spark.createDataFrame(
+    empty = spark.createDataFrame(
         [], "bsrc string, node string, delta double"
     )
+    # per-level slices only: each round joins the ADJACENT deeper
+    # level's delta slice, and only that round's contrib is
+    # checkpointed — checkpointing a growing accumulated union every
+    # level would be O(depth^2) checkpoint I/O for no reason
+    level_deltas: list = []
+    prev = empty  # the delta slice of level lvl+1
     for lvl in range(maxd - 1, -1, -1):
         vside = state.where(F.col("dist") == lvl).select(
             "bsrc", F.col("node").alias("v"), F.col("sigma").alias("sv")
@@ -1309,21 +1315,21 @@ def betweenness_approx(
             .select("bsrc", F.col("node").alias("w"),
                     F.col("sigma").alias("sw"))
             .join(
-                delta.select("bsrc", F.col("node").alias("w"), "delta"),
+                prev.select("bsrc", F.col("node").alias("w"), "delta"),
                 ["bsrc", "w"],
                 "left",
             )
-            .select("bsrc", "w", "sw",
+            .select(F.col("bsrc").alias("wbsrc"), "w", "sw",
                     F.coalesce("delta", F.lit(0.0)).alias("dw"))
         )
         contrib = (
             vside.join(e, vside["v"] == e["src"])
             .join(
                 wside,
-                (vside["bsrc"] == wside["bsrc"]) & (e["dst"] == wside["w"]),
+                (F.col("bsrc") == F.col("wbsrc")) & (e["dst"] == wside["w"]),
             )
             .select(
-                vside["bsrc"],
+                "bsrc",
                 F.col("v").alias("node"),
                 (
                     F.col("sv").cast("double") / F.col("sw")
@@ -1332,9 +1338,14 @@ def betweenness_approx(
             )
             .groupBy("bsrc", "node")
             .agg(F.sum("part").alias("delta"))
+            .localCheckpoint(eager=True)
         )
-        delta = delta.unionByName(contrib).localCheckpoint(eager=True)
+        level_deltas.append(contrib)
+        prev = contrib
 
+    delta = empty
+    for part in level_deltas:
+        delta = delta.unionByName(part)
     return (
         delta.join(
             state.where(F.col("dist") == 0).select("bsrc", "node"),

@@ -160,22 +160,57 @@ def _rewrite_star_patterns(query: str) -> str:
     q, lits = _protect_literals(query)
     n = [0]
 
+    # the annotation clause after `>> ` runs to the statement's '.' or
+    # the group's '}' and may be a full predicate-object list
+    # (`ap ao ; ap2 ao2 , ao3`) — literals and <iri>s are protected, so
+    # '.', ';' and ',' inside them are inert and the clause can never
+    # contain a stray '.'
+    # the clause must START with a non-space term — a bare object-
+    # position `... << s p o >> .` (no annotation clause at all) must
+    # NOT match here; it falls through to the loud rejection below
     pat = re.compile(
-        r"<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s*(\S+)\s+(\S+?)\s*(?=\.|\})")
+        r"<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s*([^\s.{}][^.{}]*?)\s*(?=\.|\})")
 
     def sub(m: "re.Match[str]") -> str:
         n[0] += 1
         v = f"?__stmt{n[0]}"
-        s, p, o, ap, ao = m.groups()
-        out = (
-            f"{v} <{RDF_SUBJECT}> {s} . {v} <{RDF_PREDICATE}> {p} . "
-            f"{v} <{RDF_OBJECT}> {o} . {v} {ap} {ao} "
-        )
-        if ap.startswith("?"):
-            excl = " && ".join(
-                f"{ap} != <{x}>"
-                for x in (RDF_SUBJECT, RDF_PREDICATE, RDF_OBJECT, RDF_TYPE))
-            out += f". FILTER ({excl}) "
+        s, p, o, clause = m.groups()
+        pats = [
+            f"{v} <{RDF_SUBJECT}> {s}",
+            f"{v} <{RDF_PREDICATE}> {p}",
+            f"{v} <{RDF_OBJECT}> {o}",
+        ]
+        filters = []
+        for seg in clause.split(";"):
+            seg = seg.strip()
+            if not seg:
+                continue  # trailing ';'
+            toks = seg.split()
+            if len(toks) < 2:
+                raise ValueError(
+                    f"malformed annotation clause after quoted triple: "
+                    f"{seg!r} (need `pred obj`)")
+            ap = toks[0]
+            for ao in " ".join(toks[1:]).split(","):
+                ao = ao.strip()
+                if not ao or len(ao.split()) != 1:
+                    raise ValueError(
+                        f"malformed object list in annotation clause: "
+                        f"{seg!r}")
+                pats.append(f"{v} {ap} {ao}")
+            if ap.startswith("?"):
+                filters.append(" && ".join(
+                    f"{ap} != <{x}>"
+                    for x in (RDF_SUBJECT, RDF_PREDICATE, RDF_OBJECT,
+                              RDF_TYPE)))
+        if len(pats) == 3:  # clause held no annotation pair at all
+            raise ValueError(
+                "quoted-triple pattern without an annotation clause "
+                "(only subject-position `<< s p o >> pred obj .` "
+                "patterns are rewritable)")
+        out = " . ".join(pats) + " "
+        for f_ in filters:
+            out += f". FILTER ({f_}) "
         return out
 
     q = pat.sub(sub, q)
@@ -228,7 +263,11 @@ def annotate_confidence(
         .select(
             "subj", "pred", "obj",
             F.lit(conf_pred).alias("a_pred"),
-            F.format_number(F.col(score_col).cast("double"), decimals)
+            # format_string, NOT format_number: the latter inserts
+            # thousands-separator commas ('1,234.5000') — a lexical
+            # form numeric casts and cross-engine comparisons reject
+            F.format_string(f"%.{decimals}f",
+                            F.col(score_col).cast("double"))
             .alias("a_obj"),
         )
     )

@@ -62,11 +62,19 @@ import pandas as pd
 _CTRL = re.compile("[\x00-\x1f\x7f\x85\u2028\u2029]")
 
 
+# chars that may not appear in a <...>-framed term: they break either
+# the <> framing itself or the tokenizer's IRI charset (which mirrors
+# Turtle's IRIREF production).  A term that merely LOOKS URI-ish but
+# contains one (e.g. `a:b>c`) is written as an escaped literal instead,
+# so every VALUE still round-trips.
+_URI_SHAPE = r'^[A-Za-z][\w-]*:[^\s<>"{}|^`\\]+$'
+
+
 def _term(value: str) -> str:
     """URIs (contain a ':' prefix we mint) -> <uri>; else a quoted literal.
     Control/line-separator chars are \\uXXXX-escaped (N-Triples canon) so
     one statement is always exactly one physical line."""
-    if re.match(r"^[A-Za-z][\w-]*:\S+$", value):
+    if re.match(_URI_SHAPE, value):
         return f"<{value}>"
     escaped = value.replace("\\", "\\\\").replace('"', '\\"')
     escaped = _CTRL.sub(lambda m: f"\\u{ord(m.group()):04X}", escaped)
@@ -593,39 +601,20 @@ def save_trig(quads, path: str, mode: str = "overwrite") -> None:
     save_turtle, whose escape/rejection rules apply unchanged."""
     from pyspark.sql import functions as F
 
-    def term(col):
-        is_uri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
-        esc = F.regexp_replace(col, r"\\", r"\\\\")
-        esc = F.regexp_replace(esc, '"', '\\\\"')
-        esc = F.regexp_replace(esc, "\n", r"\\n")
-        esc = F.regexp_replace(esc, "\r", r"\\r")
-        esc = F.regexp_replace(esc, "\t", r"\\t")
-        return F.when(is_uri, F.concat(F.lit("<"), col, F.lit(">"))) \
-            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
-
-    bad = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
-           "\\x{0085}\\x{2028}\\x{2029}]")
-    n_bad = (
-        quads.where(
-            F.col("subj").rlike(bad) | F.col("pred").rlike(bad)
-            | F.col("obj").rlike(bad)
-            | F.coalesce(F.col("graph"), F.lit("")).rlike(bad)
-        ).limit(1).count()
+    _sink_assert_writable(
+        quads.withColumn("graph", F.coalesce(F.col("graph"), F.lit(""))),
+        ["subj", "obj", "graph"], ["pred"], "quads",
     )
-    if n_bad:
-        raise ValueError(
-            "quads contain control characters outside the TriG sink's "
-            "escape subset — refusing to write a corrupt catalog")
     stmt = F.concat(
-        term(F.col("subj")), F.lit(" "),
+        _sink_term(F.col("subj")), F.lit(" "),
         F.lit("<"), F.col("pred"), F.lit("> "),
-        term(F.col("obj")), F.lit(" ."),
+        _sink_term(F.col("obj")), F.lit(" ."),
     )
     lines = quads.select(
         F.when(
             F.col("graph").isNull(), stmt
         ).otherwise(
-            F.concat(F.lit("GRAPH "), term(F.col("graph")),
+            F.concat(F.lit("GRAPH "), _sink_term(F.col("graph")),
                      F.lit(" { "), stmt, F.lit(" }"))
         ).alias("value")
     )
@@ -717,43 +706,25 @@ def save_turtle_star(triples, annotations, path: str,
     concatenation or any shard."""
     from pyspark.sql import functions as F
 
-    def term(col):
-        is_uri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
-        esc = F.regexp_replace(col, r"\\", r"\\\\")
-        esc = F.regexp_replace(esc, '"', '\\\\"')
-        esc = F.regexp_replace(esc, "\n", r"\\n")
-        esc = F.regexp_replace(esc, "\r", r"\\r")
-        esc = F.regexp_replace(esc, "\t", r"\\t")
-        return F.when(is_uri, F.concat(F.lit("<"), col, F.lit(">"))) \
-            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
-
-    bad = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
-           "\\x{0085}\\x{2028}\\x{2029}]")
-    for df, cols in ((triples, ["subj", "pred", "obj"]),
-                     (annotations, _ANN_COLS)):
-        pred_bad = None
-        for c in cols:
-            hit = F.col(c).rlike(bad)
-            pred_bad = hit if pred_bad is None else (pred_bad | hit)
-        if df.where(pred_bad).limit(1).count():
-            raise ValueError(
-                "rows contain control characters outside the Turtle "
-                "sink's escape subset — refusing to write a corrupt "
-                "catalog")
+    _sink_assert_writable(triples, ["subj", "obj"], ["pred"], "triples")
+    _sink_assert_writable(
+        annotations, ["subj", "obj", "a_obj"], ["pred", "a_pred"],
+        "annotations",
+    )
     plain = triples.select(
         F.concat(
-            term(F.col("subj")), F.lit(" "),
+            _sink_term(F.col("subj")), F.lit(" "),
             F.lit("<"), F.col("pred"), F.lit("> "),
-            term(F.col("obj")), F.lit(" ."),
+            _sink_term(F.col("obj")), F.lit(" ."),
         ).alias("value")
     )
     starred = annotations.select(
         F.concat(
-            F.lit("<< "), term(F.col("subj")), F.lit(" "),
+            F.lit("<< "), _sink_term(F.col("subj")), F.lit(" "),
             F.lit("<"), F.col("pred"), F.lit("> "),
-            term(F.col("obj")), F.lit(" >> "),
+            _sink_term(F.col("obj")), F.lit(" >> "),
             F.lit("<"), F.col("a_pred"), F.lit("> "),
-            term(F.col("a_obj")), F.lit(" ."),
+            _sink_term(F.col("a_obj")), F.lit(" ."),
         ).alias("value")
     )
     plain.unionByName(starred).write.mode(mode).text(path)
@@ -776,18 +747,19 @@ def load_turtle_star_dir(spark, path: str):
 
     def decode(col):
         uri = F.regexp_extract(col, "^<(.*)>$", 1)
-        lit = F.regexp_extract(col, '^"(.*)"$', 1)
-        # sentinel-protect escaped backslashes first (load_turtle_dir's
-        # trick): `\\n` is a literal backslash + n, not a newline
-        lit = F.regexp_replace(lit, r"\\\\", "\x00")
-        lit = F.regexp_replace(lit, r"\\t", "\t")
-        lit = F.regexp_replace(lit, r"\\r", "\r")
-        lit = F.regexp_replace(lit, r"\\n", "\n")
-        lit = F.regexp_replace(lit, r'\\"', '"')
-        lit = F.regexp_replace(lit, "\x00", r"\\")
+        lit = _sink_unescape(F.regexp_extract(col, '^"(.*)"$', 1))
         return F.when(col.startswith("<"), uri).otherwise(lit)
 
     def extract(df, regex, names):
+        # a line the statement regex cannot frame yields '' for EVERY
+        # group — drop it (load_turtle_dir's contract: non-statement
+        # text in the directory is skipped, never returned as a corrupt
+        # all-empty row).  The raw pred group is '' exactly when the
+        # whole match failed (preds are never empty-string terms).
+        df = df.where(
+            F.length(F.regexp_extract("value", regex, names.index("pred") + 1))
+            > 0
+        )
         for i, n in enumerate(names):
             df = df.withColumn(n, decode(F.regexp_extract("value", regex,
                                                           i + 1)))
@@ -797,6 +769,80 @@ def load_turtle_star_dir(spark, path: str):
         extract(plain, plain_re, ["subj", "pred", "obj"]),
         extract(star, star_re, _ANN_COLS),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared native-expression helpers for the DISTRIBUTED sinks/loaders
+# (save_turtle / save_trig / save_turtle_star and the *_dir readers) —
+# ONE copy, so an escaping fix can never silently diverge between them
+# ---------------------------------------------------------------------------
+
+# control characters outside the sinks' escape subset: they would break
+# the one-statement-per-line framing, so rows carrying one are rejected
+# loudly at write time (java regex spelling)
+_SINK_BAD_RE = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                "\\x{0085}\\x{2028}\\x{2029}]")
+
+# java-regex spelling of _URI_SHAPE (the driver-side _term uses the
+# python spelling; both exclude <>"{}|^`\ so a <...>-framed term is
+# always re-parseable)
+_SINK_URI_RE = r'^[A-Za-z][A-Za-z0-9_-]*:[^\s<>"{}|^`\\]+$'
+
+# predicates are ALWAYS <>-framed (they may be colon-less barewords
+# like hasTurn/partOf — the engine's structural vocabulary), so the
+# constraint is only what the framing itself needs: no whitespace and
+# none of the IRI-breaking charset
+_SINK_PRED_RE = r'^[^\s<>"{}|^`\\]+$'
+
+
+def _sink_term(col):
+    """Native term formatter: URI-shaped values -> <uri>, everything
+    else -> escaped "literal" (backslash, quote, \\n \\r \\t)."""
+    from pyspark.sql import functions as F
+
+    esc = F.regexp_replace(col, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    return F.when(
+        col.rlike(_SINK_URI_RE), F.concat(F.lit("<"), col, F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+
+
+def _sink_assert_writable(df, cols, pred_cols, what: str) -> None:
+    """Loud write-time gate: no control characters anywhere, and
+    PREDICATE columns (always <>-framed, never literal-escaped) must be
+    URI-shaped — a pred containing '>' or whitespace would corrupt the
+    line framing silently."""
+    from pyspark.sql import functions as F
+
+    bad = None
+    for c in list(cols) + list(pred_cols):
+        hit = F.col(c).rlike(_SINK_BAD_RE)
+        bad = hit if bad is None else (bad | hit)
+    for c in pred_cols:
+        bad = bad | ~F.col(c).rlike(_SINK_PRED_RE)
+    if df.where(bad).limit(1).count():
+        raise ValueError(
+            f"{what} contain control characters outside the sink's "
+            "escape subset or non-URI-shaped predicates — refusing to "
+            "write a corrupt catalog")
+
+
+def _sink_unescape(col):
+    """Literal unescape, single-pass-equivalent: protect escaped
+    backslashes into a \\x00 sentinel FIRST (`\\\\n` is a literal
+    backslash + n, not a newline), decode the simple escapes, restore.
+    \\x00 cannot occur in data — the sinks reject control chars."""
+    from pyspark.sql import functions as F
+
+    esc = F.regexp_replace(col, r"\\\\", "\x00")
+    esc = F.regexp_replace(esc, r"\\t", "\t")
+    esc = F.regexp_replace(esc, r"\\r", "\r")
+    esc = F.regexp_replace(esc, r"\\n", "\n")
+    esc = F.regexp_replace(esc, r'\\"', '"')
+    return F.regexp_replace(esc, "\x00", r"\\")
 
 
 def save_turtle(triples, path: str, mode: str = "overwrite") -> None:
@@ -819,36 +865,12 @@ def save_turtle(triples, path: str, mode: str = "overwrite") -> None:
     graph is a set of statements)."""
     from pyspark.sql import functions as F
 
-    def term(col):
-        is_uri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$")
-        esc = F.regexp_replace(col, r"\\", r"\\\\")
-        esc = F.regexp_replace(esc, '"', '\\\\"')
-        esc = F.regexp_replace(esc, "\n", r"\\n")
-        esc = F.regexp_replace(esc, "\r", r"\\r")
-        esc = F.regexp_replace(esc, "\t", r"\\t")
-        return F.when(is_uri, F.concat(F.lit("<"), col, F.lit(">"))) \
-            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
-
-    bad = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
-           "\\x{0085}\\x{2028}\\x{2029}]")
-    n_bad = (
-        triples.where(
-            F.col("subj").rlike(bad) | F.col("pred").rlike(bad)
-            | F.col("obj").rlike(bad)
-        )
-        .limit(1)
-        .count()
-    )
-    if n_bad:
-        raise ValueError(
-            "triples contain control characters outside the Turtle "
-            "sink's escape subset (\\\\ \\\" \\n \\r \\t) — refusing to "
-            "write a corrupt catalog")
+    _sink_assert_writable(triples, ["subj", "obj"], ["pred"], "triples")
     lines = triples.select(
         F.concat(
-            term(F.col("subj")), F.lit(" "),
+            _sink_term(F.col("subj")), F.lit(" "),
             F.lit("<"), F.col("pred"), F.lit("> "),
-            term(F.col("obj")), F.lit(" ."),
+            _sink_term(F.col("obj")), F.lit(" ."),
         ).alias("value")
     )
     lines.write.mode(mode).text(path)
@@ -871,18 +893,7 @@ def load_turtle_dir(spark, path: str):
         r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)")\s*\.$'
     )
 
-    def unescape(col):
-        # single-pass-equivalent: protect escaped backslashes into a
-        # sentinel FIRST (so `\\n` = literal backslash + n is not
-        # misread as a newline escape), decode the simple escapes, then
-        # restore the sentinel.  \x00 cannot occur in data — the sink
-        # refuses control characters at write time.
-        esc = F.regexp_replace(col, r"\\\\", "\x00")
-        esc = F.regexp_replace(esc, r"\\t", "\t")
-        esc = F.regexp_replace(esc, r"\\r", "\r")
-        esc = F.regexp_replace(esc, r"\\n", "\n")
-        esc = F.regexp_replace(esc, r'\\"', '"')
-        return F.regexp_replace(esc, "\x00", r"\\")
+    unescape = _sink_unescape
 
     parsed = raw.select(
         *[F.regexp_extract("value", line, i).alias(f"g{i}")

@@ -218,3 +218,18 @@ def test_cc_incremental_all_new_nodes(spark):
         r["node"]: r["component"] for r in cc_incremental(base, new).collect()
     }
     assert got == {"x1": "x1", "z1": "z1", "z2": "z1"}
+
+
+def test_topo_depth_equal_to_max_rounds_completes(spark):
+    """A DAG whose depth exactly equals max_rounds must complete, not
+    raise (review finding: completion was only observed at the top of
+    the NEXT iteration)."""
+    edges = [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["level"]
+        for r in topo_levels(
+            df, max_rounds=3, small_graph_edges=0
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}

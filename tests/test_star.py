@@ -384,3 +384,37 @@ def test_star_fixture_matches_flat_csv(spark):
     got = sorted(map(tuple, q_star_source(spark, "unused").collect()))
     want = sorted(map(tuple, duckdb.sql(SQL_STAR_SOURCE).fetchall()))
     assert got == want and len(got) == 6
+
+
+def test_sparql_star_predicate_object_list(spark, ann_df):
+    """';' predicate-object lists and ',' object lists after a quoted
+    triple must compile (review finding: the rewrite previously only
+    accepted a single pred-obj pair and rejected valid list syntax with
+    a misleading 'subject-position' error)."""
+    from logset_spark.operators.star import sparql_star
+
+    asserted = ann_df.select("subj", "pred", "obj").distinct()
+    out = sparql_star(
+        asserted, ann_df,
+        "SELECT ?c ?conf ?src WHERE { "
+        "<< ?c <kg:placed> ?o >> <kg:conf> ?conf ; <kg:src> ?src . }",
+    )
+    assert sorted(map(tuple, out.collect())) == [("c:1", "0.9", "t:3")]
+    # ',' object list: both objects must hold for one statement node
+    out2 = sparql_star(
+        asserted, ann_df,
+        "SELECT ?c WHERE { "
+        "<< ?c <kg:placed> ?o >> <kg:conf> '0.9', '0.5' . }",
+    )
+    assert out2.count() == 0  # no statement carries both conf values
+
+
+def test_annotate_confidence_no_thousands_separator(spark):
+    from logset_spark.operators.star import annotate_confidence
+
+    t = spark.createDataFrame(
+        [("s", "p", "o", 1234.5)],
+        "subj string, pred string, obj string, score double",
+    )
+    row = annotate_confidence(t).first()
+    assert row["a_obj"] == "1234.5000"  # not '1,234.5000'

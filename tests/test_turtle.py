@@ -275,3 +275,46 @@ def test_load_catalog_follows_trig_and_keeps_graphs(spark, tmp_path):
     gm = {(r["subj"], r["graph"]) for r in q.collect()}
     assert ("d2", "run:A") in gm
     assert any(s == "d1" and g.endswith("linked.trig") for s, g in gm)
+
+
+def test_uri_lookalike_with_angle_round_trips_as_literal(spark, tmp_path):
+    """A value that LOOKS URI-ish but contains '>' (e.g. 'a:b>c') must
+    not be <>-framed — the loader could never re-parse it.  It goes
+    the escaped-literal path and round-trips by VALUE, on both the
+    plain and star sinks (review finding: previously it round-tripped
+    to a corrupt all-empty row)."""
+    from logset_spark.sources.turtle import (
+        load_turtle_dir,
+        load_turtle_star_dir,
+        save_turtle,
+        save_turtle_star,
+    )
+
+    rows = [("a:b>c", "hasNote", 'x:y"z'), ("conv:1", "hasTurn", "t:<1>")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = str(tmp_path / "ttl")
+    save_turtle(df, out)
+    assert sorted(map(tuple, load_turtle_dir(spark, out).collect())) \
+        == sorted(rows)
+
+    anns = spark.createDataFrame(
+        [("a:b>c", "mentions", "e:1", "kg:confidence", "0.9>0.8")],
+        "subj string, pred string, obj string, a_pred string, a_obj string",
+    )
+    out2 = str(tmp_path / "ttls")
+    save_turtle_star(df, anns, out2)
+    t, a = load_turtle_star_dir(spark, out2)
+    assert sorted(map(tuple, t.collect())) == sorted(rows)
+    assert [tuple(r) for r in a.collect()] == [
+        ("a:b>c", "mentions", "e:1", "kg:confidence", "0.9>0.8")
+    ]
+
+
+def test_sink_rejects_unframeable_pred(spark, tmp_path):
+    from logset_spark.sources.turtle import save_turtle
+
+    df = spark.createDataFrame(
+        [("a:1", "has>turn", "b:2")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        save_turtle(df, str(tmp_path / "bad"))
