@@ -244,3 +244,43 @@ def void_statistics(triples: DataFrame, exact: bool = True) -> DataFrame:
         d("subj").alias("n_subjects"),
         d("obj").alias("n_objects"),
     )
+
+
+def drift_report(
+    old_stats: DataFrame, new_stats: DataFrame, warn_ratio: float = 2.0
+) -> DataFrame:
+    """Per-predicate drift between two dataset versions' VoID statistics
+    (void_statistics output, or any frame with (pred, n_triples)):
+    appeared/vanished predicates and count swings beyond `warn_ratio` —
+    the publish-gate check a daily 100-TB ingest runs against
+    yesterday's stats before swapping the pointer.
+
+    Output: (pred, n_old, n_new, status) with status in
+    {'appeared', 'vanished', 'grew', 'shrank', 'stable'} — grew/shrank
+    mean the count changed by more than warn_ratio x in either
+    direction.  All-integer columns plus a categorical, so the report
+    is hash-comparable across engines; the inputs are vocabulary-sized,
+    so the join is trivially broadcast."""
+    o = old_stats.select(
+        "pred", F.col("n_triples").alias("n_old")
+    )
+    n = new_stats.select(
+        "pred", F.col("n_triples").alias("n_new")
+    )
+    j = o.join(n, "pred", "full_outer").select(
+        "pred",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    # integer comparison n_new * 1 > n_old * warn_ratio, kept exact by
+    # scaling both sides by 10 (warn_ratio to one decimal place)
+    r10 = int(round(warn_ratio * 10))
+    return j.select(
+        "pred", "n_old", "n_new",
+        F.when(F.col("n_old") == 0, "appeared")
+        .when(F.col("n_new") == 0, "vanished")
+        .when(F.col("n_new") * 10 > F.col("n_old") * r10, "grew")
+        .when(F.col("n_old") * 10 > F.col("n_new") * r10, "shrank")
+        .otherwise("stable")
+        .alias("status"),
+    )

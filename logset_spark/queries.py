@@ -6943,6 +6943,59 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_drift(spark, sf):
+    """Per-predicate drift report between two dataset versions
+    (operators/quality.py drift_report over void_statistics): the
+    publish-gate a daily ingest runs against yesterday's stats —
+    appeared/vanished predicates and >2x count swings.  'Old' = events
+    before the midpoint day, 'new' = the full table, so growth ratios
+    and an appeared predicate (the late-half-only event type is
+    synthesized by splitting on event_id parity for one type) are both
+    exercised.  All-integer + categorical output, exact in both
+    engines."""
+    from .operators.quality import drift_report, void_statistics
+
+    e = _t(spark, sf, "events")
+    t = e.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("subj"),
+        F.when(
+            (F.col("event_type") == "signup") & (F.col("event_id") % 2 == 0),
+            "ev:signup_v2",
+        ).otherwise(F.concat(F.lit("ev:"), F.col("event_type")))
+        .alias("pred"),
+        F.col("event_id").cast("string").alias("obj"),
+    )
+    half = e.agg(F.expr("max(event_id) div 2")).first()[0]
+    old = void_statistics(t.where(F.col("obj").cast("long") < F.lit(half)))
+    new = void_statistics(t)
+    return drift_report(old, new)
+
+
+SQL_DRIFT = """
+WITH t AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS subj,
+         CASE WHEN event_type = 'signup' AND event_id % 2 = 0
+              THEN 'ev:signup_v2' ELSE 'ev:' || event_type END AS pred,
+         CAST(event_id AS VARCHAR) AS obj
+  FROM events),
+half AS (SELECT max(event_id) // 2 AS h FROM events),
+o AS (SELECT pred, count(*) AS n_old FROM t, half
+      WHERE CAST(obj AS BIGINT) < h GROUP BY pred),
+n AS (SELECT pred, count(*) AS n_new FROM t GROUP BY pred)
+SELECT coalesce(o.pred, n.pred) AS pred,
+       coalesce(o.n_old, 0) AS n_old,
+       coalesce(n.n_new, 0) AS n_new,
+       CASE WHEN coalesce(o.n_old, 0) = 0 THEN 'appeared'
+            WHEN coalesce(n.n_new, 0) = 0 THEN 'vanished'
+            WHEN coalesce(n.n_new, 0) * 10 > coalesce(o.n_old, 0) * 20
+                 THEN 'grew'
+            WHEN coalesce(o.n_old, 0) * 10 > coalesce(n.n_new, 0) * 20
+                 THEN 'shrank'
+            ELSE 'stable' END AS status
+FROM o FULL OUTER JOIN n ON o.pred = n.pred
+"""
+
+
 # ---- cohesion analytics: clustering coefficient, k-truss ------------------
 
 
@@ -7219,6 +7272,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ktruss": (q_ktruss, SQL_KTRUSS),
     "q_r2rml": (q_r2rml, SQL_R2RML),
     "q_betweenness": (q_betweenness, None),
+    "q_drift": (q_drift, SQL_DRIFT),
     "q_modularity": (q_modularity, SQL_MODULARITY),
     "q_neighbor_sample": (q_neighbor_sample, SQL_NEIGHBOR_SAMPLE),
     "q_sample_fanout": (q_sample_fanout, SQL_SAMPLE_FANOUT),

@@ -117,3 +117,26 @@ def test_void_statistics_exact_and_approx(spark):
               void_statistics(t, exact=False).collect()}
     # HLL at rsd=0.02 is exact at this cardinality
     assert approx["p"]["n_subjects"] == 2 and approx["p"]["n_objects"] == 2
+
+
+def test_drift_report_statuses_and_exact_boundary(spark):
+    from logset_spark.operators.quality import drift_report
+
+    old = spark.createDataFrame(
+        [("a", 10), ("b", 5), ("c", 8), ("d", 10), ("e", 7)],
+        "pred string, n_triples long",
+    )
+    new = spark.createDataFrame(
+        [("a", 20), ("b", 11), ("d", 4), ("e", 3), ("f", 2)],
+        "pred string, n_triples long",
+    )
+    got = {r["pred"]: r["status"]
+           for r in drift_report(old, new).collect()}
+    assert got == {
+        "a": "stable",    # exactly 2x is the boundary, NOT drift
+        "b": "grew",      # 5 -> 11 > 2x
+        "c": "vanished",
+        "d": "shrank",    # 10 -> 4 < half
+        "e": "shrank",    # 7 -> 3
+        "f": "appeared",
+    }
