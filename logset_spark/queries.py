@@ -7246,6 +7246,85 @@ FROM t GROUP BY pred
 """
 
 
+def q_bloom_join(spark, sf):
+    """Bloom-filter semi-join pruning (operators/bloom.py): a 16 KiB
+    bitset built DISTRIBUTED from the dim side's keys (bit_or partial
+    aggregates; the collect is bounded by filter geometry, <= n_bits/64
+    rows) filters the fact side at the scan, map-side, before any
+    shuffle — the 100 TB move that keeps non-matching fact rows out of
+    the exchange entirely.  Same hash family (xxhash64) on both sides
+    => zero false negatives; false positives die in the real join that
+    follows, so the oracle is the PLAIN join (the q_salted discipline:
+    a pure physical rewrite must not change the result)."""
+    from .operators.bloom import bloom_build, bloom_prune
+
+    dim = _t(spark, sf, "orders").where(
+        (F.col("o_orderkey") % 19 == 0) & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey", "o_orderpriority")
+    words = bloom_build(dim, "o_orderkey")
+    fact = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    pruned = bloom_prune(fact, "l_orderkey", words)
+    return (
+        pruned.join(
+            F.broadcast(dim), pruned["l_orderkey"] == dim["o_orderkey"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dec(F.sum(_dec(F.col("l_quantity")))).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey % 19 = 0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+def q_simjoin(spark, sf):
+    """Exact Jaccard-threshold set-similarity join (PPJoin-style prefix
+    filtering, operators/setjoin.py): every document pair with
+    token-set Jaccard >= 0.9, NO misses — the exact complement of the
+    approximate MinHash/SimHash near-dup paths.  Candidates come only
+    from rarest-token prefixes (frequent tokens never enter the join),
+    with a length-ratio filter in the join condition; verification is
+    native array_intersect/array_union.  Integer sizes + integer
+    threshold predicate keep the oracle (naive all-pairs in DuckDB)
+    hash-exact."""
+    from .operators.setjoin import jaccard_threshold_join
+
+    return jaccard_threshold_join(
+        _t(spark, sf, "documents"), t100=90
+    ).select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2"),
+        "inter", "uni",
+    )
+
+
+SQL_SIMJOIN = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '')) AS tokens
+  FROM documents WHERE text IS NOT NULL
+), ne AS (
+  SELECT * FROM toks WHERE len(tokens) > 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       len(list_intersect(a.tokens, b.tokens)) AS inter,
+       len(list_distinct(list_concat(a.tokens, b.tokens))) AS uni
+FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+WHERE 100 * len(list_intersect(a.tokens, b.tokens))
+      >= 90 * len(list_distinct(list_concat(a.tokens, b.tokens)))
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7261,6 +7340,9 @@ FROM t GROUP BY pred
 #   block C — everything already green in CORRECTNESS_r02.json.
 REGISTRY: dict[str, tuple] = {
     # ---- block A: never driver-checked -------------------------------
+    # round-3 session-12 additions
+    "q_bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
+    "q_simjoin": (q_simjoin, SQL_SIMJOIN),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),
