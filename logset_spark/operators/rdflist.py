@@ -1,0 +1,144 @@
+"""Distributed RDF collection (rdf:List) expansion and emission.
+
+The Turtle parser (sources/turtle.py) expands `( e1 e2 ... )` into the
+standard rdf:first/rdf:rest/rdf:nil chain, and rdflib users read those
+chains back with its Collection helper — one Python object at a time.
+At warehouse scale the chains live inside a triples TABLE, so the
+recovery must be a DataFrame job:
+
+* list_expand — (head, pos, member) for every chain, via POINTER
+  DOUBLING over the rest-links.  rdf:rest is functional (one successor
+  per cell), so the jump table J_k = {(a, b): b is exactly 2^k rest
+  steps from a} stays LINEAR in the number of cells every round (the
+  self-join square of a functional relation is functional), and the
+  reach table R grows only toward the true output size.  O(log L)
+  shuffle rounds for the longest list L — a 10^6-element list costs 20
+  equi-join rounds, never a 10^6-round sequential walk and never an
+  O(L^2) closure.  Runs to convergence with the one-row probe the
+  closure loop uses (a fixed `rounds` mode exists for the unrolled SQL
+  oracle, same discipline as kcore_peel).
+* list_emit — the inverse: (head, pos, member) rows -> chain triples,
+  minting cell URIs deterministically as `<head>/cell-<pos>` (pos 0
+  reuses the head term itself so emitted chains start at their head,
+  round-tripping list_expand).  Pure column ops + one lead() window
+  per head partition; no Python.
+
+Heads are cells that are not the object of any rdf:rest triple —
+i.e. list entry points; interior cells a malformed graph leaves
+unreachable are NOT silently promoted (a cell that IS referenced by
+rest stays interior even if its referrer lacks rdf:first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FIRST, REST, NIL = "rdf:first", "rdf:rest", "rdf:nil"
+
+
+def list_expand(
+    triples: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """triples[subj, pred, obj] -> DataFrame[head, pos:int, member].
+
+    pos is 0-based order within the list.  rounds=None (production)
+    runs pointer doubling to convergence with a one-row probe per
+    round; an explicit `rounds` replays exactly that many doublings —
+    the oracle-facing mode (covers lists up to 2^rounds cells).
+    """
+    cells = triples.where(F.col("pred") == FIRST).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("member")
+    )
+    rest = triples.where(
+        (F.col("pred") == REST) & (F.col("obj") != NIL)
+    ).select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+
+    heads = cells.join(
+        rest.select(F.col("b").alias("cell")), "cell", "left_anti"
+    ).select("cell")
+
+    # R: head reaches `cell` in `pos` rest-steps; J: exact 2^k jumps.
+    r = heads.select(
+        F.col("cell").alias("head"), F.col("cell"), F.lit(0).alias("pos")
+    ).localCheckpoint(eager=True)
+    j = rest.select("a", "b", F.lit(1).alias("step")).localCheckpoint(eager=True)
+
+    to_convergence = rounds is None
+    n_rounds = max_rounds if to_convergence else rounds
+    for _ in range(n_rounds):
+        stepped = (
+            r.join(j, r["cell"] == j["a"])
+            .select(
+                "head",
+                F.col("b").alias("cell"),
+                (F.col("pos") + F.col("step")).alias("pos"),
+            )
+        )
+        if to_convergence and stepped.limit(1).count() == 0:
+            # no head extends any further: converged.  (A rest-cycle
+            # unreachable from any head keeps j nonempty forever but
+            # never feeds stepped, so the probe still terminates.)
+            break
+        r = r.unionByName(stepped).localCheckpoint(eager=True)
+        # square the jump table: 2^k + 2^k = 2^(k+1); functional, so
+        # this stays <= one row per cell and SHRINKS as chains end.
+        j = (
+            j.alias("x")
+            .join(j.alias("y"), F.col("x.b") == F.col("y.a"))
+            .select(
+                F.col("x.a").alias("a"),
+                F.col("y.b").alias("b"),
+                (F.col("x.step") + F.col("y.step")).alias("step"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.join(cells, "cell")
+        .select("head", F.col("pos").cast("int").alias("pos"), "member")
+    )
+
+
+def list_emit(members: DataFrame, head_col: str = "head",
+              pos_col: str = "pos", member_col: str = "member") -> DataFrame:
+    """(head, pos, member) -> chain triples [subj, pred, obj].
+
+    Cell terms: the head term itself at pos 0, `<head>/cell-<pos>`
+    after — deterministic, so emit is idempotent and
+    list_expand(list_emit(x)) == x (pytest round-trip).  Lists must be
+    dense 0..n-1 per head; gaps raise at action time via an ANSI
+    assertion column rather than silently mis-chaining.
+    """
+    base = members.select(
+        F.col(head_col).alias("head"),
+        F.col(pos_col).cast("int").alias("pos"),
+        F.col(member_col).alias("member"),
+    )
+    w = Window.partitionBy("head").orderBy("pos")
+    # the density assertion lives INSIDE the subj expression so column
+    # pruning can never optimize the check away: any emitted triple for
+    # a gapped list raises instead of silently mis-chaining.
+    cell = F.when(
+        F.col("pos") == F.row_number().over(w) - 1,
+        F.when(F.col("pos") == 0, F.col("head")).otherwise(
+            F.concat(F.col("head"), F.lit("/cell-"), F.col("pos").cast("string"))
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("non-dense list positions for head "), F.col("head"))
+        )
+    )
+    cur = base.select(
+        "head", "pos", "member", cell.alias("cell")
+    ).withColumn("next_cell", F.lead("cell").over(w))
+    firsts = cur.select(
+        F.col("cell").alias("subj"), F.lit(FIRST).alias("pred"),
+        F.col("member").alias("obj"),
+    )
+    rests = cur.select(
+        F.col("cell").alias("subj"), F.lit(REST).alias("pred"),
+        F.coalesce(F.col("next_cell"), F.lit(NIL)).alias("obj"),
+    )
+    return firsts.unionByName(rests)

@@ -7246,6 +7246,38 @@ FROM t GROUP BY pred
 """
 
 
+def q_rdf_list(spark, sf):
+    """Distributed rdf:List round-trip (operators/rdflist.py): ordered
+    members -> rdf:first/rest/nil chain triples (list_emit) -> pointer-
+    doubling expansion back to (head, pos, member) (list_expand,
+    convergence mode with the one-row probe).  rdf:rest is functional,
+    so the jump table stays linear every doubling round — O(log L)
+    equi-join rounds for the longest list, never a sequential walk and
+    never a quadratic closure.  The oracle computes the expected
+    (head, pos, member) directly from the source table, so both the
+    emitter's chain minting and the expander's order recovery are under
+    the hash."""
+    from .operators.rdflist import list_emit, list_expand
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    members = li.select(
+        F.concat(F.lit("list:o"), F.col("l_orderkey").cast("string")).alias("head"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("member"),
+    )
+    return list_expand(list_emit(members))
+
+
+SQL_RDF_LIST = """
+SELECT 'list:o' || CAST(l_orderkey AS VARCHAR) AS head,
+       CAST(row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber) - 1 AS INT) AS pos,
+       'p:' || CAST(l_partkey AS VARCHAR) AS member
+FROM lineitem WHERE l_orderkey % 11 = 0
+"""
+
+
 def q_bloom_join(spark, sf):
     """Bloom-filter semi-join pruning (operators/bloom.py): a 16 KiB
     bitset built DISTRIBUTED from the dim side's keys (bit_or partial
@@ -7343,6 +7375,7 @@ REGISTRY: dict[str, tuple] = {
     # round-3 session-12 additions
     "q_bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
     "q_simjoin": (q_simjoin, SQL_SIMJOIN),
+    "q_rdf_list": (q_rdf_list, SQL_RDF_LIST),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),
