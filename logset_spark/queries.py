@@ -7246,6 +7246,37 @@ FROM t GROUP BY pred
 """
 
 
+def q_stream_reply(spark, sf):
+    """Watermarked STREAM-STREAM interval join, oracle-checked: user
+    turns matched to the tool turns that answer them (same conv, later
+    turn_idx, tool ts within (user ts, user ts + 4h]) — the join shape
+    whose event-time bound keeps both sides' join state bounded on an
+    infinite stream (streaming/incremental.py tool_reply_join_stream).
+    Drained with availableNow into parquet, read back as a batch table;
+    the oracle replays the identical interval join in SQL."""
+    from .streaming import incremental as st
+
+    root = _stream_scratch(sf, "stream_reply")
+    derived_transcripts(spark, sf).coalesce(2).write.parquet(f"{root}/in")
+    stream = st.tool_reply_join_stream(
+        st.stream_transcripts(spark, f"{root}/in"), max_delay="4 hours"
+    )
+    st.run_available_now(stream, f"{root}/ckpt", f"{root}/out")
+    return spark.read.parquet(f"{root}/out").select("subj", "pred", "obj")
+
+
+SQL_STREAM_REPLY = f"""
+WITH t AS ({_SQL_TRANSCRIPTS})
+SELECT 'turn:' || u.conv_id || '/' || CAST(u.turn_idx AS VARCHAR) AS subj,
+       'answeredBy' AS pred,
+       'tool:' || lower(trim(tl.tool)) AS obj
+FROM t u JOIN t tl
+  ON u.conv_id = tl.conv_id AND u.role = 'user' AND tl.role = 'tool'
+ AND tl.tool IS NOT NULL AND tl.turn_idx > u.turn_idx
+ AND tl.ts > u.ts AND tl.ts <= u.ts + INTERVAL 4 HOUR
+"""
+
+
 def q_rdf_list(spark, sf):
     """Distributed rdf:List round-trip (operators/rdflist.py): ordered
     members -> rdf:first/rest/nil chain triples (list_emit) -> pointer-
@@ -7376,6 +7407,7 @@ REGISTRY: dict[str, tuple] = {
     "q_bloom_join": (q_bloom_join, SQL_BLOOM_JOIN),
     "q_simjoin": (q_simjoin, SQL_SIMJOIN),
     "q_rdf_list": (q_rdf_list, SQL_RDF_LIST),
+    "q_stream_reply": (q_stream_reply, SQL_STREAM_REPLY),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

@@ -379,3 +379,103 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def tool_reply_join_stream(
+    transcripts: DataFrame,
+    watermark: str = "2 hours",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each user turn matched
+    to the tool turns that answer it — same conversation, later
+    turn_idx, event time within (user_ts, user_ts + max_delay].
+
+    This is the join shape Structured Streaming can only run when BOTH
+    sides are watermarked and the join condition carries an event-time
+    bound: the bound tells the state store exactly how long a buffered
+    user turn can still find a partner, so per-side state is
+    O(rows inside the watermark+delay horizon) — bounded regardless of
+    stream length, the requirement at 10^12 turns.  (Spark ACCEPTS an
+    inner equi-join without the bound, but then join state can only
+    grow — the silent way a long-running ingest OOMs months in; the
+    bound is load-bearing here even though the planner doesn't force
+    it.)
+
+    Emits answeredBy triples `turn:<conv>/<user_idx> -> tool:<name>`
+    with (conv_id, turn_idx, ts) provenance of the USER turn, matching
+    the batch twin `tool_reply_join_batch` row for row once both
+    streams drain (pytest parity via availableNow).
+    """
+    from .. import vocab as V
+
+    users = (
+        transcripts.where(F.col("role") == "user")
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("u_idx"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", watermark)
+    )
+    tools = (
+        transcripts.where(
+            (F.col("role") == "tool") & F.col("tool").isNotNull()
+        )
+        .select(
+            F.col("conv_id").alias("t_conv"),
+            F.col("turn_idx").alias("t_idx"),
+            "tool",
+            F.col("ts").alias("t_ts"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    joined = users.join(
+        tools,
+        F.expr(
+            "conv_id = t_conv AND t_idx > u_idx "
+            f"AND t_ts > u_ts AND t_ts <= u_ts + interval {max_delay}"
+        ),
+    )
+    return joined.select(
+        V.turn_uri("conv_id", "u_idx").alias("subj"),
+        F.lit("answeredBy").alias("pred"),
+        V.tool_uri("tool").alias("obj"),
+        "conv_id",
+        F.col("u_idx").alias("turn_idx"),
+        F.col("u_ts").alias("ts"),
+    )
+
+
+def tool_reply_join_batch(
+    transcripts: DataFrame, max_delay: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of tool_reply_join_stream (no watermarks; identical
+    join predicate and output) — the parity oracle for the stream."""
+    from .. import vocab as V
+
+    users = transcripts.where(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("u_idx"), F.col("ts").alias("u_ts")
+    )
+    tools = transcripts.where(
+        (F.col("role") == "tool") & F.col("tool").isNotNull()
+    ).select(
+        F.col("conv_id").alias("t_conv"),
+        F.col("turn_idx").alias("t_idx"),
+        "tool",
+        F.col("ts").alias("t_ts"),
+    )
+    joined = users.join(
+        tools,
+        F.expr(
+            "conv_id = t_conv AND t_idx > u_idx "
+            f"AND t_ts > u_ts AND t_ts <= u_ts + interval {max_delay}"
+        ),
+    )
+    return joined.select(
+        V.turn_uri("conv_id", "u_idx").alias("subj"),
+        F.lit("answeredBy").alias("pred"),
+        V.tool_uri("tool").alias("obj"),
+        "conv_id",
+        F.col("u_idx").alias("turn_idx"),
+        F.col("u_ts").alias("ts"),
+    )

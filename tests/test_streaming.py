@@ -351,3 +351,19 @@ def test_linked_sink_replayed_batch_is_noop(spark, tmp_path):
 
     sink(tdf.limit(2), 1)  # genuinely new batch id commits
     assert store.current_version() == v1 + 1
+
+
+def test_stream_stream_reply_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join drains to exactly the
+    batch join's rows (same predicate, no watermark) under availableNow."""
+    path, batch_df = _write_input(spark, tmp_path, n_convs=8)
+    out, ckpt = str(tmp_path / "out_ssj"), str(tmp_path / "ckpt_ssj")
+    stream = st.tool_reply_join_stream(st.stream_transcripts(spark, path))
+    st.run_available_now(stream, ckpt, out)
+
+    got = spark.read.parquet(out).select("subj", "pred", "obj")
+    expect = st.tool_reply_join_batch(batch_df).select("subj", "pred", "obj")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert expect.count() > 0  # synth corpus must actually exercise the join
+
