@@ -428,3 +428,89 @@ def owl_inconsistencies(triples: DataFrame) -> DataFrame:
         )
     )
     return disjoint_rows.unionByName(func_rows)
+
+
+CHAIN_AXIOM = "owl:propertyChainAxiom"
+
+
+def property_chains_materialize(
+    triples: DataFrame, passes: int = 1, max_chain_len: int = 16
+) -> DataFrame:
+    """OWL 2 RL prp-spo2: property-chain entailment.
+
+        (p owl:propertyChainAxiom (p1 p2 ... pn)),
+        (s p1 x1), (x1 p2 x2), ..., (x_{n-1} pn o)   ->   (s p o)
+
+    The chain argument is an RDF collection, exactly what the Turtle
+    parser emits for `( p1 p2 )` — so the axiom's member order is
+    recovered with the distributed rdf:List expander (rdflist.py), and
+    each chain lowers to n-1 equi-joins over per-predicate filtered
+    scans (vertical-partition-prunable, the q_sparql_2hop shape).  A
+    length-1 chain degenerates to rdfs7 subproperty inclusion, which
+    falls out of the same loop with zero joins.
+
+    Chain DEFINITIONS decide the PLAN (how many joins to stack per
+    chain), so they must reach the driver: that collect is
+    ontology-scale (axiom count x chain length, bounded by
+    `max_chain_len` per chain and in practice tens of rows), never
+    data-scale — the same bounded-artifact rule as the IVF centroids
+    and bloom words.  Instance edges stay distributed throughout.
+
+    `passes`: one pass is a fixpoint unless a chain-derived predicate
+    feeds ANOTHER chain; compose passes for such ontologies (each pass
+    is a full plan — keep small or checkpoint between).
+
+    Returns asserted + entailed, DISTINCT.  Composes with
+    owl_materialize / rdfs_materialize in any order; like those, list
+    plumbing (rdf:first/rest) and the axiom triples themselves pass
+    through as asserted metadata.
+    """
+    from .rdflist import list_expand
+
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
+
+    axioms = triples.where(F.col("pred") == CHAIN_AXIOM).select(
+        F.col("subj").alias("p"), F.col("obj").alias("head")
+    )
+    members = (
+        list_expand(triples)
+        .join(axioms, "head")
+        .select("p", "pos", "member")
+        .collect()
+    )
+    chains: dict[str, list[str]] = {}
+    for r in members:
+        chains.setdefault(r["p"], []).append((r["pos"], r["member"]))
+    for p, ms in chains.items():
+        if len(ms) > max_chain_len:
+            raise ValueError(
+                f"chain for {p!r} has {len(ms)} members "
+                f"(max_chain_len={max_chain_len})"
+            )
+        chains[p] = [m for _, m in sorted(ms)]
+
+    out = triples.select("subj", "pred", "obj")
+    for _ in range(passes):
+        derived = []
+        for p in sorted(chains):
+            chain = chains[p]
+            cur = out.where(F.col("pred") == chain[0]).select(
+                F.col("subj").alias("s"), F.col("obj").alias("x")
+            )
+            for hop, pi in enumerate(chain[1:]):
+                nxt = out.where(F.col("pred") == pi).select(
+                    F.col("subj").alias("x"), F.col("obj").alias(f"x{hop}")
+                )
+                cur = cur.join(nxt, "x").select("s", F.col(f"x{hop}").alias("x"))
+            derived.append(
+                cur.select(
+                    F.col("s").alias("subj"),
+                    F.lit(p).alias("pred"),
+                    F.col("x").alias("obj"),
+                )
+            )
+        for d in derived:
+            out = out.unionByName(d)
+        out = out.distinct()
+    return out

@@ -7246,6 +7246,65 @@ FROM t GROUP BY pred
 """
 
 
+def q_owl_chain(spark, sf):
+    """OWL 2 RL prp-spo2 property-chain entailment (operators/
+    inference.py property_chains_materialize): the axiom
+    `kg:orderRegion owl:propertyChainAxiom (kg:orderedBy kg:inNation
+    kg:inRegion)` — its chain stored as a REAL rdf:List built by
+    list_emit and recovered by the distributed expander — entails the
+    3-hop composition as two equi-joins over per-predicate filtered
+    scans.  Chain definitions are an ontology-scale driver collect
+    (they shape the plan); instance edges stay distributed.  The
+    oracle replays the composition join directly."""
+    from .operators.inference import CHAIN_AXIOM, property_chains_materialize
+    from .operators.rdflist import list_emit
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 7 == 0)
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    inst = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("kg:orderedBy").alias("pred"),
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"),
+        )
+        .unionByName(c.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("kg:inNation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+        ))
+        .unionByName(n.select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("kg:inRegion").alias("pred"),
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+        ))
+    )
+    members = spark.createDataFrame(
+        [("chain:or", 0, "kg:orderedBy"), ("chain:or", 1, "kg:inNation"),
+         ("chain:or", 2, "kg:inRegion")],
+        "head string, pos int, member string",
+    )
+    axiom = spark.createDataFrame(
+        [("kg:orderRegion", CHAIN_AXIOM, "chain:or")],
+        "subj string, pred string, obj string",
+    )
+    triples = inst.unionByName(axiom).unionByName(list_emit(members))
+    return property_chains_materialize(triples).where(
+        F.col("pred") == "kg:orderRegion"
+    )
+
+
+SQL_OWL_CHAIN = """
+SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+       'kg:orderRegion' AS pred,
+       'r:' || CAST(n_regionkey AS VARCHAR) AS obj
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderkey % 7 = 0
+"""
+
+
 def q_stream_reply(spark, sf):
     """Watermarked STREAM-STREAM interval join, oracle-checked: user
     turns matched to the tool turns that answer them (same conv, later
@@ -7408,6 +7467,7 @@ REGISTRY: dict[str, tuple] = {
     "q_simjoin": (q_simjoin, SQL_SIMJOIN),
     "q_rdf_list": (q_rdf_list, SQL_RDF_LIST),
     "q_stream_reply": (q_stream_reply, SQL_STREAM_REPLY),
+    "q_owl_chain": (q_owl_chain, SQL_OWL_CHAIN),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

@@ -365,3 +365,97 @@ def test_owl_inconsistencies_report(spark):
         ("disjoint", "x", "cls:cat", "cls:dog"),
         ("functional", "s", "fp", "2"),
     }
+
+
+class TestPropertyChains:
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def _chain_axiom(self, spark, p, head, members):
+        from logset_spark.operators.inference import CHAIN_AXIOM
+        from logset_spark.operators.rdflist import list_emit
+
+        m = spark.createDataFrame(
+            [(head, i, x) for i, x in enumerate(members)],
+            "head string, pos int, member string",
+        )
+        return self._triples(spark, [(p, CHAIN_AXIOM, head)]).unionByName(
+            list_emit(m)
+        )
+
+    def test_two_hop_chain(self, spark):
+        from logset_spark.operators.inference import property_chains_materialize
+
+        t = self._triples(
+            spark,
+            [("a", "parent", "b"), ("b", "parent", "c"), ("c", "parent", "d")],
+        ).unionByName(self._chain_axiom(spark, "grandparent", "ch:g",
+                                        ["parent", "parent"]))
+        out = property_chains_materialize(t)
+        got = {
+            (r["subj"], r["obj"])
+            for r in out.where(out["pred"] == "grandparent").collect()
+        }
+        assert got == {("a", "c"), ("b", "d")}
+
+    def test_length_one_chain_is_subproperty(self, spark):
+        from logset_spark.operators.inference import property_chains_materialize
+
+        t = self._triples(spark, [("x", "narrow", "y")]).unionByName(
+            self._chain_axiom(spark, "broad", "ch:b", ["narrow"])
+        )
+        out = property_chains_materialize(t)
+        assert out.where(
+            (out["pred"] == "broad") & (out["subj"] == "x") & (out["obj"] == "y")
+        ).count() == 1
+
+    def test_chain_feeding_chain_needs_second_pass(self, spark):
+        """greatgrand = grandparent . parent, where grandparent itself is
+        chain-derived: pass 1 derives grandparent, pass 2 the composite —
+        pinning the documented fixpoint contract."""
+        from logset_spark.operators.inference import property_chains_materialize
+
+        t = (
+            self._triples(
+                spark,
+                [("a", "parent", "b"), ("b", "parent", "c"),
+                 ("c", "parent", "d")],
+            )
+            .unionByName(self._chain_axiom(spark, "grandparent", "ch:g",
+                                           ["parent", "parent"]))
+            .unionByName(self._chain_axiom(spark, "greatgrand", "ch:gg",
+                                           ["grandparent", "parent"]))
+        )
+        p1 = property_chains_materialize(t, passes=1)
+        assert p1.where(p1["pred"] == "greatgrand").count() == 0
+        p2 = property_chains_materialize(t, passes=2)
+        got = {
+            (r["subj"], r["obj"])
+            for r in p2.where(p2["pred"] == "greatgrand").collect()
+        }
+        assert got == {("a", "d")}
+
+    def test_unused_axiom_and_passthrough(self, spark):
+        from logset_spark.operators.inference import property_chains_materialize
+
+        t = self._triples(spark, [("a", "p", "b")]).unionByName(
+            self._chain_axiom(spark, "q", "ch:q", ["nosuch", "alsonone"])
+        )
+        out = property_chains_materialize(t)
+        assert out.where(out["pred"] == "q").count() == 0
+        # asserted rows (incl. the axiom + list plumbing) pass through
+        assert out.where(
+            (out["pred"] == "p") & (out["subj"] == "a")
+        ).count() == 1
+
+    def test_overlong_chain_rejected(self, spark):
+        from logset_spark.operators.inference import property_chains_materialize
+
+        t = self._chain_axiom(spark, "p", "ch:long",
+                              [f"p{i}" for i in range(20)])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_chain_len"):
+            property_chains_materialize(t)
