@@ -514,3 +514,85 @@ def property_chains_materialize(
             out = out.unionByName(d)
         out = out.distinct()
     return out
+
+
+HAS_KEY = "owl:hasKey"
+
+
+def owl_keys_materialize(
+    triples: DataFrame, max_key_len: int = 8
+) -> DataFrame:
+    """OWL 2 RL prp-key: composite-key identity.
+
+        (c owl:hasKey (p1 ... pn)),
+        (x rdf:type c), (y rdf:type c),
+        for every i: (x pi vi) and (y pi vi)     ->   x owl:sameAs y
+
+    THE declarative entity-resolution rule ("same nation + same segment
+    => same account"): the ontology states which attribute combination
+    identifies an instance of a class, and the engine merges nodes that
+    agree on all of them — the machine-checked version of what the
+    reference's handcoded entity classes do implicitly by minting one
+    URI per key.
+
+    Key specs are rdf:Lists (same recovery path as property chains);
+    like them they are ontology-scale and shape the plan (one join per
+    key property), so they reach the driver under `max_key_len`.  Per
+    class the plan is: typed members, n broadcast-free equi-joins
+    attaching one key property each (multi-valued properties yield one
+    row per value COMBINATION — x and y merge when ANY full tuple
+    matches, the OWL semantics), then a per-tuple-group window that
+    emits sameAs in CANONICAL STAR FORM (member -> min representative),
+    linear in group size, never the quadratic pair closure.
+
+    Returns asserted + derived candidate `owl:sameAs` rows.  Tuples
+    equal across DIFFERENT groups chain only through the equivalence
+    closure — compose with owl_materialize, whose sameAs CC closes
+    star fragments into classes (tests pin the composition).
+    """
+    from .rdflist import list_expand
+
+    axioms = triples.where(F.col("pred") == HAS_KEY).select(
+        F.col("subj").alias("cls"), F.col("obj").alias("head")
+    )
+    members = (
+        list_expand(triples)
+        .join(axioms, "head")
+        .select("cls", "pos", "member")
+        .collect()
+    )
+    keys: dict[str, list[str]] = {}
+    for r in members:
+        keys.setdefault(r["cls"], []).append((r["pos"], r["member"]))
+    for cls, ms in keys.items():
+        if len(ms) > max_key_len:
+            raise ValueError(
+                f"key for {cls!r} has {len(ms)} properties "
+                f"(max_key_len={max_key_len})"
+            )
+        keys[cls] = [m for _, m in sorted(ms)]
+
+    out = triples.select("subj", "pred", "obj")
+    derived = []
+    for cls in sorted(keys):
+        props = keys[cls]
+        typed = triples.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == cls)
+        ).select(F.col("subj").alias("x"))
+        cur = typed
+        for i, p in enumerate(props):
+            vals = triples.where(F.col("pred") == p).select(
+                F.col("subj").alias("x"), F.col("obj").alias(f"v{i}")
+            )
+            cur = cur.join(vals, "x")
+        grp = [F.col(f"v{i}") for i in range(len(props))]
+        rep = F.min("x").over(Window.partitionBy(*grp))
+        derived.append(
+            cur.select(F.col("x").alias("subj"),
+                       F.lit(SAME_AS).alias("pred"),
+                       rep.alias("obj"))
+            .where(F.col("subj") != F.col("obj"))
+        )
+    for d in derived:
+        out = out.unionByName(d)
+    return out.distinct()

@@ -7305,6 +7305,55 @@ WHERE o_orderkey % 7 = 0
 """
 
 
+def q_owl_haskey(spark, sf):
+    """OWL 2 RL prp-key composite-key identity (operators/inference.py
+    owl_keys_materialize): `kg:Acct owl:hasKey (kg:nation kg:segment)`
+    — the key spec a real rdf:List — merges typed customer nodes that
+    agree on BOTH properties, emitting owl:sameAs in canonical star
+    form (member -> min representative per key-tuple group, linear in
+    group size).  The declarative twin of the linking pipeline's
+    canonicalization.  Oracle replays the group-by-min in SQL."""
+    from .operators.inference import HAS_KEY, owl_keys_materialize
+    from .operators.rdflist import list_emit
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") % 13 == 0)
+    cu = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+    inst = (
+        c.select(cu.alias("subj"), F.lit("rdf:type").alias("pred"),
+                 F.lit("kg:Acct").alias("obj"))
+        .unionByName(c.select(
+            cu.alias("subj"), F.lit("kg:nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj")))
+        .unionByName(c.select(
+            cu.alias("subj"), F.lit("kg:segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj")))
+    )
+    members = spark.createDataFrame(
+        [("key:acct", 0, "kg:nation"), ("key:acct", 1, "kg:segment")],
+        "head string, pos int, member string",
+    )
+    axiom = spark.createDataFrame(
+        [("kg:Acct", HAS_KEY, "key:acct")],
+        "subj string, pred string, obj string",
+    )
+    triples = inst.unionByName(axiom).unionByName(list_emit(members))
+    return owl_keys_materialize(triples).where(F.col("pred") == "owl:sameAs")
+
+
+SQL_OWL_HASKEY = """
+WITH c AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS x,
+         'n:' || CAST(c_nationkey AS VARCHAR) AS v0,
+         c_mktsegment AS v1
+  FROM customer WHERE c_custkey % 13 = 0
+), g AS (
+  SELECT x, MIN(x) OVER (PARTITION BY v0, v1) AS rep FROM c
+)
+SELECT DISTINCT x AS subj, 'owl:sameAs' AS pred, rep AS obj
+FROM g WHERE x <> rep
+"""
+
+
 def q_stream_reply(spark, sf):
     """Watermarked STREAM-STREAM interval join, oracle-checked: user
     turns matched to the tool turns that answer them (same conv, later
@@ -7468,6 +7517,7 @@ REGISTRY: dict[str, tuple] = {
     "q_rdf_list": (q_rdf_list, SQL_RDF_LIST),
     "q_stream_reply": (q_stream_reply, SQL_STREAM_REPLY),
     "q_owl_chain": (q_owl_chain, SQL_OWL_CHAIN),
+    "q_owl_haskey": (q_owl_haskey, SQL_OWL_HASKEY),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

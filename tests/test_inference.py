@@ -459,3 +459,96 @@ class TestPropertyChains:
 
         with _pytest.raises(ValueError, match="max_chain_len"):
             property_chains_materialize(t)
+
+
+class TestHasKey:
+    def _key_axiom(self, spark, cls, head, props):
+        from logset_spark.operators.inference import HAS_KEY
+        from logset_spark.operators.rdflist import list_emit
+
+        m = spark.createDataFrame(
+            [(head, i, p) for i, p in enumerate(props)],
+            "head string, pos int, member string",
+        )
+        ax = spark.createDataFrame(
+            [(cls, HAS_KEY, head)], "subj string, pred string, obj string"
+        )
+        return ax.unionByName(list_emit(m))
+
+    def _t(self, spark, rows):
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def test_composite_key_merges_only_full_agreement(self, spark):
+        from logset_spark.operators.inference import owl_keys_materialize
+
+        t = self._t(spark, [
+            ("a", "rdf:type", "C"), ("b", "rdf:type", "C"),
+            ("c", "rdf:type", "C"),
+            ("a", "email", "e1"), ("a", "name", "n1"),
+            ("b", "email", "e1"), ("b", "name", "n1"),   # full match with a
+            ("c", "email", "e1"), ("c", "name", "nX"),   # email only
+        ]).unionByName(self._key_axiom(spark, "C", "k:C", ["email", "name"]))
+        out = owl_keys_materialize(t)
+        same = {(r["subj"], r["obj"])
+                for r in out.where(out["pred"] == "owl:sameAs").collect()}
+        assert same == {("b", "a")}
+
+    def test_untyped_nodes_never_merge(self, spark):
+        from logset_spark.operators.inference import owl_keys_materialize
+
+        t = self._t(spark, [
+            ("a", "rdf:type", "C"), ("a", "email", "e1"),
+            ("z", "email", "e1"),  # same key value but not typed C
+        ]).unionByName(self._key_axiom(spark, "C", "k:C", ["email"]))
+        out = owl_keys_materialize(t)
+        assert out.where(out["pred"] == "owl:sameAs").count() == 0
+
+    def test_multivalued_any_tuple_matches(self, spark):
+        """x has two emails; y shares only the second — still sameAs
+        (OWL: some value in common per key property)."""
+        from logset_spark.operators.inference import owl_keys_materialize
+
+        t = self._t(spark, [
+            ("x", "rdf:type", "C"), ("y", "rdf:type", "C"),
+            ("x", "email", "e1"), ("x", "email", "e2"),
+            ("y", "email", "e2"),
+        ]).unionByName(self._key_axiom(spark, "C", "k:C", ["email"]))
+        out = owl_keys_materialize(t)
+        same = {(r["subj"], r["obj"])
+                for r in out.where(out["pred"] == "owl:sameAs").collect()}
+        assert same == {("y", "x")}
+
+    def test_composes_with_owl_materialize_closure(self, spark):
+        """Key groups chain through sameAs CC: a~b (email) and b~c
+        (phone) close into one class under owl_materialize."""
+        from logset_spark.operators.inference import (
+            owl_keys_materialize,
+            owl_materialize,
+        )
+
+        t = self._t(spark, [
+            ("a", "rdf:type", "C"), ("b", "rdf:type", "C"),
+            ("c", "rdf:type", "C"),
+            ("a", "email", "e1"), ("b", "email", "e1"),
+            ("b", "phone", "p1"), ("c", "phone", "p1"),
+        ])
+        t = t.unionByName(self._key_axiom(spark, "C", "k:e", ["email"]))
+        # second class'ing of the same nodes with a phone key
+        t = t.unionByName(self._t(spark, [
+            ("a", "rdf:type", "D"), ("b", "rdf:type", "D"),
+            ("c", "rdf:type", "D"),
+        ])).unionByName(self._key_axiom(spark, "D", "k:p", ["phone"]))
+        closed = owl_materialize(owl_keys_materialize(t))
+        same = {(r["subj"], r["obj"])
+                for r in closed.where(closed["pred"] == "owl:sameAs").collect()}
+        # all three collapse to representative 'a' in star form
+        assert ("b", "a") in same and ("c", "a") in same
+
+    def test_overlong_key_rejected(self, spark):
+        from logset_spark.operators.inference import owl_keys_materialize
+
+        t = self._key_axiom(spark, "C", "k:long", [f"p{i}" for i in range(9)])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_key_len"):
+            owl_keys_materialize(t)
