@@ -91,6 +91,17 @@ def main(argv=None) -> int:
                         "rewrite; operators/inference.py owl_materialize) "
                         "before evaluating; composes with --rdfs (RDFS "
                         "first, then OWL)")
+    p.add_argument("--chains", type=int, nargs="?", const=1, default=0,
+                   metavar="PASSES",
+                   help="materialize owl:propertyChainAxiom entailment "
+                        "(prp-spo2) before evaluating; optional value = "
+                        "number of fixpoint passes (default 1); runs "
+                        "before --keys/--owl so derived edges feed them")
+    p.add_argument("--keys", action="store_true",
+                   help="materialize owl:hasKey composite-key identity "
+                        "(prp-key) before evaluating; emits candidate "
+                        "owl:sameAs rows — combine with --owl to close "
+                        "them into canonical entity classes")
     p.add_argument("--explain", action="store_true",
                    help="print the compiled Catalyst physical plan "
                         "(explain formatted) instead of executing — the "
@@ -121,14 +132,14 @@ def main(argv=None) -> int:
 
     if args.named_graphs and not args.catalog:
         p.error("--named-graphs needs --catalog (file-provenance quads)")
-    if args.named_graphs and (args.rdfs or args.owl):
-        p.error("--named-graphs cannot combine with --rdfs/--owl "
+    if args.named_graphs and (args.rdfs or args.owl or args.chains or args.keys):
+        p.error("--named-graphs cannot combine with --rdfs/--owl/--chains/--keys "
                 "(entailment is defined over the merged default graph; "
                 "materialized inferences have no single source file)")
     if args.provenance and not args.warehouse:
         p.error("--provenance needs a --warehouse (control tables)")
-    if args.provenance and (args.rdfs or args.owl):
-        p.error("--provenance cannot combine with --rdfs/--owl "
+    if args.provenance and (args.rdfs or args.owl or args.chains or args.keys):
+        p.error("--provenance cannot combine with --rdfs/--owl/--chains/--keys "
                 "(entailment is defined over the merged default graph; "
                 "provenance quads are per-run named graphs)")
     spark = get_spark("query_graph", cpus=args.cpus)
@@ -136,6 +147,7 @@ def main(argv=None) -> int:
     if args.encoded:
         for flag, name in (
             (args.rdfs, "--rdfs"), (args.owl, "--owl"),
+            (args.chains, "--chains"), (args.keys, "--keys"),
             (args.provenance, "--provenance"), (snap_flags, "--as-of/"
              "--changed-since"), (args.analyze, "--analyze"),
             (args.service, "--service"), (args.out_ttl, "--out-ttl"),
@@ -184,6 +196,16 @@ def main(argv=None) -> int:
         from logset_spark.operators.inference import rdfs_materialize
 
         triples = rdfs_materialize(triples.select("subj", "pred", "obj"))
+    if args.chains:
+        from logset_spark.operators.inference import property_chains_materialize
+
+        triples = property_chains_materialize(
+            triples.select("subj", "pred", "obj"), passes=args.chains
+        )
+    if args.keys:
+        from logset_spark.operators.inference import owl_keys_materialize
+
+        triples = owl_keys_materialize(triples.select("subj", "pred", "obj"))
     if args.owl:
         from logset_spark.operators.inference import owl_materialize
 
@@ -216,7 +238,7 @@ def main(argv=None) -> int:
             # persisted stats describe the BASE graph only — under
             # entailment/provenance expansion the per-pred counts
             # differ, so fall back to a fresh scan of the expanded set
-            and not (args.rdfs or args.owl or args.provenance)
+            and not (args.rdfs or args.owl or args.chains or args.keys or args.provenance)
         ):
             stats = load_stats(spark, stats_path)
         else:
@@ -226,6 +248,7 @@ def main(argv=None) -> int:
             p.error("--star needs a --warehouse (annotations derive "
                     "from the triple table's provenance columns)")
         for flag, name in ((args.rdfs, "--rdfs"), (args.owl, "--owl"),
+                           (args.chains, "--chains"), (args.keys, "--keys"),
                            (args.provenance, "--provenance")):
             if flag:
                 p.error(f"--star cannot combine with {name} (inferred/"

@@ -73,7 +73,9 @@ def rdfs_materialize(triples: DataFrame) -> DataFrame:
     schema slice only), then four broadcast joins against the instance
     scan — the instance side is read once and never shuffled except for
     the final distinct.  Schema triples pass through unchanged."""
-    t = triples.select("subj", "pred", "obj")
+    from .rdflist import vocab_canon_triples
+
+    t = vocab_canon_triples(triples)
     schema = t.where(F.col("pred").isin(list(_SCHEMA_PREDS)))
 
     sub_class = _closure_reflexive(
@@ -210,9 +212,11 @@ def owl_materialize(triples: DataFrame, passes: int = 1) -> DataFrame:
     from .cc import connected_components
     from .graph import transitive_closure
 
+    from .rdflist import vocab_canon_triples
+
     if passes < 1:
         raise ValueError("passes must be >= 1")
-    out = triples.select("subj", "pred", "obj")
+    out = vocab_canon_triples(triples)
     for _ in range(passes):
         out = _owl_pass(out, connected_components, transitive_closure)
     return out
@@ -347,6 +351,9 @@ def owl_equivalence_expand(triples: DataFrame) -> DataFrame:
     end.  Asserted equivalence triples stay in the output (they are
     ontology facts); only the derived sub* rows are added.  Ontology-
     scale work: one filtered scan + a union of two projections."""
+    from .rdflist import vocab_canon_triples
+
+    triples = vocab_canon_triples(triples)
     mapping = {EQUIV_CLASS: SUBCLASS, EQUIV_PROP: SUBPROP}
     eq = triples.where(F.col("pred").isin(list(mapping)))
     sub_pred = F.when(F.col("pred") == EQUIV_CLASS, SUBCLASS).otherwise(
@@ -386,6 +393,9 @@ def owl_inconsistencies(triples: DataFrame) -> DataFrame:
     the functional check is one groupBy on the functional-pred slice.
     Output: (kind, node, a, b) — b carries the second class or the
     stringified distinct-value count."""
+    from .rdflist import vocab_canon_triples
+
+    triples = vocab_canon_triples(triples)
     types = triples.where(F.col("pred") == RDF_TYPE).select(
         F.col("subj").alias("node"), F.col("obj").alias("cls")
     ).distinct()
@@ -465,11 +475,12 @@ def property_chains_materialize(
     plumbing (rdf:first/rest) and the axiom triples themselves pass
     through as asserted metadata.
     """
-    from .rdflist import list_expand
+    from .rdflist import list_expand, vocab_canon_triples
 
     if passes < 1:
         raise ValueError("passes must be >= 1")
 
+    triples = vocab_canon_triples(triples)
     axioms = triples.where(F.col("pred") == CHAIN_AXIOM).select(
         F.col("subj").alias("p"), F.col("obj").alias("head")
     )
@@ -550,8 +561,9 @@ def owl_keys_materialize(
     closure — compose with owl_materialize, whose sameAs CC closes
     star fragments into classes (tests pin the composition).
     """
-    from .rdflist import list_expand
+    from .rdflist import list_expand, vocab_canon_triples
 
+    triples = vocab_canon_triples(triples)
     axioms = triples.where(F.col("pred") == HAS_KEY).select(
         F.col("subj").alias("cls"), F.col("obj").alias("head")
     )

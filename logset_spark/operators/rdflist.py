@@ -49,11 +49,15 @@ def list_expand(
     round; an explicit `rounds` replays exactly that many doublings —
     the oracle-facing mode (covers lists up to 2^rounds cells).
     """
-    cells = triples.where(F.col("pred") == FIRST).select(
+    # accept both the verbatim short form and the full-IRI spelling a
+    # declared @prefix rdf: produces; cell/member terms stay RAW so the
+    # caller's byte-level expectations survive.
+    pcanon = vocab_canon(F.col("pred"))
+    cells = triples.where(pcanon == FIRST).select(
         F.col("subj").alias("cell"), F.col("obj").alias("member")
     )
     rest = triples.where(
-        (F.col("pred") == REST) & (F.col("obj") != NIL)
+        (pcanon == REST) & (vocab_canon(F.col("obj")) != NIL)
     ).select(F.col("subj").alias("a"), F.col("obj").alias("b"))
 
     heads = cells.join(
@@ -142,3 +146,43 @@ def list_emit(members: DataFrame, head_col: str = "head",
         F.coalesce(F.col("next_cell"), F.lit(NIL)).alias("obj"),
     )
     return firsts.unionByName(rests)
+
+
+# Well-known vocabulary namespaces.  The Turtle loader expands DECLARED
+# prefixes to full IRIs and passes undeclared prefixed names through
+# verbatim, so the same ontology arrives as `owl:sameAs` from one
+# catalog and `http://www.w3.org/2002/07/owl#sameAs` from another.
+# Rule engines match the canonical short form; vocab_canon folds the
+# full-IRI spelling onto it so a catalog that properly declares
+# @prefix owl:/rdf:/rdfs: is not silently inert (the repo rule:
+# silent misinterpretation is worse than rejection).
+WELL_KNOWN_NS = {
+    "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+}
+
+
+def vocab_canon(col):
+    """Column: terms under a well-known namespace -> canonical prefixed
+    form (`http://...owl#sameAs` -> `owl:sameAs`); every other term
+    passes through unchanged.  Namespaces are mutually exclusive
+    prefixes, so the chained whens are order-independent."""
+    out = col
+    for short, full in WELL_KNOWN_NS.items():
+        out = F.when(
+            out.startswith(full),
+            F.concat(F.lit(short), F.substring(out, len(full) + 1, 1 << 20)),
+        ).otherwise(out)
+    return out
+
+
+def vocab_canon_triples(triples: DataFrame) -> DataFrame:
+    """Normalize all three positions of a triple frame.  Used at rule-
+    engine entry points; note the ASSERTED rows also come out in
+    canonical spelling — one graph, one spelling per vocab term."""
+    return triples.select(
+        vocab_canon(F.col("subj")).alias("subj"),
+        vocab_canon(F.col("pred")).alias("pred"),
+        vocab_canon(F.col("obj")).alias("obj"),
+    )

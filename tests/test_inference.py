@@ -552,3 +552,66 @@ class TestHasKey:
 
         with _pytest.raises(ValueError, match="max_key_len"):
             owl_keys_materialize(t)
+
+
+class TestVocabCanonicalization:
+    """A catalog that DECLARES @prefix owl:/rdf:/rdfs: delivers the
+    ontology as full IRIs; the rule engines must fire on those too
+    (vocab_canon at every entry point), never silently no-op."""
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+    def _t(self, spark, rows):
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def test_rdfs_full_iri_schema_fires(self, spark):
+        from logset_spark.operators.inference import rdfs_materialize
+
+        t = self._t(spark, [
+            ("Dog", f"{self.RDFS}subClassOf", "Animal"),
+            ("rex", f"{self.RDF}type", "Dog"),
+        ])
+        out = rdfs_materialize(t)
+        assert out.where(
+            (out["subj"] == "rex") & (out["pred"] == "rdf:type")
+            & (out["obj"] == "Animal")
+        ).count() == 1
+
+    def test_owl_full_iri_symmetric_fires(self, spark):
+        from logset_spark.operators.inference import owl_materialize
+
+        t = self._t(spark, [
+            ("knows", f"{self.RDF}type", f"{self.OWL}SymmetricProperty"),
+            ("a", "knows", "b"),
+        ])
+        out = owl_materialize(t)
+        assert out.where(
+            (out["subj"] == "b") & (out["pred"] == "knows") & (out["obj"] == "a")
+        ).count() == 1
+
+    def test_chain_full_iri_list_fires(self, spark):
+        from logset_spark.operators.inference import property_chains_materialize
+
+        t = self._t(spark, [
+            ("gp", f"{self.OWL}propertyChainAxiom", "_:l1"),
+            ("_:l1", f"{self.RDF}first", "parent"),
+            ("_:l1", f"{self.RDF}rest", "_:l2"),
+            ("_:l2", f"{self.RDF}first", "parent"),
+            ("_:l2", f"{self.RDF}rest", f"{self.RDF}nil"),
+            ("a", "parent", "b"), ("b", "parent", "c"),
+        ])
+        out = property_chains_materialize(t)
+        assert out.where(
+            (out["subj"] == "a") & (out["pred"] == "gp") & (out["obj"] == "c")
+        ).count() == 1
+
+    def test_asserted_vocab_rows_come_out_canonical(self, spark):
+        from logset_spark.operators.inference import owl_materialize
+
+        t = self._t(spark, [("x", f"{self.OWL}sameAs", "y")])
+        out = owl_materialize(t)
+        preds = {r["pred"] for r in out.collect()}
+        assert "owl:sameAs" in preds
+        assert f"{self.OWL}sameAs" not in preds
