@@ -91,6 +91,12 @@ def main(argv=None) -> int:
                         "rewrite; operators/inference.py owl_materialize) "
                         "before evaluating; composes with --rdfs (RDFS "
                         "first, then OWL)")
+    p.add_argument("--skolemize", action="store_true",
+                   help="relabel blank nodes to canonical sk:<wl-color> "
+                        "IRIs (2-round WL refinement, operators/"
+                        "skolem.py) before evaluating — unioned "
+                        "re-loads of the same catalog dedup; runs "
+                        "before any entailment flag")
     p.add_argument("--chains", type=int, nargs="?", const=1, default=0,
                    metavar="PASSES",
                    help="materialize owl:propertyChainAxiom entailment "
@@ -196,6 +202,12 @@ def main(argv=None) -> int:
         from logset_spark.operators.inference import rdfs_materialize
 
         triples = rdfs_materialize(triples.select("subj", "pred", "obj"))
+    if args.skolemize:
+        from logset_spark.operators.skolem import skolemize
+
+        triples = skolemize(
+            triples.select("subj", "pred", "obj")
+        ).distinct()
     if args.chains:
         from logset_spark.operators.inference import property_chains_materialize
 

@@ -7305,6 +7305,106 @@ WHERE o_orderkey % 7 = 0
 """
 
 
+def q_skolem(spark, sf):
+    """Blank-node skolemization via 2-round Weisfeiler-Leman color
+    refinement (operators/skolem.py): anonymous line nodes minted under
+    orders relabel to `sk:<wl-color>` IRIs — deterministic, graph-
+    local-label-free, so re-loading the same catalog dedups with a
+    plain distinct.  Fixed rounds are the semantics (k-hop guarantee),
+    so the oracle unrolls the SAME two refinement rounds in SQL: same
+    signature strings, same sort, same md5."""
+    from .operators.skolem import skolemize
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 31 == 0)
+    bn = F.concat(F.lit("_:l"), F.col("l_orderkey").cast("string"),
+                  F.lit("-"), F.col("l_linenumber").cast("string"))
+    triples = (
+        li.select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("subj"),
+            F.lit("kg:hasLine").alias("pred"), bn.alias("obj"))
+        .unionByName(li.select(
+            bn.alias("subj"), F.lit("kg:part").alias("pred"),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("obj")))
+        .unionByName(li.select(
+            bn.alias("subj"), F.lit("kg:qty").alias("pred"),
+            F.col("l_quantity").cast("int").cast("string").alias("obj")))
+    )
+    return skolemize(triples, rounds=2)
+
+
+SQL_SKOLEM = """
+WITH t AS (
+  SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS subj,
+         'kg:hasLine' AS pred,
+         '_:l' || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS obj
+  FROM lineitem WHERE l_orderkey % 31 = 0
+  UNION ALL
+  SELECT '_:l' || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR),
+         'kg:part', 'p:' || CAST(l_partkey AS VARCHAR)
+  FROM lineitem WHERE l_orderkey % 31 = 0
+  UNION ALL
+  SELECT '_:l' || CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR),
+         'kg:qty', CAST(CAST(l_quantity AS INT) AS VARCHAR)
+  FROM lineitem WHERE l_orderkey % 31 = 0
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT subj AS node FROM t UNION ALL SELECT obj FROM t)
+),
+c0 AS (
+  SELECT node,
+         md5(CASE WHEN node LIKE '!_:%' ESCAPE '!'
+                  THEN '__bnode__' ELSE node END) AS color
+  FROM nodes
+),
+half AS (
+  SELECT subj AS node, 'o' AS dir, pred, obj AS peer FROM t
+  UNION ALL
+  SELECT obj AS node, 'i' AS dir, pred, subj AS peer FROM t
+),
+s1 AS (
+  SELECT h.node,
+         md5(string_agg(h.dir || '|' || h.pred || '|' || c.color, ','
+                        ORDER BY h.dir || '|' || h.pred || '|' || c.color))
+           AS sig_color
+  FROM half h JOIN c0 c ON h.peer = c.node GROUP BY h.node
+),
+c1 AS (
+  SELECT n.node,
+         CASE WHEN n.node LIKE '!_:%' ESCAPE '!'
+                   AND s1.sig_color IS NOT NULL
+              THEN s1.sig_color ELSE n.color END AS color
+  FROM c0 n LEFT JOIN s1 ON n.node = s1.node
+),
+s2 AS (
+  SELECT h.node,
+         md5(string_agg(h.dir || '|' || h.pred || '|' || c.color, ','
+                        ORDER BY h.dir || '|' || h.pred || '|' || c.color))
+           AS sig_color
+  FROM half h JOIN c1 c ON h.peer = c.node GROUP BY h.node
+),
+c2 AS (
+  SELECT n.node,
+         CASE WHEN n.node LIKE '!_:%' ESCAPE '!'
+                   AND s2.sig_color IS NOT NULL
+              THEN s2.sig_color ELSE n.color END AS color
+  FROM c1 n LEFT JOIN s2 ON n.node = s2.node
+),
+mapping AS (
+  SELECT node, 'sk:' || color AS sk FROM c2
+  WHERE node LIKE '!_:%' ESCAPE '!'
+)
+SELECT COALESCE(ms.sk, t.subj) AS subj, t.pred,
+       COALESCE(mo.sk, t.obj) AS obj
+FROM t
+LEFT JOIN mapping ms ON t.subj = ms.node
+LEFT JOIN mapping mo ON t.obj = mo.node
+"""
+
+
 def q_owl_haskey(spark, sf):
     """OWL 2 RL prp-key composite-key identity (operators/inference.py
     owl_keys_materialize): `kg:Acct owl:hasKey (kg:nation kg:segment)`
@@ -7518,6 +7618,7 @@ REGISTRY: dict[str, tuple] = {
     "q_stream_reply": (q_stream_reply, SQL_STREAM_REPLY),
     "q_owl_chain": (q_owl_chain, SQL_OWL_CHAIN),
     "q_owl_haskey": (q_owl_haskey, SQL_OWL_HASKEY),
+    "q_skolem": (q_skolem, SQL_SKOLEM),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),
