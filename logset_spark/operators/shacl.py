@@ -32,9 +32,14 @@ a constraint certifies garbage):
                                   (save_turtle's is_uri test), else
                                   literal
 
-`sh:path` takes a plain predicate (property paths inside shapes are
-outside the subset).  Both the full SHACL IRIs and the bare `sh:`
-prefixed spellings are accepted.
+`sh:path` takes a plain predicate, an `[ sh:inversePath p ]` node
+(focus validated against the nodes that REACH it — "every customer has
+at most N orders"), or a `( p1 p2 ... )` sequence list (values at the
+end of the hop chain, one pruned scan + equi-join per hop, value-node
+set deduped per SHACL semantics).  Richer path algebra
+(alternation/closure) stays outside the subset and is rejected
+loudly.  Both the full SHACL IRIs and the bare `sh:` prefixed
+spellings are accepted.
 
 Returns a violations DataFrame (focus, shape, path, constraint,
 value) — empty means conformant.  Per constraint the plan is a
@@ -68,7 +73,9 @@ def _sh_local(term: str) -> str | None:
 
 @dataclass
 class PropertyShape:
-    path: str
+    path: str                       # display form: p | ^p | p1/p2/...
+    path_kind: str = "direct"       # direct | inverse | sequence
+    path_seq: list[str] | None = None  # inverse target / sequence hops
     min_count: int | None = None
     max_count: int | None = None
     pattern: str | None = None
@@ -127,11 +134,33 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
         for p, o in by_subj.get(node, ()):
             loc = _sh_local(p)
             if loc == "path":
-                if not re.fullmatch(r"[^\s|/^*+?!()]+", o):
+                o_props = dict(by_subj.get(o, ()))
+                inv = next((v for k, v in o_props.items()
+                            if _sh_local(k) == "inversePath"), None)
+                if inv is not None:
+                    # sh:path [ sh:inversePath p ] — focus is the OBJECT
+                    ps.path_kind = "inverse"
+                    ps.path_seq = [inv]
+                    ps.path = f"^{inv}"
+                elif _FIRST in o_props:
+                    # sh:path ( p1 p2 ... ) — sequence path
+                    seq = rdf_list(o)
+                    if not seq:
+                        raise ValueError(f"empty sh:path list at {o!r}")
+                    ps.path_kind = "sequence"
+                    ps.path_seq = seq
+                    ps.path = "/".join(seq)
+                elif o_props or not re.fullmatch(r"[^\s|/^*+?!()]+", o):
+                    # a bnode with properties that is neither an
+                    # inversePath nor a list is some richer path
+                    # construct — reject loudly, never treat the bnode
+                    # label as a predicate
                     raise ValueError(
-                        f"sh:path takes a plain predicate, got {o!r} "
-                        "(property paths in shapes are outside the subset)")
-                ps.path = o
+                        f"sh:path takes a plain predicate, an "
+                        f"[ sh:inversePath p ] node, or a ( p1 p2 ... ) "
+                        f"sequence list; got {o!r}")
+                else:
+                    ps.path = o
             elif loc == "minCount":
                 ps.min_count = int(o)
             elif loc == "maxCount":
@@ -227,6 +256,38 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
 _VIOLATION_COLS = ("focus", "shape", "path", "constraint", "value")
 
 
+def _path_values(graph: DataFrame, ps: PropertyShape) -> DataFrame:
+    """(focus, value) pairs reachable via the property shape's path.
+
+    direct keeps the historical row-per-triple extraction (the graph is
+    a set of triples, so no dedup is needed and no shuffle is added);
+    inverse/sequence paths return the DISTINCT value-node set per SHACL
+    semantics (a sequence can reach one value node through several
+    intermediates, and counting routes instead of nodes would corrupt
+    minCount/maxCount)."""
+    if ps.path_kind == "inverse":
+        return (
+            graph.where(F.col("pred") == ps.path_seq[0])
+            .select(F.col("obj").alias("focus"), F.col("subj").alias("value"))
+            .distinct()
+        )
+    if ps.path_kind == "sequence":
+        cur = graph.where(F.col("pred") == ps.path_seq[0]).select(
+            F.col("subj").alias("focus"), F.col("obj").alias("value")
+        )
+        for hop in ps.path_seq[1:]:
+            nxt = graph.where(F.col("pred") == hop).select(
+                F.col("subj").alias("value"), F.col("obj").alias("_next")
+            )
+            cur = cur.join(nxt, "value").select(
+                "focus", F.col("_next").alias("value")
+            )
+        return cur.distinct()
+    return graph.where(F.col("pred") == ps.path).select(
+        F.col("subj").alias("focus"), F.col("obj").alias("value")
+    )
+
+
 def validate(
     graph: DataFrame, shapes, focus_scope: DataFrame | None = None,
 ) -> DataFrame:
@@ -279,9 +340,7 @@ def validate(
         if focus_scope is not None:
             focus = focus.join(focus_scope, "focus", "left_semi")
         for ps in ns.properties:
-            vals = graph.where(F.col("pred") == ps.path).select(
-                F.col("subj").alias("focus"), F.col("obj").alias("value")
-            ).join(focus, "focus", "left_semi")
+            vals = _path_values(graph, ps).join(focus, "focus", "left_semi")
             if ps.min_count is not None or ps.max_count is not None \
                     or ps.has_value is not None:
                 # one aggregation serves all three count-family checks

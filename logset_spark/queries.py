@@ -7305,6 +7305,70 @@ WHERE o_orderkey % 7 = 0
 """
 
 
+_SHACL_PATHS_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:OrderShape a sh:NodeShape ;
+  sh:targetSubjectsOf orderedBy ;
+  sh:property [ sh:path ( orderedBy inNation ) ; sh:minCount 1 ] .
+ex:CustShape a sh:NodeShape ;
+  sh:targetSubjectsOf inNation ;
+  sh:property [ sh:path [ sh:inversePath orderedBy ] ; sh:maxCount 12 ] .
+"""
+
+
+def q_shacl_paths(spark, sf):
+    """SHACL property paths (operators/shacl.py): a SEQUENCE path
+    `( orderedBy inNation )` — "every order's customer resolves to a
+    nation" (customers with custkey%3==0 deliberately lack the
+    inNation edge, so their orders violate minCount 1) — and an
+    INVERSE path `[ sh:inversePath orderedBy ]` — "no customer carries
+    more than 12 orders".  Each hop is a pruned per-predicate scan +
+    equi-join; value-node sets are deduped per SHACL semantics.  The
+    oracle replays both path extractions and count checks in SQL."""
+    from .operators.shacl import validate
+    from .sources.turtle import parse_turtle
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") % 3 != 0)
+    graph = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("orderedBy").alias("pred"),
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"))
+        .unionByName(c.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("inNation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj")))
+    )
+    shape_triples, _ = parse_turtle(_SHACL_PATHS_TTL)
+    return validate(graph, shape_triples)
+
+
+SQL_SHACL_PATHS = """
+WITH cust AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS c,
+         'n:' || CAST(c_nationkey AS VARCHAR) AS n
+  FROM customer WHERE c_custkey % 3 <> 0
+), ords AS (
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS o,
+         'c:' || CAST(o_custkey AS VARCHAR) AS c
+  FROM orders
+), ocount AS (
+  SELECT ords.o AS focus, COUNT(cust.n) AS n
+  FROM ords LEFT JOIN cust ON ords.c = cust.c GROUP BY ords.o
+), ccount AS (
+  SELECT cust.c AS focus, COUNT(DISTINCT ords.o) AS n
+  FROM cust LEFT JOIN ords ON ords.c = cust.c GROUP BY cust.c
+)
+SELECT focus, 'ex:OrderShape' AS shape, 'orderedBy/inNation' AS path,
+       'minCount' AS "constraint", CAST(n AS VARCHAR) AS value
+FROM ocount WHERE n < 1
+UNION ALL
+SELECT focus, 'ex:CustShape', '^orderedBy', 'maxCount', CAST(n AS VARCHAR)
+FROM ccount WHERE n > 12
+"""
+
+
 def q_skolem(spark, sf):
     """Blank-node skolemization via 2-round Weisfeiler-Leman color
     refinement (operators/skolem.py): anonymous line nodes minted under
@@ -7619,6 +7683,7 @@ REGISTRY: dict[str, tuple] = {
     "q_owl_chain": (q_owl_chain, SQL_OWL_CHAIN),
     "q_owl_haskey": (q_owl_haskey, SQL_OWL_HASKEY),
     "q_skolem": (q_skolem, SQL_SKOLEM),
+    "q_shacl_paths": (q_shacl_paths, SQL_SHACL_PATHS),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

@@ -270,3 +270,77 @@ def test_length_and_nodekind_constraints(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="nodeKind"):
         compile_shapes(bad)
+
+
+class TestPropertyPaths:
+    def _g(self, spark, rows):
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def _shapes(self, ttl):
+        from logset_spark.sources.turtle import parse_turtle
+
+        trips, _ = parse_turtle(ttl)
+        return trips
+
+    def test_sequence_path_min_count(self, spark):
+        from logset_spark.operators.shacl import validate
+
+        g = self._g(spark, [
+            ("o1", "by", "c1"), ("c1", "nat", "n1"),
+            ("o2", "by", "c2"),                       # chain breaks at c2
+        ])
+        shapes = self._shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf by ;
+  sh:property [ sh:path ( by nat ) ; sh:minCount 1 ] .
+""")
+        v = validate(g, shapes).collect()
+        assert [(r["focus"], r["path"], r["constraint"]) for r in v] == [
+            ("o2", "by/nat", "minCount")
+        ]
+
+    def test_sequence_path_dedups_value_nodes(self, spark):
+        """Two routes to the same value node count as ONE value."""
+        from logset_spark.operators.shacl import validate
+
+        g = self._g(spark, [
+            ("o1", "by", "c1"), ("o1", "by", "c2"),
+            ("c1", "nat", "n1"), ("c2", "nat", "n1"),
+        ])
+        shapes = self._shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf by ;
+  sh:property [ sh:path ( by nat ) ; sh:maxCount 1 ] .
+""")
+        assert validate(g, shapes).count() == 0
+
+    def test_inverse_path_max_count(self, spark):
+        from logset_spark.operators.shacl import validate
+
+        g = self._g(spark, [
+            ("o1", "by", "c1"), ("o2", "by", "c1"), ("o3", "by", "c1"),
+            ("c1", "nat", "n1"),
+            ("o4", "by", "c2"), ("c2", "nat", "n1"),
+        ])
+        shapes = self._shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf nat ;
+  sh:property [ sh:path [ sh:inversePath by ] ; sh:maxCount 2 ] .
+""")
+        v = validate(g, shapes).collect()
+        assert [(r["focus"], r["path"], r["value"]) for r in v] == [
+            ("c1", "^by", "3")
+        ]
+
+    def test_unsupported_path_node_rejected(self, spark):
+        from logset_spark.operators.shacl import compile_shapes
+
+        import pytest as _pytest
+
+        shapes = self._shapes("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf by ;
+  sh:property [ sh:path [ sh:zeroOrMorePath by ] ; sh:minCount 1 ] .
+""")
+        with _pytest.raises(ValueError, match="sh:path"):
+            compile_shapes(shapes)
