@@ -54,7 +54,7 @@ def main(argv=None) -> int:
     p.add_argument("--metric", required=True,
                    choices=["pagerank", "cc", "scc", "topo", "triangle",
                             "clustering", "kcore", "ktruss", "betweenness",
-                            "ego", "sample", "modularity"])
+                            "ego", "sample", "modularity", "summary"])
     p.add_argument("--pred", action="append", default=[],
                    help="edge predicate(s); repeatable; default all")
     p.add_argument("--k", type=int, default=None,
@@ -66,6 +66,8 @@ def main(argv=None) -> int:
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed nodes (ego)")
     p.add_argument("--hops", type=int, default=2)
+    p.add_argument("--rounds", type=int, default=1,
+                   help="WL refinement rounds for --metric summary")
     p.add_argument("--top", type=int, default=5,
                    help="top rows to embed in the JSON line")
     p.add_argument("--out", default=None, help="parquet output path")
@@ -151,6 +153,11 @@ def main(argv=None) -> int:
         if args.k is None:
             p.error("--metric sample needs --k")
         result = G.neighbor_sample(edges, k=args.k)
+    elif m == "summary":
+        from logset_spark.operators.skolem import summarize_graph
+
+        result = summarize_graph(triples, rounds=args.rounds)
+        order_col = "n_edges"
     else:  # modularity
         und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         labels = G.label_propagation(und, n_iter=args.iters)

@@ -55,12 +55,30 @@ def _is_bnode(col):
     return col.startswith("_:")
 
 
-def wl_colors(triples: DataFrame, rounds: int = 2) -> DataFrame:
+def _term_kind(col):
+    """iri | literal | bnode, by this engine's term shapes (the same
+    classification shacl's sh:nodeKind uses)."""
+    is_bnode = _is_bnode(col)
+    is_iri = col.rlike(r"^[A-Za-z][A-Za-z0-9_-]*:[^\s]+$") & ~is_bnode
+    return (
+        F.when(is_bnode, "bnode").when(is_iri, "iri").otherwise("literal")
+    )
+
+
+def wl_colors(
+    triples: DataFrame, rounds: int = 2, structural: bool = False
+) -> DataFrame:
     """DataFrame[node, color] for every term in subj/obj position.
 
-    Non-bnode terms are their own color (md5 of the term — stable
-    across graphs); bnodes start uniform and differentiate through
-    their neighborhoods over `rounds` refinement rounds.
+    structural=False (skolemization): non-bnode terms are their own
+    color (md5 of the term — stable across graphs); ONLY bnodes start
+    uniform and differentiate through their neighborhoods over
+    `rounds` refinement rounds.
+
+    structural=True (summarization): EVERY node starts from its term
+    KIND only (iri/literal/bnode) and refines structurally — two IRIs
+    with the same k-hop neighborhood shape share a color regardless of
+    their names.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
@@ -70,13 +88,16 @@ def wl_colors(triples: DataFrame, rounds: int = 2) -> DataFrame:
         .unionByName(t.select(F.col("obj").alias("node")))
         .distinct()
     )
-    colors = nodes.select(
-        "node",
-        F.md5(
-            F.when(_is_bnode(F.col("node")), F.lit("__bnode__")).otherwise(
-                F.col("node")
-            )
-        ).alias("color"),
+    init = (
+        _term_kind(F.col("node"))
+        if structural
+        else F.when(_is_bnode(F.col("node")), F.lit("__bnode__")).otherwise(
+            F.col("node")
+        )
+    )
+    colors = nodes.select("node", F.md5(init).alias("color"))
+    refinable = (
+        F.lit(True) if structural else _is_bnode(F.col("node"))
     )
     # two directed half-edges per triple: the node sees (dir, pred, peer)
     out_half = t.select(
@@ -111,7 +132,7 @@ def wl_colors(triples: DataFrame, rounds: int = 2) -> DataFrame:
             .select(
                 "node",
                 F.when(
-                    _is_bnode(F.col("node")) & F.col("sig_color").isNotNull(),
+                    refinable & F.col("sig_color").isNotNull(),
                     F.col("sig_color"),
                 )
                 .otherwise(F.col("color"))
@@ -153,5 +174,41 @@ def skolemize(
             F.coalesce("s_sk", "subj").alias("subj"),
             "pred",
             F.coalesce("o_sk", "obj").alias("obj"),
+        )
+    )
+
+
+def summarize_graph(triples: DataFrame, rounds: int = 1) -> DataFrame:
+    """WL-bisimulation graph summary: the quotient graph over color
+    classes — DataFrame[src_color, pred, dst_color, n_edges,
+    n_src_nodes, n_dst_nodes].
+
+    Schema discovery over a schemaless triple warehouse: nodes that
+    play the same structural role (same k-hop neighborhood shape)
+    collapse into one summary node, and the summary edge says "N
+    class-A nodes point via p at class-B nodes".  At rounds=1 classes
+    are (in/out predicate-multiset) roles — the classic characteristic-
+    set summary; higher rounds refine toward full bisimulation.  The
+    summary is ontology-scale output from one linear pass over the
+    edges (wl_colors structural mode) plus ONE groupBy — safe to
+    collect, feed to ANALYZE-style planners, or diff between dataset
+    versions.
+    """
+    colors = wl_colors(triples, rounds, structural=True)
+    t = triples.select("subj", "pred", "obj")
+    s_col = colors.select(
+        F.col("node").alias("subj"), F.col("color").alias("src_color")
+    )
+    o_col = colors.select(
+        F.col("node").alias("obj"), F.col("color").alias("dst_color")
+    )
+    return (
+        t.join(s_col, "subj")
+        .join(o_col, "obj")
+        .groupBy("src_color", "pred", "dst_color")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("subj").alias("n_src_nodes"),
+            F.countDistinct("obj").alias("n_dst_nodes"),
         )
     )

@@ -7469,6 +7469,82 @@ LEFT JOIN mapping mo ON t.obj = mo.node
 """
 
 
+def q_summary(spark, sf):
+    """WL-bisimulation graph summary (operators/skolem.py
+    summarize_graph): quotient the (order -orderedBy-> customer
+    -inNation-> nation) graph by 1-round STRUCTURAL colors — every
+    node starts from its term kind only, so customers split into roles
+    by in/out edge multisets (order count), not by name.  Schema
+    discovery for a schemaless warehouse in one linear pass + one
+    groupBy.  The oracle unrolls the same structural round in SQL —
+    same kind classification, signature strings, sort, md5."""
+    from .operators.skolem import summarize_graph
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 17 == 0)
+    c = _t(spark, sf, "customer")
+    graph = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit("orderedBy").alias("pred"),
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"))
+        .unionByName(c.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("inNation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj")))
+    )
+    return summarize_graph(graph, rounds=1)
+
+
+SQL_SUMMARY = """
+WITH t AS (
+  SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'orderedBy' AS pred,
+         'c:' || CAST(o_custkey AS VARCHAR) AS obj
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR), 'inNation',
+         'n:' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT subj AS node FROM t UNION ALL SELECT obj FROM t)
+),
+c0 AS (
+  SELECT node,
+         md5(CASE WHEN node LIKE '!_:%' ESCAPE '!' THEN 'bnode'
+                  WHEN regexp_matches(node,
+                       '^[A-Za-z][A-Za-z0-9_-]*:[^\\s]+$') THEN 'iri'
+                  ELSE 'literal' END) AS color
+  FROM nodes
+),
+half AS (
+  SELECT subj AS node, 'o' AS dir, pred, obj AS peer FROM t
+  UNION ALL
+  SELECT obj AS node, 'i' AS dir, pred, subj AS peer FROM t
+),
+s1 AS (
+  SELECT h.node,
+         md5(string_agg(h.dir || '|' || h.pred || '|' || c.color, ','
+                        ORDER BY h.dir || '|' || h.pred || '|' || c.color))
+           AS sig_color
+  FROM half h JOIN c0 c ON h.peer = c.node GROUP BY h.node
+),
+c1 AS (
+  SELECT n.node, COALESCE(s1.sig_color, n.color) AS color
+  FROM c0 n LEFT JOIN s1 ON n.node = s1.node
+)
+SELECT cs.color AS src_color, t.pred, co.color AS dst_color,
+       COUNT(*) AS n_edges,
+       COUNT(DISTINCT t.subj) AS n_src_nodes,
+       COUNT(DISTINCT t.obj) AS n_dst_nodes
+FROM t
+JOIN c1 cs ON t.subj = cs.node
+JOIN c1 co ON t.obj = co.node
+GROUP BY cs.color, t.pred, co.color
+"""
+
+
 def q_owl_haskey(spark, sf):
     """OWL 2 RL prp-key composite-key identity (operators/inference.py
     owl_keys_materialize): `kg:Acct owl:hasKey (kg:nation kg:segment)`
@@ -7684,6 +7760,7 @@ REGISTRY: dict[str, tuple] = {
     "q_owl_haskey": (q_owl_haskey, SQL_OWL_HASKEY),
     "q_skolem": (q_skolem, SQL_SKOLEM),
     "q_shacl_paths": (q_shacl_paths, SQL_SHACL_PATHS),
+    "q_summary": (q_summary, SQL_SUMMARY),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

@@ -112,3 +112,38 @@ def test_non_bnodes_untouched_and_rounds_validated(spark):
     assert _rows(skolemize(t)) == {("s", "p", "o")}
     with pytest.raises(ValueError):
         wl_colors(t, rounds=0)
+
+
+class TestSummarize:
+    def test_roles_split_by_structure_not_name(self, spark):
+        from logset_spark.operators.skolem import summarize_graph
+
+        g = _t(spark, [
+            ("o1", "by", "c1"), ("o2", "by", "c1"),   # c1: 2 inbound
+            ("o3", "by", "c2"),                        # c2: 1 inbound
+            ("c1", "nat", "n1"), ("c2", "nat", "n1"),
+        ])
+        rows = summarize_graph(g, rounds=1).collect()
+        by_pred = {}
+        for r in rows:
+            by_pred.setdefault(r["pred"], []).append(r)
+        # all order nodes share one role: one summary edge for 'by' per
+        # customer role (c1 and c2 differ by inbound count)
+        assert len(by_pred["by"]) == 2
+        assert {r["n_edges"] for r in by_pred["by"]} == {1, 2}
+        # both customers point at the same nation role but are two roles
+        # themselves -> two 'nat' summary edges
+        assert len(by_pred["nat"]) == 2
+        src_roles = {r["src_color"] for r in by_pred["nat"]}
+        assert len(src_roles) == 2
+
+    def test_summary_is_name_invariant(self, spark):
+        from logset_spark.operators.skolem import summarize_graph
+
+        g1 = _t(spark, [("a", "p", "b"), ("b", "q", "c")])
+        g2 = _t(spark, [("x", "p", "y"), ("y", "q", "z")])
+        s1 = {(r["src_color"], r["pred"], r["dst_color"], r["n_edges"])
+              for r in summarize_graph(g1, rounds=2).collect()}
+        s2 = {(r["src_color"], r["pred"], r["dst_color"], r["n_edges"])
+              for r in summarize_graph(g2, rounds=2).collect()}
+        assert s1 == s2
