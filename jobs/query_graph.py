@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--out-ttl", help="write the result as Turtle text shards"
                                      " (CONSTRUCT/DESCRIBE results, or any"
                                      " subj/pred/obj-shaped result)")
+    p.add_argument("--out-nt", help="write the result as N-Triples text "
+                                    "shards (distributed line format — the "
+                                    "bulk-export twin of --out-ttl)")
     p.add_argument("--show", type=int, default=20, help="max rows to print without --out")
     p.add_argument("--as-of", default=None, dest="as_of",
                    type=lambda s: int(s) if s.isdigit() else s,
@@ -308,6 +311,16 @@ def _emit(p, args, spark, result) -> int:
         save_turtle(result, args.out_ttl)
         n = spark.read.text(args.out_ttl).count()
         print(json.dumps({"rows": n, "out_ttl": args.out_ttl,
+                          "columns": result.columns}))
+    elif args.out_nt:
+        from logset_spark.sources.ntriples import to_ntriples
+
+        if result.columns != ["subj", "pred", "obj"]:
+            p.error("--out-nt needs a (subj, pred, obj) result "
+                    "(CONSTRUCT / DESCRIBE queries)")
+        to_ntriples(result, args.out_nt)
+        n = spark.read.text(args.out_nt).count()
+        print(json.dumps({"rows": n, "out_nt": args.out_nt,
                           "columns": result.columns}))
     elif args.out:
         result.write.mode("overwrite").parquet(args.out)

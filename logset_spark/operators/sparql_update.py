@@ -446,6 +446,27 @@ def graph_update(
                 from ..sources.turtle import load_trig
 
                 tri = load_trig(quads.sparkSession, path)
+            elif path.endswith(".nt"):
+                # distributed line-format load; malformed lines are
+                # quarantined by the source — LOAD is strict, so any
+                # quarantined line fails the request (SILENT swallows)
+                from ..sources.ntriples import from_ntriples
+
+                tri, bad = from_ntriples(quads.sparkSession, path)
+                nbad = bad.count()
+                if nbad:
+                    raise ValueError(
+                        f"LOAD {path}: {nbad} malformed N-Triples line(s)"
+                    )
+            elif path.endswith(".nq"):
+                from ..sources.ntriples import from_nquads
+
+                tri, bad = from_nquads(quads.sparkSession, path)
+                nbad = bad.count()
+                if nbad:
+                    raise ValueError(
+                        f"LOAD {path}: {nbad} malformed N-Quads line(s)"
+                    )
             else:
                 from ..sources.turtle import load_turtle
 

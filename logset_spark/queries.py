@@ -7469,6 +7469,81 @@ LEFT JOIN mapping mo ON t.obj = mo.node
 """
 
 
+def _nt_fixture() -> str:
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "sample.nt",
+    )
+    if os.path.exists(here):
+        return here
+    return os.path.join(os.getcwd(), "tests", "fixtures", "sample.nt")
+
+
+NT_FIXTURE = _nt_fixture()
+
+
+def q_nt_source(spark, sf):
+    """S-family distributed N-Triples ingestion (sources/ntriples.py):
+    the line-based bulk RDF format parsed with native regexp term
+    extraction over spark.read.text — the 100 TB ingest path the
+    driver-side Turtle catalog parser deliberately is not.  Reads a
+    committed fixture carrying IRIs, bnodes, escaped/typed/lang-tagged
+    literals, comments, and three classes of broken line (missing dot,
+    non-statement, unsupported escape) — broken lines quarantine, and
+    the DuckDB oracle replays the SAME grammar, escape decoding, and
+    term conventions over the same file.  sf unused: the fixture IS
+    the table under test."""
+    from .sources.ntriples import from_ntriples
+
+    good, _bad = from_ntriples(spark, NT_FIXTURE)
+    return good
+
+
+SQL_NT_SOURCE = rf"""
+WITH raw AS (SELECT content FROM read_text('{NT_FIXTURE}')),
+lines AS (SELECT unnest(string_split(content, chr(10))) AS line FROM raw),
+body AS (
+  SELECT line FROM lines
+  WHERE trim(line) <> '' AND NOT starts_with(trim(line), '#')
+),
+m AS (
+  SELECT line,
+    regexp_matches(line,
+      '^\s*(<[^<>\s]*>|_:\S+)\s+(<[^<>\s]*>)\s+(<[^<>\s]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$')
+      AS ok,
+    regexp_extract(line,
+      '^\s*(<[^<>\s]*>|_:\S+)\s+(<[^<>\s]*>)\s+(<[^<>\s]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$',
+      1) AS t0,
+    regexp_extract(line,
+      '^\s*(<[^<>\s]*>|_:\S+)\s+(<[^<>\s]*>)\s+(<[^<>\s]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$',
+      2) AS t1,
+    regexp_extract(line,
+      '^\s*(<[^<>\s]*>|_:\S+)\s+(<[^<>\s]*>)\s+(<[^<>\s]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z0-9-]+)?)\s*\.\s*$',
+      3) AS t2
+  FROM body
+),
+good AS (
+  SELECT * FROM m
+  WHERE ok AND NOT (starts_with(t2, '"') AND NOT
+        regexp_matches(t2, '^"(?:[^"\\]|\\["\\ntr])*"'))
+)
+SELECT
+  CASE WHEN starts_with(t0, '<')
+       THEN substring(t0, 2, length(t0) - 2) ELSE t0 END AS subj,
+  substring(t1, 2, length(t1) - 2) AS pred,
+  CASE
+    WHEN starts_with(t2, '<') THEN substring(t2, 2, length(t2) - 2)
+    WHEN starts_with(t2, '"') THEN
+      replace(replace(replace(replace(replace(replace(
+        regexp_extract(t2, '^"((?:[^"\\]|\\.)*)"', 1),
+        '\\', chr(1)), '\"', '"'), '\n', chr(10)), '\t', chr(9)),
+        '\r', chr(13)), chr(1), '\')
+    ELSE t2
+  END AS obj
+FROM good
+"""
+
+
 def q_summary(spark, sf):
     """WL-bisimulation graph summary (operators/skolem.py
     summarize_graph): quotient the (order -orderedBy-> customer
@@ -7761,6 +7836,7 @@ REGISTRY: dict[str, tuple] = {
     "q_skolem": (q_skolem, SQL_SKOLEM),
     "q_shacl_paths": (q_shacl_paths, SQL_SHACL_PATHS),
     "q_summary": (q_summary, SQL_SUMMARY),
+    "q_nt_source": (q_nt_source, SQL_NT_SOURCE),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

@@ -1,0 +1,102 @@
+"""Distributed N-Triples/N-Quads source & sink (sources/ntriples.py).
+
+Contracts: grammar + escape decoding against the committed fixture,
+loud quarantine for all three malformed-line classes, write/read
+round-trip identity (incl. newline/quote/backslash literals), quad
+graph attribution, and Turtle-convention agreement (typed/lang
+literals land as bare lexical forms, same as the .ttl loader).
+"""
+
+from logset_spark.queries import NT_FIXTURE
+from logset_spark.sources.ntriples import (
+    from_nquads,
+    from_ntriples,
+    to_nquads,
+    to_ntriples,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_fixture_parse_and_quarantine(spark):
+    good, bad = from_ntriples(spark, NT_FIXTURE)
+    g = _rows(good)
+    assert ("http://example.org/s1", "http://example.org/p",
+            "http://example.org/o1") in g
+    # escape decoding
+    assert ("http://example.org/s2", "http://example.org/name",
+            'esc "q" and \\slash and \n line') in g
+    # typed/lang literals -> bare lexical (turtle-loader convention)
+    assert ("http://example.org/s3", "http://example.org/age", "41") in g
+    assert ("http://example.org/s3", "http://example.org/label", "hallo") in g
+    assert ("_:b1", "http://example.org/p", "bnode subject") in g
+    reasons = sorted(r["reason"] for r in bad.collect())
+    assert reasons == [
+        "malformed_statement", "malformed_statement", "unsupported_escape"
+    ]
+
+
+def test_roundtrip_identity(spark, tmp_path):
+    good, _ = from_ntriples(spark, NT_FIXTURE)
+    out = str(tmp_path / "rt_nt")
+    to_ntriples(good, out)
+    back, bad = from_ntriples(spark, out)
+    assert _rows(back) == _rows(good)
+    assert bad.count() == 0
+
+
+def test_nquads_graph_attribution(spark, tmp_path):
+    p = tmp_path / "g.nq"
+    p.write_text(
+        '<ex:s> <ex:p> <ex:o> <ex:g1> .\n'
+        '<ex:s> <ex:p> "default graph" .\n'
+        '_:b <ex:p> "in g2" _:g2 .\n'
+    )
+    quads, bad = from_nquads(spark, str(p))
+    assert bad.count() == 0
+    got = _rows(quads)
+    assert ("ex:s", "ex:p", "ex:o", "ex:g1") in got
+    assert ("ex:s", "ex:p", "default graph", "") in got
+    assert ("_:b", "ex:p", "in g2", "_:g2") in got
+    # quad round-trip incl. default graph
+    out = str(tmp_path / "rt_nq")
+    to_nquads(quads, out)
+    back, bad2 = from_nquads(spark, out)
+    assert _rows(back) == got
+    assert bad2.count() == 0
+
+
+def test_sink_escapes_control_characters(spark, tmp_path):
+    rows = [("ex:s", "ex:p", 'tricky "x"\nnew\tline\\end')]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = str(tmp_path / "esc_nt")
+    to_ntriples(df, out)
+    # every emitted statement is ONE line (escapes keep it so)
+    lines = [l for l in spark.read.text(out).collect()]
+    assert len(lines) == 1
+    back, bad = from_ntriples(spark, out)
+    assert bad.count() == 0
+    assert _rows(back) == set(rows)
+
+
+def test_no_python_in_parse_plan(spark):
+    good, _ = from_ntriples(spark, NT_FIXTURE)
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bare_predicates_bracketed_and_roundtrip(spark, tmp_path):
+    """The engine's colon-free predicate tokens (usedTool) must emit as
+    <usedTool> (a predicate is an IRI by definition), never as quoted
+    literals, and round-trip back to the bare token."""
+    rows = [("turn:c/1", "usedTool", "tool:compiler")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = str(tmp_path / "barepred_nt")
+    to_ntriples(df, out)
+    line = spark.read.text(out).collect()[0]["value"]
+    assert " <usedTool> " in line
+    back, bad = from_ntriples(spark, out)
+    assert bad.count() == 0
+    assert _rows(back) == set(rows)

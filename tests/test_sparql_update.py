@@ -363,3 +363,29 @@ def test_update_comments_stripped():
         DELETE WHERE { ?t usedTool tool:x }  # shorthand form"""
     )
     assert pu.delete_tmpl == [("?t", "usedTool", "tool:x")]
+
+
+def test_load_ntriples_and_nquads(quads, tmp_path):
+    from logset_spark.operators.sparql_update import graph_update
+
+    nt = tmp_path / "in.nt"
+    nt.write_text("<http://x.org/n1> <http://x.org/p> <http://x.org/n2> .\n"
+                  '<http://x.org/n1> <http://x.org/q> "v" .\n')
+    got = graph_update(quads, f"LOAD <file://{nt}> INTO GRAPH gnt")
+    assert got.filter(F.col("graph") == "gnt").count() == 2
+
+    nq = tmp_path / "in.nq"
+    nq.write_text("<http://x.org/a> <http://x.org/p> <http://x.org/b> "
+                  "<http://x.org/gq> .\n")
+    got = graph_update(quads, f"LOAD <file://{nq}>")
+    # quads source carries its own graph attribution
+    assert got.filter(F.col("graph") == "http://x.org/gq").count() == 1
+
+    # malformed line -> strict LOAD fails loudly, SILENT swallows
+    badf = tmp_path / "bad.nt"
+    badf.write_text("<http://x.org/n1> <http://x.org/p> missing-type .\n")
+    with pytest.raises(Exception, match="malformed"):
+        graph_update(quads, f"LOAD <file://{badf}>")
+    assert graph_update(
+        quads, f"LOAD SILENT <file://{badf}>"
+    ).count() == quads.count()
