@@ -141,14 +141,14 @@ def main(argv=None) -> int:
 
     if args.named_graphs and not args.catalog:
         p.error("--named-graphs needs --catalog (file-provenance quads)")
-    if args.named_graphs and (args.rdfs or args.owl or args.chains or args.keys):
-        p.error("--named-graphs cannot combine with --rdfs/--owl/--chains/--keys "
+    if args.named_graphs and (args.rdfs or args.owl or args.chains or args.keys or args.skolemize):
+        p.error("--named-graphs cannot combine with --rdfs/--owl/--chains/--keys/--skolemize "
                 "(entailment is defined over the merged default graph; "
                 "materialized inferences have no single source file)")
     if args.provenance and not args.warehouse:
         p.error("--provenance needs a --warehouse (control tables)")
-    if args.provenance and (args.rdfs or args.owl or args.chains or args.keys):
-        p.error("--provenance cannot combine with --rdfs/--owl/--chains/--keys "
+    if args.provenance and (args.rdfs or args.owl or args.chains or args.keys or args.skolemize):
+        p.error("--provenance cannot combine with --rdfs/--owl/--chains/--keys/--skolemize "
                 "(entailment is defined over the merged default graph; "
                 "provenance quads are per-run named graphs)")
     spark = get_spark("query_graph", cpus=args.cpus)
@@ -157,6 +157,7 @@ def main(argv=None) -> int:
         for flag, name in (
             (args.rdfs, "--rdfs"), (args.owl, "--owl"),
             (args.chains, "--chains"), (args.keys, "--keys"),
+            (args.skolemize, "--skolemize"), (args.out_nt, "--out-nt"),
             (args.provenance, "--provenance"), (snap_flags, "--as-of/"
              "--changed-since"), (args.analyze, "--analyze"),
             (args.service, "--service"), (args.out_ttl, "--out-ttl"),
@@ -201,16 +202,16 @@ def main(argv=None) -> int:
         io = TableIO(root=args.warehouse)
         triples = with_provenance(
             triples, provenance_quads(spark, io))
-    if args.rdfs:
-        from logset_spark.operators.inference import rdfs_materialize
-
-        triples = rdfs_materialize(triples.select("subj", "pred", "obj"))
     if args.skolemize:
         from logset_spark.operators.skolem import skolemize
 
         triples = skolemize(
             triples.select("subj", "pred", "obj")
         ).distinct()
+    if args.rdfs:
+        from logset_spark.operators.inference import rdfs_materialize
+
+        triples = rdfs_materialize(triples.select("subj", "pred", "obj"))
     if args.chains:
         from logset_spark.operators.inference import property_chains_materialize
 
@@ -253,7 +254,7 @@ def main(argv=None) -> int:
             # persisted stats describe the BASE graph only — under
             # entailment/provenance expansion the per-pred counts
             # differ, so fall back to a fresh scan of the expanded set
-            and not (args.rdfs or args.owl or args.chains or args.keys or args.provenance)
+            and not (args.rdfs or args.owl or args.chains or args.keys or args.skolemize or args.provenance)
         ):
             stats = load_stats(spark, stats_path)
         else:
@@ -264,6 +265,7 @@ def main(argv=None) -> int:
                     "from the triple table's provenance columns)")
         for flag, name in ((args.rdfs, "--rdfs"), (args.owl, "--owl"),
                            (args.chains, "--chains"), (args.keys, "--keys"),
+                           (args.skolemize, "--skolemize"),
                            (args.provenance, "--provenance")):
             if flag:
                 p.error(f"--star cannot combine with {name} (inferred/"

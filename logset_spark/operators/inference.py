@@ -30,9 +30,13 @@ ontology whose schema triples are themselves derived needs a second
 pass (compose the operator twice).
 
 Vocabulary terms are the engine's prefixed-string spellings
-(`rdf:type`, `rdfs:subClassOf`, `rdfs:subPropertyOf`, `rdfs:domain`,
-`rdfs:range`) — the Turtle loader preserves prefixed names verbatim, so
-catalogs written against the rdflib namespaces land exactly here.
+(`rdf:type`, `rdfs:subClassOf`, ...).  Every parser/loader
+canonicalizes well-known rdf/rdfs/owl full-IRI spellings to these
+short forms (turtle._canon_term, ntriples vocab_canon), the SPARQL
+layer folds its `<iri>` constants the same way (sparql._const_term),
+and each rule entry point re-applies vocab_canon_triples as a belt —
+so catalogs and queries written against the rdflib namespaces land
+exactly here whether or not they declared the prefixes.
 """
 
 from __future__ import annotations
@@ -485,7 +489,7 @@ def property_chains_materialize(
         F.col("subj").alias("p"), F.col("obj").alias("head")
     )
     members = (
-        list_expand(triples)
+        list_expand(triples, heads_filter=axioms.select("head"))
         .join(axioms, "head")
         .select("p", "pos", "member")
         .collect()
@@ -568,7 +572,7 @@ def owl_keys_materialize(
         F.col("subj").alias("cls"), F.col("obj").alias("head")
     )
     members = (
-        list_expand(triples)
+        list_expand(triples, heads_filter=axioms.select("head"))
         .join(axioms, "head")
         .select("cls", "pos", "member")
         .collect()

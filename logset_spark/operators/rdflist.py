@@ -41,6 +41,7 @@ def list_expand(
     triples: DataFrame,
     rounds: int | None = None,
     max_rounds: int = 30,
+    heads_filter: DataFrame | None = None,
 ) -> DataFrame:
     """triples[subj, pred, obj] -> DataFrame[head, pos:int, member].
 
@@ -48,6 +49,14 @@ def list_expand(
     runs pointer doubling to convergence with a one-row probe per
     round; an explicit `rounds` replays exactly that many doublings —
     the oracle-facing mode (covers lists up to 2^rounds cells).
+
+    `heads_filter`: optional one-column DataFrame of head terms; only
+    those lists expand.  The consumers that want a handful of
+    ontology-scale lists out of a graph full of DATA lists (property
+    chains, hasKey) pass their axiom objects here so the reach table —
+    and, under convergence mode, the ROUND COUNT, which the stepped
+    probe ties to the longest *selected* list — never scale with
+    unrelated instance lists.
     """
     # accept both the verbatim short form and the full-IRI spelling a
     # declared @prefix rdf: produces; cell/member terms stay RAW so the
@@ -63,6 +72,11 @@ def list_expand(
     heads = cells.join(
         rest.select(F.col("b").alias("cell")), "cell", "left_anti"
     ).select("cell")
+    if heads_filter is not None:
+        want = heads_filter.select(
+            F.col(heads_filter.columns[0]).alias("cell")
+        ).distinct()
+        heads = heads.join(F.broadcast(want), "cell", "left_semi")
 
     # R: head reaches `cell` in `pos` rest-steps; J: exact 2^k jumps.
     r = heads.select(

@@ -134,7 +134,12 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
         for p, o in by_subj.get(node, ()):
             loc = _sh_local(p)
             if loc == "path":
-                o_props = dict(by_subj.get(o, ()))
+                # only a BLANK path object can be a path construct; an
+                # IRI predicate that happens to be described elsewhere
+                # in the shapes graph is still a plain sh:path
+                o_props = (
+                    dict(by_subj.get(o, ())) if o.startswith("_:") else {}
+                )
                 inv = next((v for k, v in o_props.items()
                             if _sh_local(k) == "inversePath"), None)
                 if inv is not None:

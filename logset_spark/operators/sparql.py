@@ -151,9 +151,19 @@ def _is_var(t: str) -> bool:
 def _const_term(t: str) -> str:
     """A constant term written <iri> denotes the raw IRI string (the
     angle brackets are syntax, not value) — and is never a property
-    path, however many '/'s the IRI contains."""
+    path, however many '/'s the IRI contains.  Well-known rdf/rdfs/owl
+    IRIs fold to their canonical short spelling, matching what every
+    parser/loader emits for the data side (turtle._canon_term) — so a
+    query written with declared `PREFIX owl:` matches a graph loaded
+    from a declared-prefix catalog."""
     if len(t) > 2 and t.startswith("<") and t.endswith(">"):
-        return t[1:-1]
+        iri = t[1:-1]
+        from .rdflist import WELL_KNOWN_NS
+
+        for short, full in WELL_KNOWN_NS.items():
+            if iri.startswith(full):
+                return short + iri[len(full):]
+        return iri
     return t
 
 

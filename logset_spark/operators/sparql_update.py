@@ -467,6 +467,15 @@ def graph_update(
                     raise ValueError(
                         f"LOAD {path}: {nbad} malformed N-Quads line(s)"
                     )
+                # the source marks the default graph '' ; the quads
+                # store's convention is graph IS NULL — map at the
+                # boundary or default-graph rows land in a phantom
+                # named graph the default-graph queries never see
+                tri = tri.withColumn(
+                    "graph",
+                    F.when(F.col("graph") == "", F.lit(None).cast("string"))
+                    .otherwise(F.col("graph")),
+                )
             else:
                 from ..sources.turtle import load_turtle
 

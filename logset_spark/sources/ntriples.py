@@ -61,11 +61,18 @@ def _decode_literal(col):
 
 
 def _decode_term(col):
-    """<iri> -> iri;  _:b -> _:b;  "lit"[^^dt|@lang] -> decoded lexical."""
+    """<iri> -> iri (well-known rdf/rdfs/owl IRIs folded to the
+    engine's canonical short spelling, same as the Turtle parser);
+    _:b -> _:b;  "lit"[^^dt|@lang] -> decoded lexical."""
+    from ..operators.rdflist import vocab_canon
+
     is_iri = col.startswith("<")
     is_lit = col.startswith('"')
     return (
-        F.when(is_iri, col.substr(F.lit(2), F.length(col) - F.lit(2)))
+        F.when(
+            is_iri,
+            vocab_canon(col.substr(F.lit(2), F.length(col) - F.lit(2))),
+        )
         .when(is_lit, _decode_literal(col))
         .otherwise(col)
     )

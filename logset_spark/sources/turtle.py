@@ -497,6 +497,26 @@ class _Parser:
         return quads
 
 
+from ..operators.rdflist import WELL_KNOWN_NS
+
+
+def _canon_term(t: str) -> str:
+    """Well-known rdf/rdfs/owl full-IRI spellings -> the canonical
+    short prefixed form.  Applied to every parser output so the engine
+    speaks ONE spelling per vocab term regardless of whether the
+    source document declared those prefixes (the SPARQL layer folds
+    its <iri> constants the same way — sparql._const_term)."""
+    for short, full in WELL_KNOWN_NS.items():
+        if t.startswith(full):
+            return short + t[len(full):]
+    return t
+
+
+def _canon3(trips):
+    return [(_canon_term(s), _canon_term(p), _canon_term(o))
+            for s, p, o in trips]
+
+
 def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]:
     """Full-subset parse -> (triples, prefix bindings).  Triple-only
     contract: a document using RDF-star syntax is rejected here (the
@@ -507,7 +527,7 @@ def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]
         raise ValueError(
             "document uses RDF-star annotations; parse with "
             "parse_turtle_star to receive them")
-    return trips, p.prefixes
+    return _canon3(trips), p.prefixes
 
 
 def parse_turtle_star(
@@ -534,7 +554,9 @@ def parse_turtle_star(
     Turtle-star emitters."""
     p = _Parser(_tokenize(text))
     trips = p.statements()
-    return trips, p.annotations, p.prefixes
+    return _canon3(trips), [
+        tuple(_canon_term(x) for x in a) for a in p.annotations
+    ], p.prefixes
 
 
 def parse_trig(
@@ -552,7 +574,11 @@ def parse_trig(
             "RDF-star annotations inside TriG are not supported (no "
             "graph attribution for annotation rows); keep star "
             "statements in a .ttl loaded via parse_turtle_star")
-    return quads, p.prefixes
+    return [
+        (_canon_term(s), _canon_term(p_), _canon_term(o),
+         _canon_term(g) if g is not None else None)
+        for s, p_, o, g in quads
+    ], p.prefixes
 
 
 def to_trig(quads: pd.DataFrame) -> str:

@@ -344,3 +344,22 @@ ex:S a sh:NodeShape ; sh:targetSubjectsOf by ;
 """)
         with _pytest.raises(ValueError, match="sh:path"):
             compile_shapes(shapes)
+
+
+def test_plain_path_predicate_described_elsewhere_still_plain(spark):
+    """A shapes graph that also annotates its vocabulary (the path IRI
+    appears as a SUBJECT elsewhere) must still read sh:path as a plain
+    predicate — only bnode path objects are path constructs."""
+    from logset_spark.operators.shacl import compile_shapes
+    from logset_spark.sources.turtle import parse_turtle
+
+    trips, _ = parse_turtle("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf by ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+ex:name rdfs:label 'name' .
+""")
+    shapes = compile_shapes(trips)
+    ps = shapes[0].properties[0]
+    assert ps.path_kind == "direct"
+    assert ps.path.endswith("name")

@@ -1311,3 +1311,31 @@ def test_stats_save_load_roundtrip_and_same_ordering(spark, tmp_path):
     assert loaded.pred_counts == fresh.pred_counts
     assert loaded.pred_subj == fresh.pred_subj
     assert loaded.pred_obj == fresh.pred_obj
+
+
+def test_declared_prefix_query_matches_declared_prefix_catalog(spark, tmp_path):
+    """Both sides declare the owl/rdfs prefixes: the loader folds the
+    data to canonical short vocab and _const_term folds the query's
+    expanded <iri> constants the same way, so entailment-flagged
+    queries keep matching (regression: canonicalizing only the data
+    side silently emptied these results)."""
+    from logset_spark.operators.inference import rdfs_materialize
+    from logset_spark.operators.sparql import sparql
+    from logset_spark.sources.turtle import load_turtle
+
+    ttl = tmp_path / "declared.ttl"
+    ttl.write_text(
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:Dog rdfs:subClassOf ex:Animal .\n"
+        "ex:rex rdf:type ex:Dog .\n"
+    )
+    g = rdfs_materialize(load_turtle(spark, str(ttl)))
+    q = (
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "PREFIX ex: <http://example.org/> "
+        "SELECT ?s WHERE { ?s rdf:type ex:Animal }"
+    )
+    rows = sparql(g, q).collect()
+    assert [r["s"] for r in rows] == ["http://example.org/rex"]

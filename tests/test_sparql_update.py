@@ -376,10 +376,16 @@ def test_load_ntriples_and_nquads(quads, tmp_path):
 
     nq = tmp_path / "in.nq"
     nq.write_text("<http://x.org/a> <http://x.org/p> <http://x.org/b> "
-                  "<http://x.org/gq> .\n")
+                  "<http://x.org/gq> .\n"
+                  '<http://x.org/a> <http://x.org/p> "dg" .\n')
+    before_default = quads.filter(F.col("graph").isNull()).count()
     got = graph_update(quads, f"LOAD <file://{nq}>")
     # quads source carries its own graph attribution
     assert got.filter(F.col("graph") == "http://x.org/gq").count() == 1
+    # a default-graph .nq statement must land in the store's default
+    # graph (graph IS NULL), never a phantom ''-named graph
+    assert got.filter(F.col("graph").isNull()).count() == before_default + 1
+    assert got.filter(F.col("graph") == "").count() == 0
 
     # malformed line -> strict LOAD fails loudly, SILENT swallows
     badf = tmp_path / "bad.nt"

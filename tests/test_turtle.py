@@ -84,13 +84,14 @@ def test_collections_expand_to_first_rest_chains():
     ttl = ('@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n'
            'ex:a ex:list ("x" "y") .')
     t, _ = parse_turtle(ttl)
-    ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
-    firsts = [(s, o) for s, p, o in t if p == ns + "first"]
-    rests = {s: o for s, p, o in t if p == ns + "rest"}
+    # declared rdf: prefix canonicalizes to the short spelling — one
+    # graph, one spelling per vocab term (turtle._canon_term)
+    firsts = [(s, o) for s, p, o in t if p == "rdf:first"]
+    rests = {s: o for s, p, o in t if p == "rdf:rest"}
     (head,) = {o for s, p, o in t if p == "ex:list"}
     assert dict(firsts)[head] == "x"
     assert dict(firsts)[rests[head]] == "y"
-    assert rests[rests[head]] == ns + "nil"
+    assert rests[rests[head]] == "rdf:nil"
     # unbound rdf: prefix -> verbatim engine-style terms; () is rdf:nil
     t, _ = parse_turtle("ex:a ex:list () .")
     assert t == [("ex:a", "ex:list", "rdf:nil")]
