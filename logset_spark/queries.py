@@ -7544,6 +7544,65 @@ FROM good
 """
 
 
+NQ_FIXTURE = NT_FIXTURE[: -len("sample.nt")] + "sample.nq"
+
+
+def q_nq_source(spark, sf):
+    """S-family distributed N-Quads ingestion (sources/ntriples.py
+    from_nquads): the 4-term line format carrying named-graph
+    attribution — default-graph rows marked '' by the source, named
+    graphs (IRI or bnode) decoded like any term.  Same grammar,
+    quarantine, and Turtle-convention decode as q_nt_source, replayed
+    in DuckDB with the optional 4th capture group."""
+    from .sources.ntriples import from_nquads
+
+    good, _bad = from_nquads(spark, NQ_FIXTURE)
+    return good
+
+
+from .sources.ntriples import _LINE_NQ as _NQ_PAT  # keep oracle == engine
+
+SQL_NQ_SOURCE = rf"""
+WITH raw AS (SELECT content FROM read_text('{NQ_FIXTURE}')),
+lines AS (SELECT unnest(string_split(content, chr(10))) AS line FROM raw),
+body AS (
+  SELECT line FROM lines
+  WHERE trim(line) <> '' AND NOT starts_with(trim(line), '#')
+),
+m AS (
+  SELECT line,
+    regexp_matches(line, '{_NQ_PAT}') AS ok,
+    regexp_extract(line, '{_NQ_PAT}', 1) AS t0,
+    regexp_extract(line, '{_NQ_PAT}', 2) AS t1,
+    regexp_extract(line, '{_NQ_PAT}', 3) AS t2,
+    regexp_extract(line, '{_NQ_PAT}', 4) AS t3
+  FROM body
+),
+good AS (
+  SELECT * FROM m
+  WHERE ok AND NOT (starts_with(t2, '"') AND NOT
+        regexp_matches(t2, '^"(?:[^"\\]|\\["\\ntr])*"'))
+)
+SELECT
+  CASE WHEN starts_with(t0, '<')
+       THEN substring(t0, 2, length(t0) - 2) ELSE t0 END AS subj,
+  substring(t1, 2, length(t1) - 2) AS pred,
+  CASE
+    WHEN starts_with(t2, '<') THEN substring(t2, 2, length(t2) - 2)
+    WHEN starts_with(t2, '"') THEN
+      replace(replace(replace(replace(replace(replace(
+        regexp_extract(t2, '^"((?:[^"\\]|\\.)*)"', 1),
+        '\\', chr(1)), '\"', '"'), '\n', chr(10)), '\t', chr(9)),
+        '\r', chr(13)), chr(1), '\')
+    ELSE t2
+  END AS obj,
+  CASE WHEN t3 = '' THEN ''
+       WHEN starts_with(t3, '<') THEN substring(t3, 2, length(t3) - 2)
+       ELSE t3 END AS graph
+FROM good
+"""
+
+
 def q_summary(spark, sf):
     """WL-bisimulation graph summary (operators/skolem.py
     summarize_graph): quotient the (order -orderedBy-> customer
@@ -7837,6 +7896,7 @@ REGISTRY: dict[str, tuple] = {
     "q_shacl_paths": (q_shacl_paths, SQL_SHACL_PATHS),
     "q_summary": (q_summary, SQL_SUMMARY),
     "q_nt_source": (q_nt_source, SQL_NT_SOURCE),
+    "q_nq_source": (q_nq_source, SQL_NQ_SOURCE),
     # round-3 session-11 additions
     "q_scc": (q_scc, SQL_SCC),
     "q_topo": (q_topo, SQL_TOPO),

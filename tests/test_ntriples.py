@@ -100,3 +100,19 @@ def test_bare_predicates_bracketed_and_roundtrip(spark, tmp_path):
     back, bad = from_ntriples(spark, out)
     assert bad.count() == 0
     assert _rows(back) == set(rows)
+
+
+def test_nq_fixture_parse(spark):
+    from logset_spark.queries import NQ_FIXTURE
+
+    quads, bad = from_nquads(spark, NQ_FIXTURE)
+    got = _rows(quads)
+    assert ("http://example.org/s1", "http://example.org/p",
+            "http://example.org/o1", "http://example.org/g1") in got
+    assert ("http://example.org/s1", "http://example.org/name",
+            "in default graph", "") in got
+    assert ("http://example.org/s3", "http://example.org/label",
+            "tag", "_:g3") in got
+    assert sorted(r["reason"] for r in bad.collect()) == [
+        "malformed_statement", "malformed_statement"
+    ]
