@@ -29,6 +29,13 @@ def main(argv=None) -> int:
     src.add_argument("--warehouse", help="warehouse root (build_graph --out)")
     src.add_argument("--catalog", help="entry .ttl catalog file to query instead"
                                        " of a parquet warehouse")
+    src.add_argument("--nquads", help=".nq file or directory to query "
+                                      "directly — the distributed quad "
+                                      "source (sources/ntriples.py): GRAPH "
+                                      "patterns see each statement's named "
+                                      "graph, default-graph rows merge into "
+                                      "the default graph; malformed lines "
+                                      "reject loudly")
     src.add_argument("--encoded", help="term-encoded store root "
                                        "(jobs/encode_graph.py --out): BGP "
                                        "SELECT queries (COUNT aggregates "
@@ -141,6 +148,11 @@ def main(argv=None) -> int:
 
     if args.named_graphs and not args.catalog:
         p.error("--named-graphs needs --catalog (file-provenance quads)")
+    if args.nquads and (args.rdfs or args.owl or args.chains or args.keys
+                        or args.skolemize):
+        p.error("--nquads cannot combine with --rdfs/--owl/--chains/"
+                "--keys/--skolemize (entailment is defined over the "
+                "merged default graph; quad attribution would be lost)")
     if args.named_graphs and (args.rdfs or args.owl or args.chains or args.keys or args.skolemize):
         p.error("--named-graphs cannot combine with --rdfs/--owl/--chains/--keys/--skolemize "
                 "(entailment is defined over the merged default graph; "
@@ -176,6 +188,27 @@ def main(argv=None) -> int:
         triples = load_catalog(spark, args.catalog,
                                follow_links=args.follow_links,
                                named_graphs=args.named_graphs)
+    elif args.nquads:
+        if snap_flags:
+            p.error("--as-of/--changed-since need a --warehouse built "
+                    "with --snapshots")
+        from pyspark.sql import functions as F
+
+        from logset_spark.sources.ntriples import from_nquads
+
+        q_good, q_bad = from_nquads(spark, args.nquads)
+        nbad = q_bad.count()
+        if nbad:
+            p.error(f"--nquads {args.nquads}: {nbad} malformed line(s) "
+                    "(fix or strip them; the reader quarantines, the "
+                    "query surface is strict)")
+        # source marks the default graph '' ; the evaluator's quads
+        # convention is NULL (same boundary mapping as LOAD .nq)
+        triples = q_good.withColumn(
+            "graph",
+            F.when(F.col("graph") == "", F.lit(None).cast("string"))
+            .otherwise(F.col("graph")),
+        )
     else:
         if os.path.isdir(os.path.join(args.warehouse, "triples", "_meta")):
             from logset_spark.sources.snapshots import SnapshotTriplesIO
