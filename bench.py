@@ -152,19 +152,23 @@ def main() -> int:
         res = build_graph(spark, transcripts, dictionary, io,
                           run_id=f"bench{rep}")
         walls.append(time.monotonic() - t0)
-    # Adaptive extra draws: the ceiling oscillates faster than a run, so
-    # when every standard rep landed in a collapsed window (min wall
-    # above 36.0s ~ the 35.8s round-1 bar, at the default sf0.1/32-core/
-    # 120k-conv config), take up to SPARK_GRAFT_BENCH_EXTRA more draws.
-    # Healthy-window sessions are unaffected (condition already false).
+    # Adaptive extra draws, keyed on a HOST-HEALTH signal, not the
+    # score (ADVICE r03: conditioning extra draws on the pass bar is
+    # optional stopping that biases min-over-reps toward passing in
+    # slow sessions).  The trigger is the same STREAM probe the output
+    # records: when the post-reps probe reads a collapsed window
+    # (< 45 GB/s at 8 pinned cores vs ~78-87 healthy, BENCH/BASELINE.md
+    # probe series), take up to SPARK_GRAFT_BENCH_EXTRA more draws —
+    # regardless of whether the walls so far look fast or slow.
     # Honesty note: every draw is a real full run of the same
     # deterministic job and min() only ever approaches the noise-free
-    # wall from above, so extra draws sharpen the estimate rather than
-    # fabricate speed — but the DRAW COUNT varies, so
-    # kg_pipeline_walls reports all walls for cross-session reading.
+    # wall from above; the DRAW COUNT varies, so kg_pipeline_walls
+    # reports all walls for cross-session reading.
+    probe_gbps = _mini_mem_probe()
     extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
     default_cfg = sf == 0.1 and cpus == 32 and n_convs == 120000
-    while default_cfg and extra > 0 and min(walls) > 36.0:
+    collapsed = probe_gbps is not None and probe_gbps < 45.0
+    while default_cfg and collapsed and extra > 0:
         extra -= 1
         rep = len(walls)
         io = TableIO(f"{workdir}/wh{rep}", n_buckets=16)
@@ -195,12 +199,13 @@ def main() -> int:
         "kg_pipeline_walls": [round(w, 3) for w in walls],
         "ann_lsh_recall_at5": ann_recall,
         "ann_ivf_recall_at5": ivf_recall,
-        # ~15s single-level STREAM burst so the recorded bench carries its
+        # single-level STREAM burst (measured once, above, and reused as
+        # the adaptive-draw trigger) so the recorded bench carries its
         # own host-state context: this machine's DRAM bandwidth drifts >4x
         # between days (BENCH/BASELINE.md probe series), and kg_pipeline is
         # bandwidth-bound — a wall without this number is uninterpretable.
         # Round-1-day reference: ~87 GB/s at 8 pinned cores.
-        "host_mem_gbps_8core": _mini_mem_probe(),
+        "host_mem_gbps_8core": probe_gbps,
     }
     print(json.dumps(out))
     shutil.rmtree(workdir, ignore_errors=True)

@@ -102,11 +102,17 @@ def main(argv=None) -> int:
                         "before evaluating; composes with --rdfs (RDFS "
                         "first, then OWL)")
     p.add_argument("--skolemize", action="store_true",
-                   help="relabel blank nodes to canonical sk:<wl-color> "
+                   help="relabel blank nodes to deterministic skolem "
                         "IRIs (2-round WL refinement, operators/"
-                        "skolem.py) before evaluating — unioned "
-                        "re-loads of the same catalog dedup; runs "
-                        "before any entailment flag")
+                        "skolem.py) before evaluating — rdflib-parity "
+                        "unique mode by default (never merges; COUNTs "
+                        "unchanged); runs before any entailment flag")
+    p.add_argument("--skolem-dedup", action="store_true",
+                   help="with --skolemize: collapse structurally "
+                        "identical blank nodes to ONE sk:<wl-color> IRI "
+                        "so unioned re-loads of the same catalog dedup "
+                        "(also merges identical bnodes within a load — "
+                        "changes COUNTs; opt-in by design)")
     p.add_argument("--chains", type=int, nargs="?", const=1, default=0,
                    metavar="PASSES",
                    help="materialize owl:propertyChainAxiom entailment "
@@ -148,6 +154,8 @@ def main(argv=None) -> int:
 
     if args.named_graphs and not args.catalog:
         p.error("--named-graphs needs --catalog (file-provenance quads)")
+    if args.skolem_dedup and not args.skolemize:
+        p.error("--skolem-dedup is a mode of --skolemize")
     if args.nquads and (args.rdfs or args.owl or args.chains or args.keys
                         or args.skolemize):
         p.error("--nquads cannot combine with --rdfs/--owl/--chains/"
@@ -239,8 +247,11 @@ def main(argv=None) -> int:
         from logset_spark.operators.skolem import skolemize
 
         triples = skolemize(
-            triples.select("subj", "pred", "obj")
-        ).distinct()
+            triples.select("subj", "pred", "obj"),
+            dedup=args.skolem_dedup,
+        )
+        if args.skolem_dedup:
+            triples = triples.distinct()
     if args.rdfs:
         from logset_spark.operators.inference import rdfs_materialize
 

@@ -31,16 +31,21 @@ same sort, same md5 — and hash-matches exactly.
 
 Two modes, because collapsing is not always wanted:
 
-* dedup=True (default) — structurally identical bnodes map to the SAME
-  skolem IRI, so union-of-reloads dedups with a plain distinct().
-  Caveat, documented honestly: 1-WL cannot distinguish certain
-  regular bnode-only structures (two disjoint equal-length cycles over
-  one predicate refine identically), and those would conflate.  Real
-  catalog bnodes are trees/lists (`[ ... ]` property lists, `( ... )`
-  collections), where k-round WL is exact for nesting depth <= k.
-* dedup=False — rdflib `Graph.skolemize()` parity: every bnode gets a
-  unique IRI (color + original-label hash), stable within one load,
-  no collapsing ever.
+* dedup=False (DEFAULT) — rdflib `Graph.skolemize()` parity: every
+  bnode gets a unique IRI (color + original-label hash), stable within
+  one load, no collapsing ever.  The default matches the parity
+  target: rdflib never merges, so a single load's COUNT results are
+  unchanged by skolemization.
+* dedup=True — the explicit reload-dedup mode: structurally identical
+  bnodes map to the SAME skolem IRI, so union-of-reloads dedups with a
+  plain distinct().  This also merges identical bnodes WITHIN one load
+  (two identical anonymous line items under one order collapse), which
+  changes COUNTs — opt in only on the reload path.  Caveat, documented
+  honestly: 1-WL cannot distinguish certain regular bnode-only
+  structures (two disjoint equal-length cycles over one predicate
+  refine identically), and those would conflate.  Real catalog bnodes
+  are trees/lists (`[ ... ]` property lists, `( ... )` collections),
+  where k-round WL is exact for nesting depth <= k.
 """
 
 from __future__ import annotations
@@ -144,14 +149,16 @@ def wl_colors(
 
 
 def skolemize(
-    triples: DataFrame, rounds: int = 2, dedup: bool = True
+    triples: DataFrame, rounds: int = 2, dedup: bool = False
 ) -> DataFrame:
     """Relabel every `_:` node to a deterministic skolem IRI.
 
-    dedup=True: `sk:<color>` — structurally identical bnodes collapse
-    (see module docstring for the 1-WL caveat).  dedup=False: rdflib
-    parity, `sk:<color>-<md5(label)>` — unique per original label,
-    never collapses.  Non-bnode terms pass through untouched.
+    dedup=False (default): rdflib parity, `sk:<color>-<md5(label)>` —
+    unique per original label, never collapses.  dedup=True: the
+    explicit reload-dedup mode, `sk:<color>` — structurally identical
+    bnodes collapse, within a load as well as across loads (see module
+    docstring for the 1-WL caveat).  Non-bnode terms pass through
+    untouched.
     """
     colors = wl_colors(triples, rounds)
     bn = colors.where(_is_bnode(F.col("node")))

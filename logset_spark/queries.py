@@ -7393,7 +7393,7 @@ def q_skolem(spark, sf):
             bn.alias("subj"), F.lit("kg:qty").alias("pred"),
             F.col("l_quantity").cast("int").cast("string").alias("obj")))
     )
-    return skolemize(triples, rounds=2)
+    return skolemize(triples, rounds=2, dedup=True)
 
 
 SQL_SKOLEM = """
@@ -8117,4 +8117,44 @@ REGISTRY: dict[str, tuple] = {
     # KG flagship family
     "q_kg_structural": (q_kg_structural, SQL_KG_STRUCTURAL),
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
+}
+
+# Round-4 rotation (VERDICT r03 item 1).  The driver gate checks only
+# list(REGISTRY)[:50]; the dict literal above keeps its stable grouping,
+# and this explicit window list is hoisted to the front.  Contents:
+#   - 5 record refreshes whose newest driver row is the stale r01 round
+#     (q_multimodal_features' r01 FAIL is fixed since r02 but the red row
+#     is still the latest on file; the other four are r01 rows-only
+#     sketches that should re-row under the current gate), then
+#   - 45 never-driver-checked entries in VERDICT's priority order:
+#     SPARQL frontend core, graph analytics, corpus suite, catalog
+#     quality.  Registry growth is FROZEN at 209 until the backlog
+#     drains (46 remain for the round-5 window; <= 50, so round 5
+#     zeroes it).
+_R4_WINDOW = [
+    # record refreshes (newest driver row is r01)
+    "q_multimodal_features", "q_multimodal_frames", "q_dedup_minhash",
+    "q_dedup_simhash", "q_ann_lsh",
+    # SPARQL frontend core (never driver-checked)
+    "q_sparql_2hop", "q_sparql_filter", "q_sparql_optional",
+    "q_sparql_agg", "q_sparql_construct", "q_sparql_path",
+    "q_sparql_bind", "q_sparql_values", "q_sparql_notexists",
+    "q_sparql_minus", "q_sparql_exists",
+    # graph analytics
+    "q_closure", "q_pagerank", "q_triangle", "q_kcore", "q_bfs_dist",
+    "q_sssp", "q_label_prop", "q_harmonic", "q_hits", "q_motif",
+    # corpus / LLM-data suite
+    "q_sample_hash", "q_mixture", "q_chunk", "q_seq_pack",
+    "q_decontaminate", "q_pii_scrub", "q_rep_filter", "q_substring_dup",
+    "q_lm_score", "q_tfidf", "q_bigram", "q_dedup_cluster",
+    "q_embed_quantize", "q_ann_ivf",
+    # catalog quality / analytics
+    "q_profile", "q_expectations", "q_outliers", "q_funnel",
+    "q_retention", "q_gapfill", "q_transitions", "q_grouping_sets",
+    "q_percent_rank", "q_corr",
+]
+assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R4_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in set(_R4_WINDOW)},
 }

@@ -95,6 +95,14 @@ def _read_lines(spark, path: str, pattern: str, n_terms: int) -> DataFrame:
     bad_escape = F.col("t2").startswith('"') & ~F.col("t2").rlike(
         r'^"(?:[^"\\]|\\["\\ntr])*"'
     )
+    # IRIREF positions allow UCHAR (\uXXXX / \UXXXXXXXX) per the
+    # N-Triples grammar; this decoder does not decode them, so a
+    # bracketed IRI term carrying ANY backslash is quarantined rather
+    # than stored raw-and-undecoded (ADVICE r03: the old check only
+    # inspected the object literal).
+    for i in range(n_terms):
+        t = F.col(f"t{i}")
+        bad_escape = bad_escape | (t.startswith("<") & t.contains("\\"))
     return parsed.select(
         "line", "_ok",
         (F.col("_ok") & bad_escape).alias("_bad_escape"),
@@ -157,7 +165,15 @@ def _encode_literal(col):
 def _encode_term(col):
     """Inverse of _decode_term under the engine's term shapes: IRI-shaped
     (prefix:rest, the Turtle emitter's is_uri test) -> <...>; _: ->
-    verbatim; else quoted literal."""
+    verbatim; else quoted literal.
+
+    Known ambiguity (ADVICE r03, inherent to the untyped bare-string
+    term model): a LITERAL whose lexical value happens to be
+    scheme:rest-shaped ("mailto:x", "a:b") is indistinguishable from an
+    IRI term here and is emitted bracketed, so it round-trips through
+    to_ntriples/from_ntriples as an IRI — a silent term-category
+    change.  The engine stores no term-kind provenance that could
+    disambiguate; pinned by test_colon_shaped_literal_ambiguity."""
     is_bnode = col.startswith("_:")
     is_iri = col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:\S+$") & ~is_bnode
     return (

@@ -48,6 +48,16 @@ from pyspark.sql import DataFrame, SparkSession
 from .tableio import DEFAULT_BUCKETS, TableIO
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the head between this commit's
+    read-version and its publish.  The store is single-writer by design
+    (SURVEY §1.3: real Iceberg swaps in catalog CAS here); this guard
+    makes a misconfigured double-run fail LOUDLY instead of silently
+    clobbering the other writer's snapshot — the losing commit's data
+    files stay on disk but are unreachable (pointer never moved), same
+    as a crash before publish."""
+
+
 def _key(day: str, bucket: str) -> str:
     return f"{day}|{bucket}"
 
@@ -133,12 +143,32 @@ class SnapshotTableIO:
         version — never a torn state — because data files for the new
         commit are fully written before the pointer moves.  With
         `branch`, the BRANCH head advances instead of `current` (main):
-        main readers never see branch commits until fast_forward."""
+        main readers never see branch commits until fast_forward.
+
+        Optimistic-concurrency guard (VERDICT r03 item 7): immediately
+        before advancing, the head is RE-READ and must still equal the
+        parent this snapshot was built from; a foreign commit in between
+        raises ConcurrentCommitError and the pointer is left alone.
+        This narrows the single-writer assumption's failure mode from
+        silent-clobber to loud-refuse; it is last-check-then-replace,
+        not a true CAS (the documented Iceberg-catalog swap-in point)."""
         os.makedirs(self._meta, exist_ok=True)
+        # guard FIRST: a losing writer must leave its reserved
+        # placeholder untouched, so an unpublished snapshot is never
+        # addressable as real data by version-pinned reads
+        expected_parent = snap.get("parent")
+        refs = self._load_refs() if branch is not None else None
+        head = (refs["branches"][branch] if branch is not None
+                else self.current_version())
+        if expected_parent is not None and head != expected_parent:
+            where = f"branch {branch!r}" if branch is not None else "table head"
+            raise ConcurrentCommitError(
+                f"{where} moved {expected_parent} -> {head} during "
+                f"commit v{snap['version']}; refusing to clobber"
+            )
         with open(self._snap_path(snap["version"]), "w") as f:
             json.dump(snap, f, sort_keys=True)
         if branch is not None:
-            refs = self._load_refs()
             refs["branches"][branch] = snap["version"]
             self._save_refs(refs)
             return
@@ -159,6 +189,35 @@ class SnapshotTableIO:
                 if fname.startswith("v") and fname.endswith(".json"):
                     best = max(best, int(fname[1:-5]))
         return best + 1
+
+    def _reserve_version(self) -> int:
+        """Atomically RESERVE the next version number by O_EXCL-creating
+        its snapshot file as a placeholder (overwritten with the real
+        snapshot at publish).  Two concurrent writers can therefore never
+        share a version — and so never share a `commit=N` data directory
+        or clobber each other's snapshot metadata; the loser of the
+        subsequent head check (_publish) fails loudly with its files
+        unreachable (VERDICT r03 item 7).  A crashed run leaves its
+        placeholder behind: unreachable from every head, shown in
+        history() as operation='reserved', reclaimed by
+        expire_snapshots."""
+        os.makedirs(self._meta, exist_ok=True)
+        while True:
+            candidate = self._next_version()
+            try:
+                fd = os.open(
+                    self._snap_path(candidate),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                continue  # another writer took it; scan again
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"version": candidate, "parent": None,
+                     "operation": "reserved", "mapping": {}},
+                    f, sort_keys=True,
+                )
+            return candidate
 
     # ---- named refs (tags & branches) ---------------------------------------
 
@@ -349,7 +408,7 @@ class SnapshotTableIO:
             raise ValueError(f"{branch!r} is not a branch")
         parent = (self.ref_version(branch) if branch is not None
                   else self.current_version())
-        version = self._next_version()
+        version = self._reserve_version()
         commit_dir = os.path.join(self._data, f"commit={version}")
         if os.path.isdir(commit_dir):
             # a crashed earlier attempt wrote data but never published —
@@ -800,7 +859,7 @@ class SnapshotTableIO:
         Nothing is deleted — the rolled-back-over versions stay readable
         (Iceberg rollback semantics)."""
         old = self._load_snapshot(to_version)
-        version = self._next_version()
+        version = self._reserve_version()
         self._publish({
             "version": version,
             "parent": self.current_version(),
@@ -1029,7 +1088,7 @@ class SnapshotTableIO:
                    if len(v) >= min_commits}
         if not targets:
             return None
-        version = self._next_version()
+        version = self._reserve_version()
         commit_dir = os.path.join(self._data, f"commit={version}")
         if os.path.isdir(commit_dir):  # crashed earlier attempt
             shutil.rmtree(commit_dir)

@@ -200,10 +200,16 @@ class _Parser:
         return v
 
     def _resolve_iri(self, raw: str) -> str:
+        # The well-known-namespace fold happens HERE and in
+        # _expand_pname — the two places a term is known to be an IRI
+        # at parse time — never on parser output as a whole, so a
+        # quoted literal whose string value starts with a well-known
+        # namespace IRI is left untouched (ADVICE r03; matches
+        # ntriples._decode_term's is_iri-gated behavior).
         iri = raw[1:-1]
         if self.base and ":" not in iri:
-            return self.base + iri
-        return iri
+            iri = self.base + iri
+        return _canon_term(iri)
 
     def _expand_pname(self, word: str) -> str:
         if word.startswith("_:"):
@@ -215,7 +221,7 @@ class _Parser:
         if ":" in word:
             ns, local = word.split(":", 1)
             if ns in self.prefixes:
-                return self.prefixes[ns] + local
+                return _canon_term(self.prefixes[ns] + local)
             return word  # engine-style prefixed string, no binding
         return word  # bareword (number / boolean lexical form)
 
@@ -502,19 +508,17 @@ from ..operators.rdflist import WELL_KNOWN_NS
 
 def _canon_term(t: str) -> str:
     """Well-known rdf/rdfs/owl full-IRI spellings -> the canonical
-    short prefixed form.  Applied to every parser output so the engine
-    speaks ONE spelling per vocab term regardless of whether the
-    source document declared those prefixes (the SPARQL layer folds
-    its <iri> constants the same way — sparql._const_term)."""
+    short prefixed form, so the engine speaks ONE spelling per vocab
+    term regardless of whether the source document declared those
+    prefixes (the SPARQL layer folds its <iri> constants the same way —
+    sparql._const_term).  Called ONLY from the parser's IRI-producing
+    paths (_resolve_iri, _expand_pname) — term-kind-aware, so literal
+    values that merely start with a well-known namespace IRI are never
+    rewritten (ADVICE r03)."""
     for short, full in WELL_KNOWN_NS.items():
         if t.startswith(full):
             return short + t[len(full):]
     return t
-
-
-def _canon3(trips):
-    return [(_canon_term(s), _canon_term(p), _canon_term(o))
-            for s, p, o in trips]
 
 
 def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]:
@@ -527,7 +531,7 @@ def parse_turtle(text: str) -> tuple[list[tuple[str, str, str]], dict[str, str]]
         raise ValueError(
             "document uses RDF-star annotations; parse with "
             "parse_turtle_star to receive them")
-    return _canon3(trips), p.prefixes
+    return trips, p.prefixes
 
 
 def parse_turtle_star(
@@ -554,9 +558,7 @@ def parse_turtle_star(
     Turtle-star emitters."""
     p = _Parser(_tokenize(text))
     trips = p.statements()
-    return _canon3(trips), [
-        tuple(_canon_term(x) for x in a) for a in p.annotations
-    ], p.prefixes
+    return trips, list(p.annotations), p.prefixes
 
 
 def parse_trig(
@@ -574,11 +576,7 @@ def parse_trig(
             "RDF-star annotations inside TriG are not supported (no "
             "graph attribution for annotation rows); keep star "
             "statements in a .ttl loaded via parse_turtle_star")
-    return [
-        (_canon_term(s), _canon_term(p_), _canon_term(o),
-         _canon_term(g) if g is not None else None)
-        for s, p_, o, g in quads
-    ], p.prefixes
+    return quads, p.prefixes
 
 
 def to_trig(quads: pd.DataFrame) -> str:

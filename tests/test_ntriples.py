@@ -116,3 +116,49 @@ def test_nq_fixture_parse(spark):
     assert sorted(r["reason"] for r in bad.collect()) == [
         "malformed_statement", "malformed_statement"
     ]
+
+
+def test_iri_escape_sequences_quarantined(spark, tmp_path):
+    """IRIREF positions allow UCHAR (\\uXXXX) per the N-Triples grammar;
+    this decoder does not decode them, so any backslash inside a
+    bracketed IRI term — in ANY position, not just the object literal —
+    quarantines the line instead of storing the IRI raw (ADVICE r03)."""
+    nt = tmp_path / "esc.nt"
+    nt.write_text(
+        '<http://x.org/a\\u00e9> <http://x.org/p> "v" .\n'
+        '<http://x.org/s> <http://x.org/p\\U0001F600> "v" .\n'
+        '<http://x.org/s> <http://x.org/p> <http://x.org/o\\u00e9> .\n'
+        '<http://x.org/s> <http://x.org/p> "ok" .\n'
+    )
+    good, bad = from_ntriples(spark, str(nt))
+    assert good.count() == 1
+    assert {r["reason"] for r in bad.collect()} == {"unsupported_escape"}
+    assert bad.count() == 3
+
+
+def test_nq_graph_iri_escape_quarantined(spark, tmp_path):
+    nq = tmp_path / "esc.nq"
+    nq.write_text(
+        '<http://x.org/s> <http://x.org/p> "v" <http://x.org/g\\u0041> .\n'
+        '<http://x.org/s> <http://x.org/p> "v" <http://x.org/g> .\n'
+    )
+    good, bad = from_nquads(spark, str(nq))
+    assert good.count() == 1
+    assert [r["reason"] for r in bad.collect()] == ["unsupported_escape"]
+
+
+def test_colon_shaped_literal_ambiguity(spark, tmp_path):
+    """Pin the DOCUMENTED ambiguity (ADVICE r03, _encode_term docstring):
+    the untyped bare-string term model cannot distinguish a literal
+    "mailto:x" from the IRI mailto:x, so the sink emits it bracketed and
+    it round-trips as an IRI.  This test is the alarm that fires if the
+    term model ever gains provenance and the behavior changes."""
+    rows = [("http://x.org/s", "http://x.org/p", "mailto:alice@x.org")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = str(tmp_path / "colon_nt")
+    to_ntriples(df, out)
+    line = spark.read.text(out).collect()[0]["value"]
+    assert "<mailto:alice@x.org>" in line  # emitted as IRI, by design
+    back, bad = from_ntriples(spark, out)
+    assert bad.count() == 0
+    assert _rows(back) == set(rows)  # value survives; term-kind does not

@@ -469,3 +469,55 @@ def test_merge_aliases_state_epochs_pruned_and_success_gated(
     os.makedirs(f"{state}/v=000009")
     v, df = _alias_state_latest(spark, state)
     assert v == 3 and df is not None
+
+
+def test_all_optins_preserve_base_contract(spark, tmp_path):
+    """VERDICT r03 item 8: one build with EVERY opt-in stage enabled
+    (coref + disambiguate + temporal_dictionary) over the golden toy
+    fixture.  The optional stages may only ADD triples (refersTo) or
+    re-route mention links within their documented semantics — they must
+    never perturb the base contract: structural triples P=R=1.0, the
+    per-turn text/ordering invariant (B:15), and — under an all-valid
+    dictionary at zero alias noise, where each opt-in is semantically a
+    no-op on linking — the FULL golden graph exactly."""
+    from logset_spark import vocab as V
+
+    tpdf = synth.transcripts_pdf(n_convs=3, alias_noise_rate=0.0,
+                                 hot_rate=0.05)
+    dpdf = synth.entity_dictionary_pdf()
+    # all-valid dictionary: every alias valid from the epoch, so the
+    # temporal fence never unlinks and disambig sees a clean dictionary
+    dpdf = dpdf.assign(valid_from=dpdf.valid_from.min())
+    tdf = spark.createDataFrame(tpdf, schema=synth.TRANSCRIPT_SCHEMA)
+    ddf = spark.createDataFrame(dpdf, schema=synth.DICT_SCHEMA)
+    io = TableIO(str(tmp_path / "wh"), n_buckets=4)
+    res = build_graph(
+        spark, tdf, ddf, io, run_id="optins",
+        coref=True, disambiguate=True, temporal_dictionary=True,
+    )
+    assert res["triples"] > 0
+    emitted = io.read(spark, "triples")
+    golden = spark.createDataFrame(oracle.golden_triples(tpdf, dpdf))
+
+    # 1. structural subset: exact
+    structural = emitted.where(F.col("pred").isin(*V.STRUCTURAL_PREDS))
+    golden_structural = golden.where(F.col("pred").isin(*V.STRUCTURAL_PREDS))
+    pr = metrics.precision_recall(structural, golden_structural)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+    # 2. full golden exactly, once the coref-only refersTo rows (the one
+    # predicate outside the golden spec) are set aside
+    base = emitted.where(F.col("pred") != V.REFERS_TO)
+    pr_full = metrics.precision_recall(base, golden)
+    assert pr_full["precision"] == 1.0 and pr_full["recall"] == 1.0, pr_full
+
+    # 3. the per-turn invariant after the build (input table unperturbed)
+    back = (
+        tdf.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    exp = tpdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back, exp[["conv_id", "turn_idx", "text"]].astype(back.dtypes.to_dict())
+    )

@@ -41,8 +41,8 @@ def test_reload_union_dedups_to_single_load(spark):
     both = one.unionByName(
         spark.createDataFrame(p2, "subj string, pred string, obj string")
     )
-    sk_one = _rows(skolemize(one).distinct())
-    sk_both = _rows(skolemize(both).distinct())
+    sk_one = _rows(skolemize(one, dedup=True).distinct())
+    sk_both = _rows(skolemize(both, dedup=True).distinct())
     assert sk_both == sk_one
     assert len(sk_one) == one.count()  # nothing conflated within one load
 
@@ -53,7 +53,7 @@ def test_structural_separation(spark):
         ("s", "p", "_:x"), ("_:x", "rack", "r1"),
         ("s", "p", "_:y"), ("_:y", "rack", "r2"),
     ])
-    out = skolemize(t)
+    out = skolemize(t, dedup=True)
     objs = {r["obj"] for r in out.where(out["pred"] == "p").collect()}
     assert len(objs) == 2
     assert all(o.startswith("sk:") for o in objs)
@@ -64,7 +64,7 @@ def test_identical_structures_collapse(spark):
         ("s1", "p", "_:x"), ("_:x", "rack", "r1"),
         ("s1", "p", "_:y"), ("_:y", "rack", "r1"),
     ])
-    out = skolemize(t)
+    out = skolemize(t, dedup=True)
     objs = {r["obj"] for r in out.where(out["pred"] == "p").collect()}
     assert len(objs) == 1  # same parent, same props -> one canonical node
 
@@ -79,6 +79,21 @@ def test_unique_mode_never_collapses(spark):
     assert len(objs) == 2
 
 
+def test_default_is_rdflib_parity(spark):
+    """The DEFAULT mode is rdflib Graph.skolemize parity: it never
+    merges, so a single load's triple count is unchanged — two identical
+    anonymous structures under one subject stay two (ADVICE r03)."""
+    t = _t(spark, [
+        ("s1", "p", "_:x"), ("_:x", "rack", "r1"),
+        ("s1", "p", "_:y"), ("_:y", "rack", "r1"),
+    ])
+    out = skolemize(t)
+    assert out.count() == t.count()
+    assert out.distinct().count() == t.count()
+    objs = {r["obj"] for r in out.where(out["pred"] == "p").collect()}
+    assert len(objs) == 2 and all(o.startswith("sk:") for o in objs)
+
+
 def test_labels_do_not_leak(spark):
     """Renaming every bnode label leaves the dedup-mode output
     byte-identical (the whole point: labels are graph-local noise)."""
@@ -87,7 +102,8 @@ def test_labels_do_not_leak(spark):
             p,
             o.replace("_:a", "_:zz").replace("_:b", "_:qq"))
            for s, p, o in rows]
-    assert _rows(skolemize(_t(spark, rows))) == _rows(skolemize(_t(spark, ren)))
+    assert _rows(skolemize(_t(spark, rows), dedup=True)) == _rows(
+        skolemize(_t(spark, ren), dedup=True))
 
 
 def test_nested_depth_needs_rounds(spark):

@@ -804,3 +804,90 @@ def test_compact_preserves_manifest_stats(spark, store):
     assert len(paths_hi) < len(paths_all)
     got = store.read_pruned(spark, "turn_idx", lo=40).collect()
     assert [r.etype for r in got] == ["late"]
+
+
+def test_interleaved_committers_loser_raises(spark, store):
+    """VERDICT r03 item 7: two writers read the same head; the first to
+    publish wins, the second raises ConcurrentCommitError and the
+    winner's snapshot is untouched.  Simulated by publishing a foreign
+    commit between a commit's read-version and its publish via a
+    _publish wrapper on a second store handle pointed at the same root."""
+    from logset_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        SnapshotTableIO,
+    )
+
+    v1 = store.commit(_frame(spark, _base_rows()))
+    foreign = SnapshotTableIO(root=store.root, n_buckets=4)
+
+    # wedge a foreign commit into the publish step: the slow writer has
+    # already chosen parent=v1 when the fast writer lands v2
+    orig_publish = store._publish
+    fired = {"n": 0}
+
+    def racing_publish(snap, branch=None):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            foreign.commit(
+                _frame(spark, [("cF", 0, "2024-03-01 00:00:00", "msg")])
+            )
+        return orig_publish(snap, branch=branch)
+
+    store._publish = racing_publish
+    with pytest.raises(ConcurrentCommitError, match="refusing to clobber"):
+        store.commit(_frame(spark, [("cS", 0, "2024-03-02 00:00:00", "msg")]))
+    store._publish = orig_publish
+
+    # the foreign writer's snapshot is the head; nothing was clobbered
+    # (version RESERVATION means the two writers never even shared a
+    # commit dir: slow reserved v2, foreign reserved v3 and won the head)
+    head = foreign.current_version()
+    assert head > v1
+    assert foreign.read(spark).where("conv_id = 'cF'").count() == 1
+    # the loser's data files are unreachable, and a RETRY from the fresh
+    # head (the normal reaction to the error) succeeds
+    assert store.read(spark).where("conv_id = 'cS'").count() == 0
+    v_retry = store.commit(
+        _frame(spark, [("cS", 0, "2024-03-02 00:00:00", "msg")]))
+    assert v_retry > head
+    assert store.read(spark).where("conv_id = 'cS'").count() == 1
+    assert store.read(spark).where("conv_id = 'cF'").count() == 1
+    # the abandoned reservation is visible in history as 'reserved'
+    ops = {r["operation"] for r in store.history(spark).collect()}
+    assert "reserved" in ops
+
+
+def test_interleaved_branch_committers_loser_raises(spark, store):
+    from logset_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        SnapshotTableIO,
+    )
+
+    store.commit(_frame(spark, _base_rows()))
+    store.branch("audit")
+    foreign = SnapshotTableIO(root=store.root, n_buckets=4)
+
+    orig_publish = store._publish
+    fired = {"n": 0}
+
+    def racing_publish(snap, branch=None):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            foreign.commit(
+                _frame(spark, [("cF", 0, "2024-03-01 00:00:00", "msg")]),
+                branch="audit",
+            )
+        return orig_publish(snap, branch=branch)
+
+    store._publish = racing_publish
+    with pytest.raises(ConcurrentCommitError, match="branch 'audit'"):
+        store.commit(
+            _frame(spark, [("cS", 0, "2024-03-02 00:00:00", "msg")]),
+            branch="audit",
+        )
+    store._publish = orig_publish
+    # the foreign branch commit is the branch head; main never moved
+    assert foreign.ref_version("audit") > 1
+    assert foreign.current_version() == 1
+    assert foreign.read(spark, version="audit").where(
+        "conv_id = 'cF'").count() == 1

@@ -319,3 +319,22 @@ def test_sink_rejects_unframeable_pred(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="refusing"):
         save_turtle(df, str(tmp_path / "bad"))
+
+
+def test_canon_fold_is_term_kind_aware():
+    """ADVICE r03 (turtle.py:503): the well-known-namespace fold applies
+    only to terms that were IRIs at parse time.  A quoted literal whose
+    string VALUE starts with the rdfs namespace IRI stays verbatim,
+    while the same spelling as an <iri> token or via a declared prefix
+    folds to the canonical short form."""
+    ttl = (
+        '@prefix ex: <http://example.org/> .\n'
+        '@prefix schema: <http://www.w3.org/2000/01/rdf-schema#> .\n'
+        'ex:a <http://www.w3.org/2000/01/rdf-schema#label> '
+        '"http://www.w3.org/2000/01/rdf-schema#label" .\n'
+        'ex:a schema:comment "c" .\n'
+    )
+    t, _ = parse_turtle(ttl)
+    assert ("http://example.org/a", "rdfs:label",
+            "http://www.w3.org/2000/01/rdf-schema#label") in t
+    assert ("http://example.org/a", "rdfs:comment", "c") in t
