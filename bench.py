@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "q_ann_cosine",
     "q_dedup_minhash",
     "q_sparql_2hop",
+    # graph/SPARQL heavies (VERDICT r03 item 5): the analytics families
+    # that dominate the registry get round-over-round bench tracking
+    "q_closure",
+    "q_scc",
+    "q_encoded_bgp",
 ]
 
 

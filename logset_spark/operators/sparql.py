@@ -60,6 +60,10 @@ patterns):
             ( . BIND(expr AS ?v) )*
             ( . VALUES ?v { term ... } )*
             ( . VALUES (?v1 ?v2 ...) { (term ...) ... } )*
+            -- a VALUES cell may be UNDEF (keyword, case-insensitive):
+            -- a wildcard that matches any binding of that var in that
+            -- row (compatible-solutions join; quoted 'UNDEF' stays a
+            -- plain string term)
             ( . OPTIONAL { pattern ( . pattern )* [. FILTER(expr)]* } )*
             ( . { SELECT ... WHERE { patterns ... } ... } )* }
     WHERE { { patterns [. FILTER(expr)]* } UNION { ... } ( UNION {...} )* }
@@ -67,7 +71,11 @@ patterns):
                           -- projected vars; omitted = implicit grouping
                           -- by the plain SELECT vars
     [ HAVING(expr over agg aliases) ]
-    [ ORDER BY (?v [DESC] | DESC(?v) | ASC(?v)) ... ]
+    [ ORDER BY (?v [DESC] | DESC(?v) | ASC(?v)
+                | (?v) | STR(?v) | DESC/ASC((?v)) | DESC/ASC(STR(?v))) ... ]
+      -- the bracketed forms are accepted because they are IDENTITY
+      -- under the untyped string term model; any other ORDER BY
+      -- expression rejects loudly
     [ LIMIT n ] [ OFFSET m ]
 
     Subqueries ({ SELECT ... }, one nesting level): the inner query —
@@ -93,7 +101,7 @@ patterns):
     A constant predicate may be a PROPERTY PATH expression:
         path    := seq ( '|' seq )*     -- alternation: union of edge sets
         seq     := unary ( '/' unary )* -- sequence: edge-set composition
-        unary   := ['^'] primary ['+'|'*'|'?']
+        unary   := ['^'] primary ['+'|'*'|'?'|'{n}'|'{n,m}'|'{n,}']
         primary := pred | '(' path ')'  -- parentheses group, so every
                                         operator applies to composite
                                         edge sets too: (p1|p2)+, ^(p/q)
@@ -243,6 +251,12 @@ class ParsedQuery:
 # \x00 is not valid in the subset
 _PLACEHOLDER_RE = re.compile(r"\x00(\d+)\x00")
 
+# VALUES UNDEF sentinel: detected on the RAW token stream (before
+# placeholder restore, so a quoted 'UNDEF' literal can never alias the
+# keyword) and carried through prefix expansion untouched — the \x00
+# alphabet cannot collide with any restorable term.
+_UNDEF = "\x00undef\x00"
+
 
 def _protect_literals(s: str) -> tuple[str, list[tuple[str, bool]]]:
     """Replace 'quoted literals' AND <iri> tokens (IRIs contain '.',
@@ -330,6 +344,21 @@ def _strip_comments(query: str) -> str:
     return "".join(out)
 
 
+def _split_outside_braces(seg: str) -> list[str]:
+    """','-split skipping commas inside {...} (path quantifiers)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(seg):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(seg[start:i])
+            start = i + 1
+    parts.append(seg[start:])
+    return parts
+
+
 def _parse_patterns(body: str, lits: list[str] = ()) -> list[tuple[str, str, str]]:
     """Triple patterns: '.'-separated statements, each optionally carrying
     ';' predicate-object lists and ',' object lists (the Turtle
@@ -344,7 +373,9 @@ def _parse_patterns(body: str, lits: list[str] = ()) -> list[tuple[str, str, str
             seg = seg.strip()
             if not seg:
                 continue  # trailing ';' before '.' is legal Turtle/SPARQL
-            obj_groups = [g.strip() for g in seg.split(",")]
+            # ','-split outside {n,m} path quantifiers (the only legal
+            # braces inside a pattern segment — literals are protected)
+            obj_groups = [g.strip() for g in _split_outside_braces(seg)]
             head = _tokenize_terms(obj_groups[0], lits)
             if subj is None:
                 if len(head) != 3:
@@ -743,6 +774,17 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         return " "
 
     body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _opt, body, flags=re.IGNORECASE)
+    # a leftover OPTIONAL keyword means a NESTED group: the [^{}]
+    # matcher consumed the inner one, stranding the outer.  Flattening
+    # is NOT equivalent (the inner group's scope is the outer arm's
+    # solutions), so reject loudly instead of silently re-scoping.
+    if re.search(r"\bOPTIONAL\b", body, re.IGNORECASE):
+        raise ValueError(
+            "nested OPTIONAL groups are outside the subset (an inner "
+            "OPTIONAL is scoped to its outer arm, which a flat left-join "
+            "chain cannot express); restructure the query — e.g. two "
+            "sibling OPTIONAL groups when the inner one only shares "
+            "variables with the base pattern")
 
     # BIND(expr AS ?v) — expr kept raw (restored spelling) for the lowerer
     def _bind(mo: re.Match) -> str:
@@ -756,11 +798,20 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     )
 
     # VALUES (?a ?b) { (t t) ... }  |  VALUES ?a { t t ... }
+    # UNDEF (SPARQL keyword, case-insensitive) marks a wildcard cell;
+    # matched on the raw pre-restore token so a quoted 'UNDEF' literal
+    # stays a plain string term
+    def _vals_term(tok: str) -> str:
+        if tok.upper() == "UNDEF":
+            return _UNDEF
+        return _restore_content(tok, lits)
+
     def _vals_multi(mo: re.Match) -> str:
         vs = [v[1:] for v in mo.group(1).split()]
         rows = []
         for rm in re.finditer(r"\(([^()]*)\)", mo.group(2)):
-            row = tuple(_tokenize_terms(rm.group(1), lits))
+            row = tuple(_vals_term(t)
+                        for t in _tokenize_terms(rm.group(1)))
             if len(row) != len(vs):
                 raise ValueError(
                     f"VALUES row arity {len(row)} != vars {len(vs)}")
@@ -776,7 +827,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     )
 
     def _vals_one(mo: re.Match) -> str:
-        rows = [(t,) for t in _tokenize_terms(mo.group(2), lits)]
+        rows = [(_vals_term(t),) for t in _tokenize_terms(mo.group(2))]
         if not rows:
             raise ValueError("empty VALUES block")
         values.append(([mo.group(1)], rows))
@@ -857,9 +908,16 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
     if m.group(6):
         src5 = m.group(6).strip()
         # ?v | ?v DESC (engine spelling) | DESC(?v) / ASC(?v) (SPARQL
-        # spelling); the lookahead keeps `?a DESC(?b)` unambiguous
+        # spelling) | (?v) | STR(?v) — the bracketed-expression forms
+        # that are IDENTITY under the untyped string term model (STR of
+        # a bare-lexical term is the term), optionally DESC/ASC-wrapped;
+        # any other expression is out of subset and rejects below.  The
+        # lookahead keeps `?a DESC(?b)` unambiguous.
         key_re = re.compile(
-            r"\s*(?:(DESC|ASC)\s*\(\s*\?(\w+)\s*\)"
+            r"\s*(?:(DESC|ASC)\s*\(\s*(?:STR\s*\(\s*\?(\w+)\s*\)"
+            r"|\(\s*\?(\w+)\s*\)|\?(\w+))\s*\)"
+            r"|STR\s*\(\s*\?(\w+)\s*\)"
+            r"|\(\s*\?(\w+)\s*\)"
             r"|\?(\w+)(\s+DESC\b(?!\s*\())?)",
             re.IGNORECASE)
         pos5 = 0
@@ -867,12 +925,16 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             mo = key_re.match(src5, pos5)
             if not mo:
                 raise ValueError(
-                    f"ORDER BY expects ?var [DESC] or DESC(?var)/"
-                    f"ASC(?var): {m.group(6)!r}")
+                    "ORDER BY expects ?var [DESC], DESC(?var)/ASC(?var), "
+                    "(?var), or STR(?var) — general expressions are "
+                    f"outside the subset: {m.group(6)!r}")
             if mo.group(1):
-                order_by.append((mo.group(2), mo.group(1).upper() == "DESC"))
+                var5 = mo.group(2) or mo.group(3) or mo.group(4)
+                order_by.append((var5, mo.group(1).upper() == "DESC"))
+            elif mo.group(5) or mo.group(6):
+                order_by.append((mo.group(5) or mo.group(6), False))
             else:
-                order_by.append((mo.group(3), mo.group(4) is not None))
+                order_by.append((mo.group(7), mo.group(8) is not None))
             pos5 = mo.end()
     limit = int(m.group(7)) if m.group(7) else None
     offset = int(m.group(8)) if m.group(8) else None
@@ -978,8 +1040,8 @@ def _is_path(pred: str) -> bool:
     m = _mask_iris(pred)
     if set(m) <= {""}:  # the whole term is one <iri>: plain predicate
         return False
-    return ("|" in m or "/" in m or "(" in m or m[-1] in "+*?"
-            or m[0] == "^")
+    return ("|" in m or "/" in m or "(" in m or "{" in m
+            or m[-1] in "+*?" or m[0] == "^")
 
 
 def _path_tokens(s: str) -> list[tuple[str, str]]:
@@ -1000,12 +1062,27 @@ def _path_tokens(s: str) -> list[tuple[str, str]]:
                 raise ValueError(f"unterminated <iri> in path: {s!r}")
             toks.append(("atom", s[i:j + 1]))
             i = j + 1
+        elif c == "{":
+            j = s.find("}", i)
+            if j < 0:
+                raise ValueError(f"unterminated '{{' in path: {s!r}")
+            qm = re.fullmatch(r"(\d+)\s*(?:(,)\s*(\d+)?)?",
+                              s[i + 1:j].strip())
+            if not qm:
+                raise ValueError(
+                    f"bad path quantifier {{{s[i + 1:j]}}} in {s!r}: "
+                    "expected {n}, {n,m} or {n,}")
+            lo = int(qm.group(1))
+            hi = (None if (qm.group(2) and qm.group(3) is None)
+                  else int(qm.group(3) or qm.group(1)))
+            toks.append(("quant", (lo, hi)))
+            i = j + 1
         elif c in ops:
             toks.append(("op", c))
             i += 1
         else:
             j = i
-            while (j < len(s) and s[j] not in ops and s[j] != "<"
+            while (j < len(s) and s[j] not in ops and s[j] not in "<{"
                    and not s[j].isspace()):
                 j += 1
             toks.append(("atom", s[i:j]))
@@ -1072,6 +1149,57 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
 
+    def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select("src", F.col("dst").alias("mid"))
+            .join(b.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .distinct()
+        )
+
+    def closure(e: DataFrame) -> DataFrame:
+        return transitive_closure(
+            e.select(F.col("src").alias("child"),
+                     F.col("dst").alias("parent"))
+        ).select(F.col("node").alias("src"), F.col("ancestor").alias("dst"))
+
+    _QUANT_CAP = 10
+
+    def quantified(e: DataFrame, lo: int, hi: int | None) -> DataFrame:
+        """`{n}` / `{n,m}` / `{n,}` bounded path repetition (the SPARQL
+        1.1 draft form; the final REC dropped it, so supporting it is a
+        strict superset).  E^k by iterated composition — k is
+        query-text-bounded and capped at 10 (each power is a shuffle
+        join; an unbounded tail uses the O(log diameter) closure
+        instead, never more powers)."""
+        if hi is not None and hi < lo:
+            raise ValueError(f"bad path quantifier {{{lo},{hi}}}: m < n")
+        if max(lo, hi or 0) > _QUANT_CAP:
+            raise ValueError(
+                f"path quantifier bound above {_QUANT_CAP} "
+                f"({{{lo},{hi if hi is not None else ''}}}): rewrite with "
+                "'+'/'*' (distributed closure) instead")
+        # E^lo, accumulating the in-range powers along the way
+        arms: list[DataFrame] = []
+        power = identity_pairs() if lo == 0 else None
+        cur = None
+        for k in range(1, (hi if hi is not None else lo) + 1):
+            cur = e if k == 1 else compose(cur, e)
+            if k == lo:
+                power = cur
+            if hi is not None and lo <= k:
+                arms.append(cur)
+        if hi is None:
+            # {n,}: E^n then anything — one closure, not more powers
+            star = closure(e).unionByName(identity_pairs()).distinct()
+            return (star if lo == 0 else compose(power, star)).distinct()
+        if lo == 0:
+            arms.append(identity_pairs())
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
+        return out.distinct()
+
     def unary() -> DataFrame:
         inverse = peek() == ("op", "^")
         if inverse:
@@ -1080,14 +1208,14 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
         if inverse:
             e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         k, v = peek()
+        if k == "quant":
+            take()
+            return quantified(e, *v)
         if k == "op" and v in "+*?":
             take()
             if v == "?":
                 return e.unionByName(identity_pairs()).distinct()
-            closed = transitive_closure(
-                e.select(F.col("src").alias("child"),
-                         F.col("dst").alias("parent"))
-            ).select(F.col("node").alias("src"), F.col("ancestor").alias("dst"))
+            closed = closure(e)
             if v == "+":
                 return closed
             return closed.unionByName(identity_pairs()).distinct()
@@ -1418,10 +1546,12 @@ def bgp(
         acc, var_order = _join_patterns(triples, patterns, stats=stats)
     elif values:
         # VALUES-only WHERE body: the first block seeds the solution set
+        # (UNDEF cells seed as NULL = unbound)
         spark = triples.sparkSession
         vs, rows = values[0]
         acc = spark.createDataFrame(
-            [tuple(_const_term(x) for x in r) for r in rows],
+            [tuple(None if x == _UNDEF else _const_term(x) for x in r)
+             for r in rows],
             ", ".join(f"{v} string" for v in vs),
         )
         var_order = list(vs)
@@ -1458,15 +1588,50 @@ def bgp(
         var_order += [v for v in opt_df.columns
                       if v not in var_order and not v.startswith("_exists_")]
     for vs, rows in values:
-        inline = triples.sparkSession.createDataFrame(
-            [tuple(_const_term(x) for x in r) for r in rows],
-            ", ".join(f"{v} string" for v in vs),
-        )
+        cells = [
+            tuple(None if x == _UNDEF else _const_term(x) for x in r)
+            for r in rows
+        ]
         shared = sorted(set(var_order) & set(vs))
-        if shared:
-            acc = acc.join(F.broadcast(inline), on=shared)
+        has_undef = any(x is None for r in cells for x in r)
+        if not has_undef:
+            inline = triples.sparkSession.createDataFrame(
+                cells, ", ".join(f"{v} string" for v in vs),
+            )
+            if shared:
+                acc = acc.join(F.broadcast(inline), on=shared)
+            else:
+                acc = acc.crossJoin(F.broadcast(inline))
         else:
-            acc = acc.crossJoin(F.broadcast(inline))
+            # UNDEF = wildcard: SPARQL's compatible-solutions join.  A
+            # NULL inline cell matches any binding (and an unbound acc
+            # var matches any constant, which then binds it) — an
+            # OR-per-column theta join, broadcast because inline data
+            # is always query-text-sized.
+            tmp = {v: f"__values_{v}" for v in vs}
+            inline = triples.sparkSession.createDataFrame(
+                cells, ", ".join(f"{tmp[v]} string" for v in vs),
+            )
+            if shared:
+                cond = None
+                for v in shared:
+                    c = (
+                        F.col(tmp[v]).isNull()
+                        | F.col(v).isNull()
+                        | (F.col(tmp[v]) == F.col(v))
+                    )
+                    cond = c if cond is None else cond & c
+                acc = acc.join(F.broadcast(inline), on=cond)
+                for v in shared:
+                    acc = acc.withColumn(
+                        v, F.coalesce(F.col(v), F.col(tmp[v]))
+                    )
+            else:
+                acc = acc.crossJoin(F.broadcast(inline))
+            for v in vs:
+                if v not in shared:
+                    acc = acc.withColumn(v, F.col(tmp[v]))
+            acc = acc.drop(*tmp.values())
         var_order += [v for v in vs if v not in var_order]
     for expr, var in binds:
         acc = acc.withColumn(var, F.expr(_filter_to_expr(expr)))
