@@ -359,6 +359,19 @@ def _split_outside_braces(seg: str) -> list[str]:
     return parts
 
 
+def _check_template_preds(template) -> None:
+    """A CONSTRUCT template instantiates triples — its predicates are
+    TERMS (?var / constant / `a`), never property-path expressions.  A
+    path here would be emitted verbatim as a garbage predicate string,
+    so reject loudly (round-4 sweep finding)."""
+    for _s, p, _o in template:
+        if not _is_var(p) and p != "a" and _is_path(p):
+            raise ValueError(
+                f"property path {p!r} in a CONSTRUCT template: templates "
+                "take plain predicate terms (evaluate the path in WHERE "
+                "and bind it to a variable)")
+
+
 def _parse_patterns(body: str, lits: list[str] = ()) -> list[tuple[str, str, str]]:
     """Triple patterns: '.'-separated statements, each optionally carrying
     ';' predicate-object lists and ',' object lists (the Turtle
@@ -586,6 +599,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         template = _parse_patterns(cwm.group(1), lits)
         if not template:
             raise ValueError("CONSTRUCT WHERE has no triple patterns")
+        _check_template_preds(template)
         inner = _parse_protected(
             f"SELECT * WHERE {{{cwm.group(1)}}}", lits)
         inner.construct = template
@@ -598,6 +612,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         template = _parse_patterns(cm.group(1), lits)
         if not template:
             raise ValueError("CONSTRUCT template has no triple patterns")
+        _check_template_preds(template)
         inner = _parse_protected(f"SELECT * WHERE {{{cm.group(2)}}}", lits)
         inner.construct = template
         return inner
@@ -971,6 +986,25 @@ def _filter_to_expr(body: str) -> str:
                r"\1 RLIKE \2", e, flags=re.IGNORECASE)
     e = re.sub(r"bound\s*\(\s*\?(\w+)\s*\)", r"\1 IS NOT NULL", e,
                flags=re.IGNORECASE)
+    # RDF term-test builtins over the engine's term SHAPES (the untyped
+    # string model stores kind implicitly: '_:' prefix = bnode,
+    # scheme:rest shape = IRI — ntriples._encode_term's classification,
+    # including its documented literal/IRI ambiguity for scheme-shaped
+    # literal values).  sameTerm = lexical equality (the one-spelling-
+    # per-term vocabulary contract makes that exact).  Args are plain
+    # terms (?var / 'literal'-placeholder), same restriction as
+    # STRBEFORE/STRAFTER.
+    _IRI_SHAPE = "RLIKE '^[A-Za-z][A-Za-z0-9+.-]*:[^ ]+$'"
+    e = re.sub(r"\bsameTerm\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+               r"(\1 = \2)", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bisBlank\s*\(\s*([^()]+?)\s*\)",
+               r"startswith(\1, '_:')", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bis[IU]RI\s*\(\s*([^()]+?)\s*\)",
+               rf"(\1 {_IRI_SHAPE} AND NOT startswith(\1, '_:'))",
+               e, flags=re.IGNORECASE)
+    e = re.sub(r"\bisLiteral\s*\(\s*([^()]+?)\s*\)",
+               rf"(NOT (\1 {_IRI_SHAPE}) AND NOT startswith(\1, '_:'))",
+               e, flags=re.IGNORECASE)
     # SPARQL string-function kit -> Spark SQL equivalents (name-level
     # rewrites; argument expressions flow through the ?var/literal
     # rewrites unchanged).  STR() is the identity here — terms are
@@ -1142,6 +1176,9 @@ def _path_edges(triples: DataFrame, path: str) -> DataFrame:
             return inner
         if k != "atom":
             raise ValueError(f"bad property-path atom at {v!r}: {path!r}")
+        if v == "a":  # SPARQL keyword in verb position: rdf:type — paths
+            # are verb position, so `a/subClassOf*` works as spec'd
+            v = "rdf:type"
         base = _const_term(v)  # <iri> atoms denote the raw IRI
         if not base or _is_var(base):
             raise ValueError(f"bad property-path atom: {v!r}")

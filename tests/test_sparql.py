@@ -1450,3 +1450,79 @@ class TestConformanceSweepR4:
                 spark,
                 "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <name> ?n "
                 "OPTIONAL { ?s <q> ?y } } }")
+
+
+class TestTermTestsAndPathKeyword:
+    """Round-4 sweep batch 2: the `a` keyword inside property paths
+    (silently empty before — `?s a/subClassOf* ?c` is the canonical
+    instance-of-transitive-class idiom) and the RDF term-test builtins
+    over the engine's implicit term shapes."""
+
+    @staticmethod
+    def _g(spark):
+        rows = [
+            ("dog", "rdf:type", "Dog"), ("Dog", "rdfs:subClassOf", "Animal"),
+            ("Animal", "rdfs:subClassOf", "Thing"),
+            ("x", "name", "Alice"), ("_:b1", "name", "bob"),
+            ("x", "knows", "_:b1"), ("x", "mail", "mailto:a@x.org"),
+        ]
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+
+    def _rows(self, spark, q):
+        from logset_spark.operators.sparql import sparql
+
+        return sorted(tuple(r) for r in sparql(self._g(spark), q).collect())
+
+    def test_a_keyword_in_property_path(self, spark):
+        got = self._rows(
+            spark, "SELECT ?s ?c WHERE { ?s a/<rdfs:subClassOf>* ?c }")
+        assert got == [("dog", "Animal"), ("dog", "Dog"), ("dog", "Thing")]
+
+    def test_sameterm_is_lexical_equality(self, spark):
+        got = self._rows(
+            spark,
+            "SELECT ?s WHERE { ?s <name> ?v . FILTER(sameTerm(?v, 'bob')) }")
+        assert got == [("_:b1",)]
+
+    def test_isblank_and_negation(self, spark):
+        assert self._rows(
+            spark,
+            "SELECT ?s WHERE { ?s <name> ?v . FILTER(isBlank(?s)) }",
+        ) == [("_:b1",)]
+        assert self._rows(
+            spark,
+            "SELECT ?s WHERE { ?s <name> ?v . FILTER(!isBlank(?s)) }",
+        ) == [("x",)]
+
+    def test_isiri_and_isliteral_shape_tests(self, spark):
+        assert self._rows(
+            spark,
+            "SELECT ?o WHERE { ?s <mail> ?o . FILTER(isIRI(?o)) }",
+        ) == [("mailto:a@x.org",)]
+        assert self._rows(
+            spark,
+            "SELECT ?v WHERE { ?s <name> ?v . FILTER(isLiteral(?v)) }",
+        ) == [("Alice",), ("bob",)]
+
+
+def test_construct_template_rejects_property_path(spark):
+    """Round-4 sweep: a path in a CONSTRUCT template used to emit a
+    garbage predicate string ('<p>+') silently; now rejects loudly.
+    Evaluating the path in WHERE and binding stays supported."""
+    import pytest
+
+    from logset_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="CONSTRUCT template"):
+        sparql(t, "CONSTRUCT { ?s <p>+ ?o } WHERE { ?s <p> ?o }").collect()
+    # the supported spelling: path in WHERE, plain pred in template
+    got = sorted(
+        tuple(r) for r in sparql(
+            t, "CONSTRUCT { ?s <reach> ?o } WHERE { ?s <p>+ ?o }"
+        ).collect())
+    assert got == [("a", "reach", "b"), ("a", "reach", "c"),
+                   ("b", "reach", "c")]
