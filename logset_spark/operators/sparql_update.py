@@ -66,6 +66,7 @@ from .sparql import (
     _parse_patterns,
     _parse_protected,
     _protect_literals,
+    _restore_quoted,
     _strip_comments,
     _strip_prefix_headers,
 )
@@ -216,10 +217,26 @@ def _sets(graph: DataFrame, pu: ParsedUpdate) -> tuple[DataFrame | None,
     return d, i
 
 
-def sparql_update(graph: DataFrame, update: str) -> DataFrame:
-    """Apply one update request to a triples DataFrame; returns the new
-    graph.  Extra (non-spo) columns survive on kept rows and are NULL on
-    inserted rows."""
+def _split_requests(update: str) -> list[str]:
+    """A SPARQL 1.1 update REQUEST is a ';'-separated operation
+    sequence.  Split on top-level ';' — literal-safe (protection first)
+    and brace-depth-aware (';' inside a template/body never splits) —
+    and re-spell each part."""
+    q, lits = _protect_literals(update)
+    parts, depth, start = [], 0, 0
+    for idx, ch in enumerate(q):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            parts.append(q[start:idx])
+            start = idx + 1
+    parts.append(q[start:])
+    return [_restore_quoted(p, lits).strip() for p in parts if p.strip()]
+
+
+def _apply_one(graph: DataFrame, update: str) -> DataFrame:
     pu = parse_sparql_update(update)
     d, i = _sets(graph, pu)
     kept = graph
@@ -229,6 +246,31 @@ def sparql_update(graph: DataFrame, update: str) -> DataFrame:
         return kept
     add = i.join(kept.select(*_SPO), on=list(_SPO), how="left_anti")
     return kept.unionByName(add, allowMissingColumns=True)
+
+
+_PREFIX_HDR_RE = re.compile(
+    r"\s*((?:PREFIX\s+\w*:\s*<[^<>\s]*>\s*)+)", re.IGNORECASE)
+
+
+def sparql_update(graph: DataFrame, update: str) -> DataFrame:
+    """Apply one update REQUEST (one operation, or a ';'-sequence of
+    operations applied left-to-right, each seeing the previous one's
+    output — SPARQL 1.1 request semantics) to a triples DataFrame;
+    returns the new graph.  Leading PREFIX declarations remain in
+    effect for every operation of the sequence (spec behavior).  Extra
+    (non-spo) columns survive on kept rows and are NULL on inserted
+    rows."""
+    parts = _split_requests(update)
+    if not parts:
+        raise ValueError("empty update request")
+    if len(parts) == 1:
+        return _apply_one(graph, parts[0])
+    hm = _PREFIX_HDR_RE.match(parts[0])
+    header = hm.group(1) if hm else ""
+    out = graph
+    for n, part in enumerate(parts):
+        out = _apply_one(out, part if n == 0 else header + part)
+    return out
 
 
 def apply_update(
@@ -247,6 +289,12 @@ def apply_update(
     `conv:x` partitions with conversation x, anything else under its own
     key) and `insert_ts` the timestamp literal they are filed under.
     Returns (new_version, n_deleted, n_inserted)."""
+    if len(_split_requests(update)) > 1:
+        raise ValueError(
+            "';'-sequenced update requests are not supported on the "
+            "snapshot store (each operation must be its own atomic "
+            "commit — issue them as separate apply_update calls); the "
+            "functional sparql_update() form applies sequences")
     pu = parse_sparql_update(update)
     graph = store.read(spark)
     d, i = _sets(graph, pu)

@@ -395,3 +395,48 @@ def test_load_ntriples_and_nquads(quads, tmp_path):
     assert graph_update(
         quads, f"LOAD SILENT <file://{badf}>"
     ).count() == quads.count()
+
+
+def test_semicolon_sequence_applies_left_to_right(spark):
+    """SPARQL 1.1 request = ';'-sequence of operations, each seeing the
+    previous one's output; leading PREFIX headers stay in effect for
+    the whole request (round-4 sweep: used to reject cryptically)."""
+    from logset_spark.operators.sparql_update import sparql_update
+
+    g = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string")
+    out = sparql_update(
+        g,
+        "PREFIX ex: <http://x.org/> "
+        "INSERT DATA { ex:n1 ex:p ex:n2 } ; "
+        "DELETE DATA { <a> <p> <b> } ; "
+        "DELETE { ?s <p> ?o } INSERT { ?s ex:p2 ?o } WHERE { ?s <p> ?o }")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("b", "http://x.org/p2", "c"),
+        ("http://x.org/n1", "http://x.org/p", "http://x.org/n2"),
+    ]
+
+
+def test_semicolon_inside_literal_and_body_never_splits(spark):
+    from logset_spark.operators.sparql_update import sparql_update
+
+    g = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string")
+    out = sparql_update(
+        g, "INSERT DATA { <n> <p> 'x;y' . <n> <q> <m> }")
+    got = sorted(tuple(r) for r in out.collect())
+    assert ("n", "p", "x;y") in got and ("n", "q", "m") in got
+
+
+def test_snapshot_store_rejects_sequences_loudly(spark, tmp_path):
+    import pytest
+
+    from logset_spark.operators.sparql_update import apply_update
+    from logset_spark.sources.snapshots import SnapshotTableIO
+
+    store = SnapshotTableIO(root=str(tmp_path / "st"), n_buckets=2)
+    with pytest.raises(ValueError, match="separate apply_update"):
+        apply_update(store, spark,
+                     "INSERT DATA { <a> <p> <b> } ; CLEAR ALL")
