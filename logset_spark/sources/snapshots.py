@@ -323,6 +323,15 @@ class SnapshotTableIO:
         fd, tmp = tempfile.mkstemp(dir=self._meta)
         with os.fdopen(fd, "w") as f:
             f.write(str(head))
+        # same foreign-commit guard as _publish: the ancestry check was
+        # against `cur`, so a head that moved since must be re-validated,
+        # not silently jumped over
+        if self.current_version() != cur:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"table head moved v{cur} -> v{self.current_version()} "
+                f"during fast_forward to {name!r}; re-run to re-validate"
+            )
         os.replace(tmp, os.path.join(self._meta, "current"))
         return head
 

@@ -891,3 +891,37 @@ def test_interleaved_branch_committers_loser_raises(spark, store):
     assert foreign.current_version() == 1
     assert foreign.read(spark, version="audit").where(
         "conv_id = 'cF'").count() == 1
+
+
+def test_fast_forward_guards_foreign_commit(spark, store):
+    from logset_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        SnapshotTableIO,
+    )
+
+    store.commit(_frame(spark, _base_rows()))
+    store.branch("wip")
+    store.commit(_frame(spark, [("cW", 0, "2024-03-01 00:00:00", "msg")]),
+                 branch="wip")
+    foreign = SnapshotTableIO(root=store.root, n_buckets=4)
+
+    orig_cv = store.current_version
+    fired = {"n": 0}
+
+    def racing_cv():
+        v = orig_cv()
+        if fired["n"] == 0:
+            fired["n"] = 1
+            foreign.commit(
+                _frame(spark, [("cF", 0, "2024-03-02 00:00:00", "msg")]))
+        return v
+
+    store.current_version = racing_cv
+    with pytest.raises(ConcurrentCommitError, match="fast_forward"):
+        store.fast_forward("wip")
+    store.current_version = orig_cv
+    # the foreign commit survived as head; a fresh fast_forward now
+    # correctly REJECTS on ancestry (main diverged from the branch)
+    assert foreign.read(spark).where("conv_id = 'cF'").count() == 1
+    with pytest.raises(ValueError, match="not an ancestor"):
+        store.fast_forward("wip")
