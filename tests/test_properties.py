@@ -616,3 +616,85 @@ def test_approx_distinct_within_tolerance(spark):
         ep, eo = exact[flag]
         assert abs(ap - ep) <= 0.15 * ep, (flag, ap, ep)
         assert abs(ao - eo) <= 0.15 * eo, (flag, ao, eo)
+
+
+# ---------------------------------------------------------------------------
+# round-4: path quantifiers vs brute-force enumeration; VALUES UNDEF vs
+# a pandas compatible-join replay
+# ---------------------------------------------------------------------------
+
+quant_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=1, max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=quant_edges, lo=st.integers(0, 3), span=st.integers(0, 2))
+def test_path_quantifier_matches_enumeration(spark, edges, lo, span):
+    """{n,m} bounded repetition vs brute-force endpoint enumeration:
+    pairs (s, t) connected by a p-walk of SOME length in [n, m] (walks,
+    not simple paths — SPARQL path semantics is endpoint set)."""
+    from logset_spark.operators.sparql import sparql
+
+    hi = lo + span
+    rows = [(f"n{a}", "p", f"n{b}") for a, b in edges]
+    t = spark.createDataFrame(
+        sorted(set(rows)), "subj string, pred string, obj string")
+    got = {
+        (r["s"], r["t"])
+        for r in sparql(
+            t, f"SELECT ?s ?t WHERE {{ ?s <p>{{{lo},{hi}}} ?t }}"
+        ).collect()
+    }
+    # oracle: adjacency closure by exact walk length
+    nodes = {x for a, b in edges for x in (f"n{a}", f"n{b}")}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+    want = set()
+    # reach[k] = set of (s, t) with a walk of exactly k steps
+    frontier = {n: {n} for n in nodes}  # length 0
+    if lo == 0:
+        want |= {(n, n) for n in nodes}
+    for k in range(1, hi + 1):
+        frontier = {
+            s: {t for m in mids for t in adj.get(m, ())}
+            for s, mids in frontier.items()
+        }
+        if k >= lo:
+            want |= {(s, t) for s, mids in frontier.items() for t in mids}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 4)),
+                  min_size=1, max_size=10),
+    vrows=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 4)),
+                  st.one_of(st.none(), st.integers(0, 4))),
+        min_size=1, max_size=4),
+)
+def test_values_undef_matches_pandas_replay(spark, data, vrows):
+    """VALUES with UNDEF vs the spec's compatible-solutions join replayed
+    in pandas: solution (s, o) joins values row (vs, vo) iff each
+    non-UNDEF cell equals the binding."""
+    from logset_spark.operators.sparql import sparql
+
+    rows = sorted({(f"s{a}", "p", f"o{b}") for a, b in data})
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    vtxt = " ".join(
+        "(%s %s)" % ("UNDEF" if a is None else f"'s{a}'",
+                     "UNDEF" if b is None else f"'o{b}'")
+        for a, b in vrows
+    )
+    q = f"SELECT ?s ?o WHERE {{ ?s <p> ?o . VALUES (?s ?o) {{ {vtxt} }} }}"
+    got = sorted((r["s"], r["o"]) for r in sparql(t, q).collect())
+    want = sorted(
+        (s, o)
+        for s, _p, o in rows
+        for a, b in vrows
+        if (a is None or s == f"s{a}") and (b is None or o == f"o{b}")
+    )
+    assert got == want
