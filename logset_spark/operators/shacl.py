@@ -155,7 +155,18 @@ def compile_shapes(shape_triples) -> list[NodeShape]:
                     ps.path_kind = "sequence"
                     ps.path_seq = seq
                     ps.path = "/".join(seq)
-                elif o_props or not re.fullmatch(r"[^\s|/^*+?!()]+", o):
+                elif o_props or not (
+                    re.fullmatch(r"[^\s|/^*+?!()]+", o)
+                    # a full scheme:rest IRI legitimately contains '/'
+                    # (round-4 fix: `sh:path <http://x.org/p>` was
+                    # rejected); SHACL spells sequence paths as RDF
+                    # LISTS, never with '/', so a scheme-shaped term is
+                    # always a plain predicate — other path-operator
+                    # characters stay banned so an engine-style 'p+'
+                    # string can never silently match nothing
+                    or re.fullmatch(
+                        r"[A-Za-z][A-Za-z0-9+.-]*:[^\s|^*+?!()]+", o)
+                ):
                     # a bnode with properties that is neither an
                     # inversePath nor a list is some richer path
                     # construct — reject loudly, never treat the bnode

@@ -363,3 +363,45 @@ ex:name rdfs:label 'name' .
     ps = shapes[0].properties[0]
     assert ps.path_kind == "direct"
     assert ps.path.endswith("name")
+
+
+def test_full_iri_path_is_a_plain_predicate(spark):
+    """Round-4 sweep: `sh:path <http://x.org/p>` was rejected because the
+    plain-predicate guard banned '/' anywhere — but SHACL spells sequence
+    paths as RDF lists, never with '/', so a scheme-shaped IRI is always
+    a plain predicate.  Engine-style operator strings ('p1+') still
+    reject, and an unsupported constraint on the same property node is
+    attributed to ITSELF, not to sh:path."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from logset_spark.operators import shacl
+
+    data = spark.createDataFrame(
+        [("ex:a", "rdf:type", "http://example.org/T"),
+         ("ex:a", "http://example.org/p", "v")],
+        "subj string, pred string, obj string")
+    SH = "http://www.w3.org/ns/shacl#"
+    rows = [
+        ("http://example.org/S", "rdf:type", SH + "NodeShape"),
+        ("http://example.org/S", SH + "targetClass", "http://example.org/T"),
+        ("_:anon-1", SH + "path", "http://example.org/p"),
+        ("_:anon-1", SH + "minCount", "2"),
+        ("http://example.org/S", SH + "property", "_:anon-1"),
+    ]
+    shapes = spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+    got = [(r["focus"], r["constraint"])
+           for r in shacl.validate(data, shapes).collect()]
+    assert got == [("ex:a", "minCount")]
+
+    bad = rows[:3] + [("_:anon-1", SH + "uniqueLang", "true")] + rows[3:]
+    with pytest.raises(ValueError, match="uniqueLang"):
+        shacl.validate(data, spark.createDataFrame(
+            bad, "subj string, pred string, obj string")).count()
+
+    opstring = [rows[0], rows[1],
+                ("_:anon-1", SH + "path", "p1+"), rows[3], rows[4]]
+    with pytest.raises(ValueError, match="sh:path takes"):
+        shacl.validate(data, spark.createDataFrame(
+            opstring, "subj string, pred string, obj string")).count()
