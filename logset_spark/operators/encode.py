@@ -230,10 +230,34 @@ def bgp_encoded(
     then the standard shared-variable equi-join chain — every join key an
     8-byte bigint — then one dictionary join per PROJECTED variable to
     restore lexical forms.  An unknown constant term means an empty
-    result (per SPARQL), expressed as an impossible id, not an error."""
-    consts = sorted(
-        {t for p in patterns for t in p if not _is_var(t)}
-    )
+    result (per SPARQL), expressed as an impossible id, not an error.
+
+    Constants normalize exactly as the string evaluator's do (round-4
+    sweep fix: `<p>` used to probe the dictionary with its brackets on
+    and silently matched nothing): `<iri>` denotes the raw IRI,
+    well-known namespaces fold to the canonical short spelling, and the
+    `a` keyword in predicate position is rdf:type."""
+    from .sparql import _const_term
+
+    pos_ids = ("s_id", "p_id", "o_id")
+    for p in patterns:
+        if len(p) != 3:
+            raise ValueError(
+                "GRAPH patterns outside the encoded-BGP subset (the "
+                "encoded store holds one merged graph) — run against "
+                "the string warehouse")
+
+    def _norm(t: str, idc: str) -> str:
+        if idc == "p_id" and t == "a":
+            return "rdf:type"
+        return _const_term(t)
+
+    consts = sorted({
+        _norm(t, idc)
+        for p in patterns
+        for t, idc in zip(p, pos_ids)
+        if not _is_var(t)
+    })
     cmap = {}
     if consts:
         rows = dic.where(F.col("term").isin(consts)).collect()
@@ -245,14 +269,13 @@ def bgp_encoded(
             return None
         return cmap.get(t, missing)
 
-    pos_ids = ("s_id", "p_id", "o_id")
     parts = []
     for pat in patterns:
         df = encoded
         var_to_idc: dict[str, str] = {}
         empty = False
         for t, idc in zip(pat, pos_ids):
-            tid = term_id(t)
+            tid = term_id(t if _is_var(t) else _norm(t, idc))
             if tid is None:
                 v = t[1:]
                 if v in var_to_idc:  # repeated var: same-row equality

@@ -188,3 +188,38 @@ def test_sparql_encoded_count_aggregates_match_string_path(tri):
         got = sorted(map(tuple, encode.sparql_encoded(enc, dic, q).collect()))
         want = sorted(map(tuple, sparql(tri, q).collect()))
         assert got == want, q
+
+
+def test_constants_normalize_like_string_evaluator(spark):
+    """Round-4 sweep: `<p>` probed the dictionary with brackets on and
+    silently matched nothing.  Bracketed IRIs, the `a` keyword, and
+    full well-known-namespace spellings must resolve exactly as the
+    string evaluator resolves them; GRAPH patterns reject loudly."""
+    import pytest
+
+    from logset_spark.operators.encode import (
+        build_term_dictionary,
+        encode_triples,
+        sparql_encoded,
+    )
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("dog", "rdf:type", "Dog")],
+        "subj string, pred string, obj string")
+    d = build_term_dictionary(t)
+    enc = encode_triples(t, d)
+
+    def rows(q):
+        return sorted(tuple(r) for r in sparql_encoded(enc, d, q).collect())
+
+    assert rows("SELECT ?s ?o WHERE { ?s <p> ?o }") == \
+        rows("SELECT ?s ?o WHERE { ?s p ?o }") == [("a", "b"), ("b", "c")]
+    assert rows("SELECT ?o WHERE { <a> p ?o }") == [("b",)]
+    assert rows("SELECT ?s ?c WHERE { ?s a ?c }") == [("dog", "Dog")]
+    assert rows(
+        "SELECT ?s ?c WHERE "
+        "{ ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c }"
+    ) == [("dog", "Dog")]
+    assert rows("SELECT ?o WHERE { <zzz> p ?o }") == []  # unknown: empty
+    with pytest.raises(ValueError, match="GRAPH"):
+        rows("SELECT ?s WHERE { GRAPH <g> { ?s p ?o } }")
