@@ -200,7 +200,15 @@ def _sets(graph: DataFrame, pu: ParsedUpdate) -> tuple[DataFrame | None,
     spo_graph = graph.select(*_SPO)
 
     def const_frame(tmpl):
-        rows = [tuple(_const_term(t) for t in p) for p in tmpl]
+        # `a` in verb position = rdf:type, same as the template/WHERE
+        # instantiation paths (round-4 sweep: INSERT DATA used to store
+        # the literal predicate 'a')
+        rows = [
+            (_const_term(s),
+             "rdf:type" if p == "a" else _const_term(p),
+             _const_term(o))
+            for s, p, o in tmpl
+        ]
         return spark.createDataFrame(
             rows, "subj string, pred string, obj string").distinct()
 

@@ -440,3 +440,18 @@ def test_snapshot_store_rejects_sequences_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="separate apply_update"):
         apply_update(store, spark,
                      "INSERT DATA { <a> <p> <b> } ; CLEAR ALL")
+
+
+def test_insert_delete_data_a_keyword_is_rdf_type(spark):
+    """`a` in verb position means rdf:type in DATA forms too (round-4
+    sweep: INSERT DATA stored the literal predicate 'a')."""
+    from logset_spark.operators.sparql_update import sparql_update
+
+    g = spark.createDataFrame(
+        [("dog", "rdf:type", "Dog")], "subj string, pred string, obj string")
+    out = sparql_update(g, "INSERT DATA { cat a Cat }")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("cat", "rdf:type", "Cat"), ("dog", "rdf:type", "Dog")]
+    out2 = sparql_update(out, "DELETE DATA { dog a Dog }")
+    assert sorted(tuple(r) for r in out2.collect()) == [
+        ("cat", "rdf:type", "Cat")]
