@@ -4436,12 +4436,13 @@ SELECT 'unique(o_orderkey)' AS check, CAST(COALESCE((
        (SELECT count(*) FROM orders) AS total
 UNION ALL
 SELECT 'references(o_custkey->c_custkey)',
-       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
-          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
        (SELECT count(*) FROM orders)
 UNION ALL
 SELECT 'complete(o_orderdate)',
-       (SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders),
+       CAST((SELECT sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             FROM orders) AS BIGINT),
        (SELECT count(*) FROM orders)
 """
 
@@ -5364,8 +5365,8 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-           - n_tokens AS start_off
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS BIGINT) AS start_off
   FROM t)
 SELECT doc_id, n_tokens, start_off,
        start_off // {_PACK_BUDGET} AS first_bin,
@@ -6465,7 +6466,7 @@ WHERE common >= 2
 
 
 _HITS_ITER_SQL = """
-ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS raw
+ar{i} AS (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
           FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
 am{i} AS (SELECT greatest(max(raw), CAST(1 AS BIGINT)) AS mx,
                  greatest(max(raw), CAST(1 AS BIGINT)) // 1000000000
@@ -6475,7 +6476,7 @@ a{i} AS (SELECT n.node,
                 (coalesce(r.raw, CAST(0 AS BIGINT)) // sh) * 1000000
                 // greatest(mx // sh, CAST(1 AS BIGINT)) AS auth
          FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node CROSS JOIN am{i}),
-hr{i} AS (SELECT e.src AS node, sum(a.auth) AS raw
+hr{i} AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
           FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
 hm{i} AS (SELECT greatest(max(raw), CAST(1 AS BIGINT)) AS mx,
                  greatest(max(raw), CAST(1 AS BIGINT)) // 1000000000
@@ -8119,42 +8120,48 @@ REGISTRY: dict[str, tuple] = {
     "q_kg_stats": (q_kg_stats, SQL_KG_STATS),
 }
 
-# Round-4 rotation (VERDICT r03 item 1).  The driver gate checks only
+# Round-5 rotation (VERDICT r04 item 2).  The driver gate checks only
 # list(REGISTRY)[:50]; the dict literal above keeps its stable grouping,
 # and this explicit window list is hoisted to the front.  Contents:
-#   - 5 record refreshes whose newest driver row is the stale r01 round
-#     (q_multimodal_features' r01 FAIL is fixed since r02 but the red row
-#     is still the latest on file; the other four are r01 rows-only
-#     sketches that should re-row under the current gate), then
-#   - 45 never-driver-checked entries in VERDICT's priority order:
-#     SPARQL frontend core, graph analytics, corpus suite, catalog
-#     quality.  Registry growth is FROZEN at 209 until the backlog
-#     drains (46 remain for the round-5 window; <= 50, so round 5
-#     zeroes it).
-_R4_WINDOW = [
-    # record refreshes (newest driver row is r01)
-    "q_multimodal_features", "q_multimodal_frames", "q_dedup_minhash",
-    "q_dedup_simhash", "q_ann_lsh",
-    # SPARQL frontend core (never driver-checked)
-    "q_sparql_2hop", "q_sparql_filter", "q_sparql_optional",
-    "q_sparql_agg", "q_sparql_construct", "q_sparql_path",
-    "q_sparql_bind", "q_sparql_values", "q_sparql_notexists",
-    "q_sparql_minus", "q_sparql_exists",
-    # graph analytics
-    "q_closure", "q_pagerank", "q_triangle", "q_kcore", "q_bfs_dist",
-    "q_sssp", "q_label_prop", "q_harmonic", "q_hits", "q_motif",
-    # corpus / LLM-data suite
-    "q_sample_hash", "q_mixture", "q_chunk", "q_seq_pack",
-    "q_decontaminate", "q_pii_scrub", "q_rep_filter", "q_substring_dup",
-    "q_lm_score", "q_tfidf", "q_bigram", "q_dedup_cluster",
-    "q_embed_quantize", "q_ann_ivf",
-    # catalog quality / analytics
-    "q_profile", "q_expectations", "q_outliers", "q_funnel",
-    "q_retention", "q_gapfill", "q_transitions", "q_grouping_sets",
-    "q_percent_rank", "q_corr",
+#   - the 3 r04-red rows re-checked after the BIGINT oracle-typing fix
+#     (q_hits / q_seq_pack / q_expectations — DuckDB HUGEINT->float64,
+#     VERDICT r04 §What's wrong 1), then
+#   - ALL 46 never-driver-checked entries (SPARQL frontend batches 2-4,
+#     snapshot store, Turtle/TriG/star sources, inference, walks/
+#     skipgram/negatives) — this window zeroes the backlog: after r05
+#     every registry entry has at least one driver row, and
+#   - 1 spare slot (q_kg_pipeline_small exercise via q_kg_2hop is in the
+#     46; the spare re-rows q_session, a long-stable early green, as a
+#     canary that the gate itself is unchanged).
+_R5_WINDOW = [
+    # r04-red re-checks (oracle typing fixed this round)
+    "q_hits", "q_seq_pack", "q_expectations",
+    # never-driver-checked backlog: sources & snapshot store
+    "q_ttl_source", "q_trig_source", "q_ttl_sink", "q_star_source",
+    "q_reify", "q_star_roundtrip", "q_time_travel", "q_merge_upsert",
+    "q_snapshot_delete", "q_snapshot_prune",
+    # SPARQL frontend batch 2 (solution modifiers, aggregates)
+    "q_sparql_prefix", "q_sparql_ask", "q_sparql_describe",
+    "q_sparql_count_distinct", "q_sparql_having", "q_sparql_groupconcat",
+    "q_sparql_grouppath", "q_sparql_groupfilter",
+    # SPARQL frontend batch 3 (property paths)
+    "q_sparql_invpath", "q_sparql_altpath", "q_sparql_seqpath",
+    "q_sparql_starpath", "q_sparql_negprop", "q_sparql_optpath",
+    # SPARQL frontend batch 4 (subquery, expressions, graphs, update)
+    "q_sparql_subquery", "q_sparql_if", "q_sparql_in", "q_sparql_sample",
+    "q_sparql_cwhere", "q_sparql_strsplit", "q_sparql_bnode",
+    "q_sparql_from", "q_sparql_graph", "q_sparql_update", "q_graph_mgmt",
+    "q_sparql_star",
+    # inference / SHACL / graph-embedding corpus
+    "q_rdfs_infer", "q_owl_infer", "q_shacl_sparql", "q_walks",
+    "q_skipgram", "q_negatives",
+    # similarity / misc never-checked
+    "q_jaccard", "q_char_sets", "q_kg_2hop", "q_dedup_incremental",
+    # spare canary (stable early green)
+    "q_session",
 ]
-assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
+assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
 REGISTRY = {
-    **{name: REGISTRY[name] for name in _R4_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in set(_R4_WINDOW)},
+    **{name: REGISTRY[name] for name in _R5_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in set(_R5_WINDOW)},
 }

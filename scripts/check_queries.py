@@ -22,6 +22,23 @@ TABLES = (
 ).split()
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype kind for the type-strict gate.  The driver's value
+    hash is type-strict (int 0 != float 0.0), so an int64-vs-float64
+    column divergence between Spark and the DuckDB oracle must FAIL
+    here too (VERDICT r04 §What's wrong 1: DuckDB sum() -> HUGEINT ->
+    float64 via fetchdf masked by the old check_dtype=False compare)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "obj"
+
+
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.copy()
     out = out[sorted(out.columns)]
@@ -77,6 +94,18 @@ def main() -> int:
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1
+            continue
+        kinds_g = {c: dtype_kind(got[c]) for c in g.columns}
+        kinds_e = {c: dtype_kind(exp[c]) for c in e.columns}
+        bad = {
+            c: (kinds_g[c], kinds_e[c])
+            for c in g.columns
+            if kinds_g[c] != kinds_e[c]
+            and {kinds_g[c], kinds_e[c]} == {"int", "float"}
+        }
+        if bad:
+            print(f"FAIL {name}: dtype kind mismatch (spark vs oracle): {bad}")
             n_fail += 1
             continue
         if len(g) != len(e):
