@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint_cut as _checkpoint_cut  # noqa: F401 — registers df.localCheckpointCut
+
 
 def _bidirect(edges: DataFrame) -> DataFrame:
     e = edges.select(F.col("src"), F.col("dst"))
@@ -83,12 +85,12 @@ def connected_components(
     # checkpoint the INPUT first: union/bidirect below scans it multiple
     # times within one action, which would re-run the whole upstream plan
     # (extraction UDFs, fuzzy linking) once per branch.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpointCut()
     limit = SMALL_GRAPH_EDGES if small_graph_edges is None else small_graph_edges
     if edges.limit(limit + 1).count() <= limit:
         return _driver_side_cc(edges)
     e = _bidirect(edges).where(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpointCut()
 
     labels = (
         e.select(F.col("src").alias("node"))
@@ -96,7 +98,7 @@ def connected_components(
         .union(edges.where(F.col("src") == F.col("dst")).select(F.col("src").alias("node")))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
 
     for _ in range(max_iter):
@@ -117,7 +119,7 @@ def connected_components(
         halved = (
             new_labels.join(parent, "component", "left")
             .select("node", F.coalesce("grand", "component").alias("component"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpointCut()
 
         changed = (
             halved.alias("n")
@@ -169,8 +171,8 @@ def cc_incremental(
 
     cc_kwargs forward to connected_components (e.g. small_graph_edges=0
     to force the distributed loop)."""
-    assignment = assignment.localCheckpoint(eager=True)
-    new_edges = new_edges.localCheckpoint(eager=True)
+    assignment = assignment.localCheckpointCut()
+    new_edges = new_edges.localCheckpointCut()
     touched = (
         new_edges.select(F.col("src").alias("node"))
         .unionByName(new_edges.select(F.col("dst").alias("node")))
@@ -183,7 +185,7 @@ def cc_incremental(
     )
     affected = assignment.join(
         touched_comps, "component", "left_semi"
-    ).localCheckpoint(eager=True)
+    ).localCheckpointCut()
     untouched = assignment.join(touched_comps, "component", "left_anti")
 
     stars = affected.select(

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..ckpt import checkpoint_cut as _checkpoint_cut  # noqa: F401 — registers df.localCheckpointCut
+
 # rank unit: 1.0 == 10^12.  Headroom: total rank MASS is conserved-or-
 # shrinking in this recurrence (mass_0 = N*(scale DIV N) <= scale;
 # mass_{k+1} <= 0.15*scale + 0.85*mass_k <= scale, truncating division
@@ -129,7 +131,7 @@ def transitive_closure(
         )
         .where(F.col("node") != F.col("ancestor"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     for _ in range(max_iter):
         # (a -> m, d1) x (m -> b, d2)  =>  (a -> b, d1+d2)
@@ -147,7 +149,7 @@ def transitive_closure(
             .where(F.col("node") != F.col("ancestor"))
             .groupBy("node", "ancestor")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         # converged when no pair was added AND no dist improved; pair
         # count alone is enough for the add check, a changed-dist probe
@@ -190,12 +192,12 @@ def pagerank_fixedpoint(
     on dst, one broadcast-sized join back to the node list; outdeg and N
     are computed once.  localCheckpoint per round truncates lineage.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
     # N rides as a broadcast 1-row aggregate — never a driver collect.
@@ -206,7 +208,7 @@ def pagerank_fixedpoint(
             "node",
             F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("rank"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     for _ in range(n_iter):
         contrib = (
@@ -230,7 +232,7 @@ def pagerank_fixedpoint(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
     return ranks
 
@@ -257,12 +259,12 @@ def ppr_fixedpoint(
     replayable in SQL — see SQL_PPR.  Nodes never reached keep rank 0
     and ARE returned (the caller filters), so the output domain is
     engine-independent."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
     src_flag = sources.select(F.col("node")).distinct().withColumn(
@@ -281,7 +283,7 @@ def ppr_fixedpoint(
                 " ELSE CAST(0 AS BIGINT) END"
             ).alias("rank"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     for _ in range(n_iter):
         contrib = (
@@ -310,7 +312,7 @@ def ppr_fixedpoint(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
     return ranks
 
@@ -337,7 +339,7 @@ def _oriented_triangles(canon: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("d"),
     ).select("src", F.col("d.v").alias("dst"), F.col("d.dv").alias("dst_deg")) \
-        .localCheckpoint(eager=True)  # feeds e1, e2 AND the closing join
+        .localCheckpointCut()  # feeds e1, e2 AND the closing join
     # wedge (src; x, y) with x before y in the SAME (deg, id) total order
     # the orientation used, so the closing edge is oriented x -> y
     e1 = oriented.select("src", F.col("dst").alias("x"), F.col("dst_deg").alias("xd"))
@@ -377,7 +379,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .distinct()
         # referenced by the degree agg AND both sides of the wedge join:
         # checkpoint so the upstream edge derivation runs once, not 4x
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     tri = _oriented_triangles(canon)
     corners = (
@@ -416,18 +418,18 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     adj = (
         canon.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionByName(
             canon.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointCut()
     for _ in range(n_iter):
         cnt = (
             adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -444,7 +446,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
                 ).alias("s")
             )
             .select("node", F.col("s.label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
     return labels
 
@@ -470,12 +472,12 @@ def bfs_distances(
     `max_iter` bounds the loop on adversarially deep graphs (a path
     graph runs O(V) rounds — at that shape prefer transitive_closure's
     path doubling, which this module also ships)."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     dist = (
         sources.select("node")
         .distinct()
         .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     frontier = dist
     for _ in range(max_iter):
@@ -485,11 +487,11 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).localCheckpointCut()
         frontier = nxt
     return dist
 
@@ -528,7 +530,7 @@ def kcore_peel(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     e = canon
     to_convergence = rounds is None
@@ -543,14 +545,14 @@ def kcore_peel(
         if to_convergence:
             # node-scale checkpoint: the probe and the filter below both
             # consume deg; without it the degree groupBy would run twice
-            deg = deg.localCheckpoint(eager=True)
+            deg = deg.localCheckpointCut()
             if deg.where(F.col("deg") < k).limit(1).count() == 0:
                 break
         alive = deg.where(F.col("deg") >= k).select("node")
         e = (
             e.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
     return (
         e.select(F.col("u").alias("node"))
@@ -588,13 +590,13 @@ def shortest_paths(
     conv->turn hierarchy) rounds stay in the tens."""
     e = edges.select(
         "src", "dst", F.col("w").cast("bigint").alias("w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointCut()
     if e.where(F.col("w") < 0).limit(1).count():
         raise ValueError("shortest_paths requires non-negative weights")
     dist = (
         sources.select("node").distinct()
         .select("node", F.lit(0).cast("bigint").alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     frontier = dist
     for _ in range(max_iter):
@@ -611,14 +613,14 @@ def shortest_paths(
                 "node", "left")
             .where(F.col("cur").isNull() | (F.col("dist") < F.col("cur")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if improved.limit(1).count() == 0:
             break
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         frontier = improved
     return dist
@@ -664,7 +666,7 @@ def neighbor_jaccard(
             .select("feat")
         )
         inc = inc.join(keep, "feat", "left_semi")
-    inc = inc.localCheckpoint(eager=True)  # feeds deg AND both join sides
+    inc = inc.localCheckpointCut()  # feeds deg AND both join sides
     deg = inc.groupBy("node").agg(F.count("*").alias("d"))
     a = inc.select("feat", F.col("node").alias("u"))
     b = inc.select("feat", F.col("node").alias("v"))
@@ -731,12 +733,12 @@ def hits(
     per round truncates lineage."""
     if n_iter < 1:
         raise ValueError("hits needs n_iter >= 1")
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     hub = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
 
@@ -761,7 +763,7 @@ def hits(
                     " CAST(1 AS BIGINT))"
                 ).alias(col),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
 
     auth = None
@@ -810,10 +812,10 @@ def deterministic_walks(
     materialization beyond the join row stream.  Biased (node2vec p/q)
     variants fit the same frame by weighting the hash, at the cost of
     carrying the previous node in the frontier."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     out = starts.select(
         "walk_id", F.lit(0).alias("step"), "node"
-    ).localCheckpoint(eager=True)
+    ).localCheckpointCut()
     frontier = out
     for step in range(1, n_steps + 1):
         h = F.md5(F.concat_ws(
@@ -823,7 +825,7 @@ def deterministic_walks(
             .groupBy("walk_id")
             .agg(F.min_by("dst", h).alias("node"))
             .select("walk_id", F.lit(step).alias("step"), "node")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if nxt.limit(1).count() == 0:
             break
@@ -874,12 +876,12 @@ def bfs_distances_tagged(
     not sources x rounds.  Work per round is O(frontier out-degree)
     summed over sources — the L-landmark trade the caller makes
     explicitly by sizing `sources`."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     dist = (
         sources.select(F.col("node").alias("bsrc"))
         .distinct()
         .select("bsrc", F.col("bsrc").alias("node"), F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     frontier = dist
     for _ in range(max_iter):
@@ -890,11 +892,11 @@ def bfs_distances_tagged(
             .groupBy("bsrc", "node")
             .agg(F.min("dist").alias("dist"))
             .join(dist.select("bsrc", "node"), ["bsrc", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if nxt.limit(1).count() == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).localCheckpointCut()
         frontier = nxt
     return dist.select(F.col("bsrc").alias("src"), "node", "dist")
 
@@ -944,7 +946,7 @@ def anf_reach(
     of b over the salts (the exact, hashable quantity the oracle
     checks), `est` the double FM estimate derived from it."""
     mcols = [f"m{s}" for s in range(n_hashes)]
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpointCut()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -960,7 +962,7 @@ def anf_reach(
         masks = masks.withColumn(
             mc, F.pow(F.lit(2.0), rho.cast("double")).cast("long")
         )
-    masks = masks.localCheckpoint(eager=True)
+    masks = masks.localCheckpointCut()
 
     def snapshot(m: DataFrame, k: int) -> DataFrame:
         b_exprs = []
@@ -986,7 +988,7 @@ def anf_reach(
             cur.unionByName(contrib)
             .groupBy("node")
             .agg(*[F.bit_or(mc).alias(mc) for mc in mcols])
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         out = out.unionByName(snapshot(cur, k))
     return out
@@ -1098,7 +1100,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     deg = (
         canon.select(F.col("u").alias("node"))
@@ -1181,7 +1183,7 @@ def ktruss_peel(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     to_convergence = rounds is None
     n_rounds = max_rounds if to_convergence else rounds
@@ -1191,7 +1193,7 @@ def ktruss_peel(
             canon.join(sup, ["u", "v"], "left")
             .where(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if to_convergence:
             dropped = canon.join(kept, ["u", "v"], "left_anti")
@@ -1256,7 +1258,7 @@ def betweenness_approx(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpointCut()
 
     state = (
         sources.select(F.col("node").alias("bsrc"))
@@ -1267,7 +1269,7 @@ def betweenness_approx(
             F.lit(0).alias("dist"),
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     frontier = state
     for _ in range(max_iter):
@@ -1284,11 +1286,11 @@ def betweenness_approx(
             .join(
                 state.select("bsrc", "node"), ["bsrc", "node"], "left_anti"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if nxt.limit(1).count() == 0:
             break
-        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        state = state.unionByName(nxt).localCheckpointCut()
         frontier = nxt
     else:
         raise RuntimeError(
@@ -1338,7 +1340,7 @@ def betweenness_approx(
             )
             .groupBy("bsrc", "node")
             .agg(F.sum("part").alias("delta"))
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         level_deltas.append(contrib)
         prev = contrib
@@ -1403,7 +1405,7 @@ def sample_fanout(
         raise ValueError("fanouts must be non-empty")
     ranked = neighbor_sample(
         edges, max(fanouts), salt
-    ).localCheckpoint(eager=True)
+    ).localCheckpointCut()
     frontier = seeds.select(F.col("node").alias("src")).distinct()
     outs = []
     for layer, k in enumerate(fanouts, start=1):
@@ -1413,7 +1415,7 @@ def sample_fanout(
         outs.append(
             sampled.select(
                 F.lit(layer).alias("layer"), "src", "dst", "rank"
-            ).localCheckpoint(eager=True)
+            ).localCheckpointCut()
         )
         frontier = sampled.select(F.col("dst").alias("src")).distinct()
     out = outs[0]
@@ -1442,12 +1444,12 @@ def ego_network(
     sample_fanout is the bounded alternative)."""
     e = edges.select("src", "dst").where(
         F.col("src") != F.col("dst")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpointCut()
     walk = e if directed else e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    walk = walk.localCheckpoint(eager=True)
-    ball = seeds.select("node").distinct().localCheckpoint(eager=True)
+    walk = walk.localCheckpointCut()
+    ball = seeds.select("node").distinct().localCheckpointCut()
     frontier = ball
     for _ in range(hops):
         nxt = (
@@ -1455,11 +1457,11 @@ def ego_network(
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(ball, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
         if nxt.limit(1).count() == 0:
             break
-        ball = ball.unionByName(nxt).localCheckpoint(eager=True)
+        ball = ball.unionByName(nxt).localCheckpointCut()
         frontier = nxt
     if max_nodes is not None and ball.limit(max_nodes + 1).count() > max_nodes:
         raise ValueError(
@@ -1496,7 +1498,7 @@ def modularity_parts(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointCut()
     )
     lab = labels.select("node", "label")
     deg = (

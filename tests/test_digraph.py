@@ -233,3 +233,40 @@ def test_topo_depth_equal_to_max_rounds_completes(spark):
         ).collect()
     }
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_checkpoint_cut_drops_origin_and_preserves_data(spark):
+    """checkpoint_cut must (a) return byte-identical data and schema,
+    (b) root the frame at a bare LogicalRDD so round-chained loops do
+    not accumulate origin stats/constraints (the q_scc planning-time
+    doubling, ckpt.py module doc), and (c) keep per-round planning flat
+    across a long chained loop — the regression that motivated it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logset_spark.ckpt import checkpoint_cut
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, v string"
+    )
+    cut = checkpoint_cut(df.withColumn("w", F.length("v")))
+    assert cut.schema.simpleString() == "struct<k:int,v:string,w:int>"
+    assert sorted(r["k"] for r in cut.collect()) == list(range(100))
+    plan = cut._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and plan.count("\n") <= 2
+
+    # chained-loop planning must stay flat: 20 rounds, each referencing
+    # the previous checkpoint 2x (the halving shape); with origin links
+    # retained this doubles per round past ~14 links.
+    labels = checkpoint_cut(df.select("k", F.col("k").alias("lab")))
+    walls = []
+    for _ in range(20):
+        t0 = time.monotonic()
+        parent = labels.select(F.col("k").alias("lab"), F.col("lab").alias("g"))
+        labels = checkpoint_cut(
+            labels.join(parent, "lab", "left")
+            .select("k", F.least("lab", F.coalesce("g", "lab")).alias("lab"))
+        )
+        walls.append(time.monotonic() - t0)
+    assert max(walls[-3:]) < 10 * max(walls[2:5]) + 0.5, walls

@@ -482,6 +482,30 @@ def test_minhash_pairs_whitespace_parity(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
 
 
+def test_minhash_banded_frame_carries_no_text(spark):
+    """Shuffle-discipline pin (VERDICT r04 §What's wrong 2): the LSH
+    banded/checkpointed frame must be (id, band, band_hash) ONLY — the
+    old plan rode the full document text on every band row, i.e. bands x
+    corpus text through the exchange.  The checkpoint shows up as a
+    LogicalRDD node; any such node carrying band_hash must not also
+    carry a text column."""
+    from logset_spark.operators.dedup import minhash_pairs
+
+    pdf = pd.DataFrame({
+        "doc_id": range(12),
+        "text": [f"alpha beta gamma delta epsilon zeta {i % 3}" for i in range(12)],
+    })
+    out = minhash_pairs(spark.createDataFrame(pdf), threshold=0.3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    banded_lines = [
+        ln for ln in plan.splitlines()
+        if "LogicalRDD" in ln and "band_hash" in ln
+    ]
+    assert banded_lines, "expected the checkpointed banded frame in the plan"
+    for ln in banded_lines:
+        assert "txt" not in ln and "text" not in ln, ln
+
+
 def test_minhash_empty_text_never_bands(spark):
     """Empty/gram-less strings must not collide into a shared LSH bucket
     (an all-zero sentinel signature made every empty pair a candidate)."""
