@@ -44,6 +44,11 @@ patterns):
              picks MIN (deterministic — SPARQL leaves the pick open);
              plain ?vars in the list become the GROUP BY keys (groupBy
              lowering; SUM/AVG try_cast the string object to double)
+           | ?v1 ... (expr AS ?name) ...     -- projection expressions
+             (ungrouped queries): expr uses the same depth-2 grammar as
+             FILTER/BIND (string kit, IF/COALESCE, comparisons) and is
+             lowered onto the BIND machinery after body BINDs, so the
+             alias is referenceable from ORDER BY
     WHERE { pattern ( . pattern )*
             ( . FILTER(expr) )*
             ( . FILTER [NOT] EXISTS { patterns [. FILTER(expr)]* } )*
@@ -72,10 +77,13 @@ patterns):
                           -- by the plain SELECT vars
     [ HAVING(expr over agg aliases) ]
     [ ORDER BY (?v [DESC] | DESC(?v) | ASC(?v)
-                | (?v) | STR(?v) | DESC/ASC((?v)) | DESC/ASC(STR(?v))) ... ]
-      -- the bracketed forms are accepted because they are IDENTITY
-      -- under the untyped string term model; any other ORDER BY
-      -- expression rejects loudly
+                | (?v) | STR(?v) | DESC/ASC((?v)) | DESC/ASC(STR(?v))
+                | (expr) | DESC/ASC((expr))) ... ]
+      -- the single-var bracketed forms are IDENTITY under the untyped
+      -- string term model; a general parenthesized (expr) compiles
+      -- through the same depth-2 FILTER/BIND grammar (SPARQL's own
+      -- grammar requires non-var order conditions to be bracketted);
+      -- bare un-parenthesized expressions reject loudly
     [ LIMIT n ] [ OFFSET m ]
 
     Subqueries ({ SELECT ... }, one nesting level): the inner query —
@@ -194,7 +202,10 @@ class ParsedQuery:
     # OPTIONAL groups: (patterns, filters) tuples — the filter applies
     # INSIDE the group before the left join (SPARQL LeftJoin scoping)
     optionals: list = field(default_factory=list)
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    # (key, desc): key is a plain var name, or a parenthesized raw
+    # SPARQL expression (leading '(' disambiguates — var names are \w+)
+    # compiled through the same depth-2 grammar as FILTER/BIND
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     # HAVING(expr) over aggregate aliases (aggregate queries only)
@@ -215,6 +226,10 @@ class ParsedQuery:
     describe: str | None = None
     # BIND(expr AS ?v): (raw expr with ?vars, var name) in clause order
     binds: list[tuple[str, str]] = field(default_factory=list)
+    # SELECT (expr AS ?v) projection expressions, same tuple shape as
+    # binds; lowered onto the BIND machinery after body binds (so they
+    # may reference BIND vars), ungrouped queries only
+    select_exprs: list[tuple[str, str]] = field(default_factory=list)
     # VALUES: (var names, rows of term values) inline-data blocks
     values: list[tuple[list[str], list[tuple[str, ...]]]] = field(
         default_factory=list)
@@ -655,14 +670,46 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         r"(?:;\s*SEPARATOR\s*=\s*(\x00\d+\x00)\s*)?\)\s+AS\s+(\?\w+)\s*\)",
         _agg, sel_raw, flags=re.IGNORECASE,
     ).strip()
+
+    # SELECT (expr AS ?v) projection expressions — anything still
+    # parenthesized after the aggregate rewrite.  The expression body
+    # uses the same depth-2 grammar as FILTER/BIND (VERDICT r04 item 6:
+    # the IF/COALESCE seam extended to projections); it is lowered onto
+    # the BIND machinery, so the alias behaves like a bound variable
+    # (ORDER BY may reference it).  The alias var replaces the item in
+    # place so projection order is preserved.
+    select_exprs: list[tuple[str, str]] = []
+
+    def _sexpr(mo: re.Match) -> str:
+        select_exprs.append(
+            (_restore_quoted(mo.group(1).strip(), lits), mo.group(2)[1:])
+        )
+        return f" {mo.group(2)} "
+
+    sel_raw = re.sub(
+        rf"\(\s*({_NEST2}*?)\s+AS\s+(\?\w+)\s*\)", _sexpr, sel_raw,
+        flags=re.IGNORECASE,
+    ).strip()
     if sel_raw == "*":
         if aggs:
             raise ValueError("cannot mix * with aggregate items")
+        if select_exprs:
+            raise ValueError("cannot mix * with (expr AS ?v) items")
         select: list[str] = []
     else:
         select = [v[1:] for v in sel_raw.split() if _is_var(v)]
         if len(select) != len(sel_raw.split()):
             raise ValueError(f"SELECT list must be ?vars or aggregates: {sel_raw!r}")
+    if select_exprs:
+        if aggs:
+            raise ValueError(
+                "SELECT (expr AS ?v) alongside aggregates is outside the "
+                "subset (project the aggregate, post-process separately)")
+        dup = [v for _, v in select_exprs if select.count(v) > 1]
+        if dup:
+            raise ValueError(
+                f"SELECT expression alias ?{dup[0]} collides with a "
+                "projected variable (SPARQL forbids rebinding)")
 
     body = m.group(3)
 
@@ -788,12 +835,16 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         optionals.append((_parse_patterns(grp_body, lits), grp_filters))
         return " "
 
-    body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _opt, body, flags=re.IGNORECASE)
-    # a leftover OPTIONAL keyword means a NESTED group: the [^{}]
-    # matcher consumed the inner one, stranding the outer.  Flattening
-    # is NOT equivalent (the inner group's scope is the outer arm's
-    # solutions), so reject loudly instead of silently re-scoping.
-    if re.search(r"\bOPTIONAL\b", body, re.IGNORECASE):
+    body = re.sub(r"(?<![\w?:])OPTIONAL\s*\{([^{}]*)\}", _opt, body,
+                  flags=re.IGNORECASE)
+    # a leftover OPTIONAL keyword means a NESTED group (the [^{}]
+    # matcher consumed the inner one, stranding the outer) or a
+    # malformed brace-less OPTIONAL; flattening is NOT equivalent (the
+    # inner group's scope is the outer arm's solutions) and a bare
+    # keyword must never parse as a triple term, so both reject loudly.
+    # The lookbehind keeps a variable ?optional or a prefixed name
+    # ex:OPTIONAL usable as ordinary terms (ADVICE r04).
+    if re.search(r"(?<![\w?:])OPTIONAL\b", body, re.IGNORECASE):
         raise ValueError(
             "nested OPTIONAL groups are outside the subset (an inner "
             "OPTIONAL is scoped to its outer arm, which a flat left-join "
@@ -935,14 +986,34 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
             r"|\(\s*\?(\w+)\s*\)"
             r"|\?(\w+)(\s+DESC\b(?!\s*\())?)",
             re.IGNORECASE)
+        # general parenthesized expression key, optionally DESC/ASC-
+        # wrapped: ORDER BY (STRLEN(?x)) / DESC(COALESCE(?a, ?b)).
+        # SPARQL's own grammar requires non-var order conditions to be
+        # bracketted or builtin calls; this subset accepts the
+        # bracketted form and compiles it through the same depth-2
+        # FILTER/BIND grammar.  Tried AFTER the identity forms above so
+        # (?v)/STR(?v) keep their plain-column fast path.
+        expr_re = re.compile(
+            rf"\s*(?:(DESC|ASC)\s*)?(\(\s*{_NEST2}*?\s*\))",
+            re.IGNORECASE)
         pos5 = 0
         while pos5 < len(src5):
             mo = key_re.match(src5, pos5)
             if not mo:
-                raise ValueError(
-                    "ORDER BY expects ?var [DESC], DESC(?var)/ASC(?var), "
-                    "(?var), or STR(?var) — general expressions are "
-                    f"outside the subset: {m.group(6)!r}")
+                mo = expr_re.match(src5, pos5)
+                if not mo:
+                    raise ValueError(
+                        "ORDER BY expects ?var [DESC], DESC(?var)/"
+                        "ASC(?var), (?var), STR(?var), or a "
+                        "parenthesized expression (expr) — bare "
+                        f"expressions are outside the subset: "
+                        f"{m.group(6)!r}")
+                order_by.append((
+                    _restore_quoted(mo.group(2), lits),
+                    (mo.group(1) or "").upper() == "DESC",
+                ))
+                pos5 = mo.end()
+                continue
             if mo.group(1):
                 var5 = mo.group(2) or mo.group(3) or mo.group(4)
                 order_by.append((var5, mo.group(1).upper() == "DESC"))
@@ -959,7 +1030,7 @@ def _parse_protected(q: str, lits: list[str]) -> ParsedQuery:
         offset=offset, having=having, group_by=group_by,
         unions=unions, binds=binds, values=values, not_exists=not_exists,
         minus=minus, exists=exists, subqueries=subqueries,
-        services=services,
+        services=services, select_exprs=select_exprs,
     )
 
 
@@ -969,6 +1040,30 @@ _STR_FNS = [
     ("CONTAINS", "contains"), ("SUBSTR", "substring"),
     ("REPLACE", "replace"), ("STR", ""),
 ]
+
+
+def _prefer_typed(body: str, cols: set[str]) -> str:
+    """Typed-literal preference for numeric FILTER comparisons: when the
+    bound frame carries a ?v__num shadow (object-position var over a
+    typed source, sources/ntriples.py _typed_cols) and the comparison's
+    other side is a NUMERIC constant, compare the typed value instead
+    of the lexical string — `FILTER(?v > 9)` then matches
+    `"10"^^xsd:integer` (the rdflib-faithful answer; lexically "10" <
+    "9").  A var without a numeric typed value gets NULL, so the filter
+    excludes it — SPARQL's type-error semantics for non-numeric terms
+    under a numeric operator.  Literals are protected first so numbers
+    inside quoted strings can never trigger the rewrite; untyped frames
+    (no shadow column) are byte-unchanged."""
+    protected, lits = _protect_literals(body)
+    out = re.sub(
+        r"\?(\w+)\s*(>=|<=|!=|=|>|<)\s*(-?\d+(?:\.\d+)?)(?![\w.])",
+        lambda mo: (
+            f"?{mo.group(1)}__num {mo.group(2)} {mo.group(3)}"
+            if f"{mo.group(1)}__num" in cols else mo.group(0)
+        ),
+        protected,
+    )
+    return _restore_quoted(out, lits)
 
 
 def _filter_to_expr(body: str) -> str:
@@ -1377,6 +1472,17 @@ def _scan(triples: DataFrame, pattern: tuple[str, str, str], tag: int) -> tuple[
                 else _const_term(term)
             df = df.where(F.col(pos) == cmp)
     cols = [F.col(pos).alias(v) for v, pos in first_pos_of.items()]
+    # typed-literal shadow (sources/ntriples.py _typed_cols): when the
+    # frame carries obj_num, an object-position var ?v also binds
+    # ?v__num so numeric FILTER comparisons can prefer the typed value
+    # (path-compiled sources drop the shadow — endpoints of a multi-hop
+    # path are not single literals)
+    if "obj_num" in df.columns:
+        cols += [
+            F.col("obj_num").alias(f"{v}__num")
+            for v, pos in first_pos_of.items()
+            if pos == "obj"
+        ]
     # a pattern with no vars is an existence assertion: one marker row if
     # any triple matches, zero otherwise (limit(1) so the later crossJoin
     # gates rather than multiplies)
@@ -1495,9 +1601,19 @@ def _join_patterns(
     DataFrame and variable order of first appearance."""
     ordered = _order_patterns(patterns, stats)
     acc, acc_vars = _scan(triples, ordered[0], start_tag)
-    var_order = [c for c in acc.columns if not c.startswith("_exists_")]
+    var_order = [c for c in acc.columns
+                 if not c.startswith("_exists_")
+                 and not c.endswith("__num")]
     for i, p in enumerate(ordered[1:], start=start_tag + 1):
         df, vs = _scan(triples, p, i)
+        # a shared var bound at obj in BOTH patterns would duplicate its
+        # __num shadow through the join; keep the left one (under the
+        # untyped conflation two equal lexicals may differ in datatype
+        # across occurrences — the engine's documented ambiguity)
+        dup = [c for c in df.columns
+               if c.endswith("__num") and c in acc.columns]
+        if dup:
+            df = df.drop(*dup)
         shared = sorted(acc_vars & vs)
         acc = acc.join(df, on=shared) if shared else acc.crossJoin(df)
         var_order += [v for v in sorted(vs - acc_vars)]
@@ -1715,7 +1831,8 @@ def bgp(
         if shared:  # disjoint-domain MINUS removes nothing (SPARQL)
             acc = acc.join(inner, on=shared, how="left_anti")
     for f in filters:
-        acc = acc.where(F.expr(_filter_to_expr(f)))
+        acc = acc.where(F.expr(_filter_to_expr(
+            _prefer_typed(f, set(acc.columns)))))
     cols = select if select else [v for v in var_order]
     out = acc.select(*cols)
     return out.distinct() if distinct else out
@@ -1948,16 +2065,24 @@ def _eval_parsed(triples: DataFrame, pq: ParsedQuery,
             select=pq.select or None,
             distinct=pq.distinct,
             unions=pq.unions,
-            binds=pq.binds,
+            # SELECT (expr AS ?v) rides the BIND machinery, after body
+            # binds so it may reference them (projection expressions
+            # are evaluated per solution — identical semantics)
+            binds=[*pq.binds, *pq.select_exprs],
             values=pq.values,
             not_exists=pq.not_exists,
             minus=pq.minus,
             exists=pq.exists, subselects=subs, stats=stats,
         )
     if pq.order_by:
-        out = out.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in pq.order_by]
-        )
+        def _okey(key: str, desc: bool):
+            # leading '(' = parenthesized expression key (depth-2
+            # grammar); otherwise a plain bound-variable column
+            col = (F.expr(_filter_to_expr(key)) if key.startswith("(")
+                   else F.col(key))
+            return col.desc() if desc else col.asc()
+
+        out = out.orderBy(*[_okey(k, d) for k, d in pq.order_by])
     if post_project is not None:
         # grouped projection: duplicates across groups are kept —
         # unless the query said DISTINCT, which the algebra applies

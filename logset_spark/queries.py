@@ -2467,6 +2467,40 @@ FROM g WHERE pred = 'usedTool'
 """
 
 
+def q_sparql_select_expr(spark, sf):
+    """SPARQL projection expressions + expression ORDER BY (VERDICT r04
+    item 6): SELECT (expr AS ?v) is lowered onto the BIND machinery
+    (pure Catalyst projection column), and the parenthesized ORDER BY
+    expression compiles through the same depth-2 FILTER/BIND grammar
+    into a native sort key — no Python anywhere.  The alias ?len is
+    referenced by ORDER BY, pinning the algebra order (extend before
+    OrderBy before Project)."""
+    from .operators.sparql import sparql
+
+    tri = q_kg_structural(spark, sf)
+    return sparql(
+        tri,
+        """SELECT ?turn ?tool (STRLEN(?turn) AS ?len)
+                  (IF(CONTAINS(?tool, '_'), 'multi', 'plain') AS ?kind)
+                  (CONCAT(?tool, '@', ?turn) AS ?tag)
+           WHERE { ?turn usedTool ?tool }
+           ORDER BY DESC(CONCAT(?kind, ?tool)) (STRLEN(?turn)) ?turn
+           LIMIT 500""",
+    )
+
+
+SQL_SPARQL_SELECT_EXPR = f"""
+WITH g AS ({SQL_KG_STRUCTURAL})
+SELECT subj AS turn, obj AS tool, CAST(length(subj) AS INT) AS len,
+       CASE WHEN contains(obj, '_') THEN 'multi' ELSE 'plain' END AS kind,
+       obj || '@' || subj AS tag
+FROM g WHERE pred = 'usedTool'
+ORDER BY (CASE WHEN contains(obj, '_') THEN 'multi' ELSE 'plain' END
+          || obj) DESC, length(subj), subj
+LIMIT 500
+"""
+
+
 def q_sparql_values(spark, sf):
     """SPARQL 1.1 VALUES lowering: the inline data block becomes a
     literal DataFrame broadcast-joined on its shared vars — the classic
@@ -7481,6 +7515,54 @@ def _nt_fixture() -> str:
 
 
 NT_FIXTURE = _nt_fixture()
+TYPED_NT_FIXTURE = os.path.join(
+    os.path.dirname(NT_FIXTURE), "typed_scores.nt")
+
+
+def q_typed_filter(spark, sf):
+    """Typed-literal shadow columns (VERDICT r04 item 7 prototype): the
+    N-Triples scan keeps the datatype as metadata (obj_dt tag + obj_num
+    double via try_cast, sources/ntriples.py _typed_cols) while the term
+    model stays untyped strings, and SPARQL numeric FILTER comparisons
+    prefer the typed value (operators/sparql.py _prefer_typed).
+    `FILTER(?v > 9)` therefore matches "10"^^xsd:integer — the
+    rdflib-faithful answer the pure string model inverts ("10" < "9"
+    lexically) — while plain literals and malformed numeric lexicals
+    are excluded (SPARQL type-error semantics).  sf unused: the
+    committed fixture is the table under test."""
+    from .operators.sparql import sparql
+    from .sources.ntriples import from_ntriples
+
+    tri, _bad = from_ntriples(spark, TYPED_NT_FIXTURE, typed=True)
+    return sparql(
+        tri,
+        """SELECT ?s ?v WHERE { ?s <http://ex/score> ?v . FILTER(?v > 9) }""",
+    )
+
+
+SQL_TYPED_FILTER = rf"""
+WITH raw AS (SELECT content FROM read_text('{TYPED_NT_FIXTURE}')),
+lines AS (SELECT unnest(string_split(content, chr(10))) AS line FROM raw),
+m AS (
+  SELECT
+    regexp_extract(line, '^<([^<>]*)>', 1) AS s,
+    regexp_extract(line, '^<[^<>]*> <([^<>]*)>', 1) AS p,
+    regexp_extract(line, '"((?:[^"\\]|\\.)*)"', 1) AS lex,
+    regexp_extract(line, '\^\^<([^<>]*)>\s*\.\s*$', 1) AS dt
+  FROM lines WHERE trim(line) <> ''
+)
+SELECT s, lex AS v
+FROM m
+WHERE p = 'http://ex/score'
+  AND dt IN ('http://www.w3.org/2001/XMLSchema#integer',
+             'http://www.w3.org/2001/XMLSchema#decimal',
+             'http://www.w3.org/2001/XMLSchema#double',
+             'http://www.w3.org/2001/XMLSchema#float',
+             'http://www.w3.org/2001/XMLSchema#long',
+             'http://www.w3.org/2001/XMLSchema#int',
+             'http://www.w3.org/2001/XMLSchema#nonNegativeInteger')
+  AND try_cast(lex AS DOUBLE) > 9
+"""
 
 
 def q_nt_source(spark, sf):
@@ -7969,6 +8051,8 @@ REGISTRY: dict[str, tuple] = {
     "q_ttl_sink": (q_ttl_sink, SQL_TTL_SINK),
     "q_dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "q_sparql_bind": (q_sparql_bind, SQL_SPARQL_BIND),
+    "q_sparql_select_expr": (q_sparql_select_expr, SQL_SPARQL_SELECT_EXPR),
+    "q_typed_filter": (q_typed_filter, SQL_TYPED_FILTER),
     "q_sparql_values": (q_sparql_values, SQL_SPARQL_VALUES),
     "q_sparql_notexists": (q_sparql_notexists, SQL_SPARQL_NOTEXISTS),
     "q_sparql_minus": (q_sparql_minus, SQL_SPARQL_MINUS),
@@ -8157,8 +8241,9 @@ _R5_WINDOW = [
     "q_skipgram", "q_negatives",
     # similarity / misc never-checked
     "q_jaccard", "q_char_sets", "q_kg_2hop", "q_dedup_incremental",
-    # spare canary (stable early green)
-    "q_session",
+    # round-5 addition: SPARQL projection/ORDER BY expressions
+    # (VERDICT r04 item 6) — takes the spare slot
+    "q_sparql_select_expr",
 ]
 assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
 REGISTRY = {

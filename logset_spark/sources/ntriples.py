@@ -121,15 +121,59 @@ def _split(parsed: DataFrame, n_terms: int) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
-def from_ntriples(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """.nt file(s) -> (triples[subj, pred, obj], quarantine[line, reason])."""
+# XSD numeric datatypes whose lexical forms order numerically (the
+# SPARQL operator-mapping numeric tower); short-form tags after the
+# namespace fold below.
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_XSD = [
+    "xsd:integer", "xsd:decimal", "xsd:double", "xsd:float", "xsd:long",
+    "xsd:int", "xsd:short", "xsd:byte", "xsd:nonNegativeInteger",
+    "xsd:nonPositiveInteger", "xsd:negativeInteger",
+    "xsd:positiveInteger", "xsd:unsignedLong", "xsd:unsignedInt",
+    "xsd:unsignedShort", "xsd:unsignedByte",
+]
+
+
+def _typed_cols(obj_raw, obj_lex):
+    """(raw object term, decoded lexical) -> [obj_dt, obj_num] columns.
+
+    TYPED-LITERAL SHADOW COLUMNS (VERDICT r04 §What's missing 1
+    prototype): the engine's term model stays untyped strings, but the
+    parse is the one place the datatype is still visible — so emit it
+    as metadata: obj_dt = the datatype tag (xsd:... short form, null
+    for plain/lang-tagged/non-literal), obj_num = the double value for
+    numeric xsd datatypes (try_cast: a malformed lexical under a
+    numeric datatype yields null rather than poisoning the scan).
+    SPARQL numeric FILTER comparisons prefer obj_num when present
+    (operators/sparql.py), closing the '\"9\" > \"10\" lexically'
+    divergence from rdflib for typed data."""
+    dt_raw = F.regexp_extract(obj_raw, r"\^\^<([^<>\s]*)>$", 1)
+    dt = F.when(
+        dt_raw == "", F.lit(None).cast("string")
+    ).otherwise(F.regexp_replace(dt_raw, f"^{_XSD_NS}", "xsd:"))
+    num = F.when(
+        dt.isin(_NUMERIC_XSD), obj_lex.try_cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    return [dt.alias("obj_dt"), num.alias("obj_num")]
+
+
+def from_ntriples(
+    spark, path: str, typed: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """.nt file(s) -> (triples[subj, pred, obj], quarantine[line, reason]).
+
+    typed=True appends the obj_dt/obj_num shadow columns (_typed_cols);
+    subj/pred/obj stay byte-identical to the untyped load."""
     parsed = _read_lines(spark, path, _LINE_NT, 3)
     good, bad = _split(parsed, 3)
+    obj = _decode_term(F.col("t2"))
+    extra = _typed_cols(F.col("t2"), obj) if typed else []
     return (
         good.select(
             _decode_term(F.col("t0")).alias("subj"),
             _decode_term(F.col("t1")).alias("pred"),
-            _decode_term(F.col("t2")).alias("obj"),
+            obj.alias("obj"),
+            *extra,
         ),
         bad,
     )

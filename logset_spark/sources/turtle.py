@@ -171,6 +171,13 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base: str | None = None
         self.triples: list[tuple[str, str, str]] = []
+        # typed-literal capture (VERDICT r04 §What's missing 1
+        # prototype): lexical form -> datatype short tag for TYPED
+        # literals seen during the parse.  First datatype wins when one
+        # lexical appears under several datatypes — consistent with the
+        # engine-wide untyped conflation (module docstring); load_turtle
+        # (typed=True) turns this into obj_dt/obj_num shadow columns.
+        self.typed_lits: dict[str, str] = {}
         # RDF-star: (subj, pred, obj, a_pred, a_obj) — one row per
         # annotation on the quoted triple (subj, pred, obj)
         self.annotations: list[tuple[str, str, str, str, str]] = []
@@ -234,11 +241,16 @@ class _Parser:
                 raise ValueError("literal in predicate position")
             out = _unescape(_strip_quotes(v))
             nk, nv = self.peek()
-            if nk == "punct" and nv == "^^":  # typed literal: drop the type
-                self.next()
-                dk, dv = self.next()
+            if nk == "punct" and nv == "^^":  # typed literal: the type is
+                self.next()  # dropped from the TERM but recorded in
+                dk, dv = self.next()  # typed_lits for shadow columns
                 if dk not in ("iri", "word"):
                     raise ValueError(f"bad datatype after ^^: {dv!r}")
+                dt = (self._resolve_iri(dv) if dk == "iri"
+                      else self._expand_pname(dv))
+                dt = re.sub(r"^http://www\.w3\.org/2001/XMLSchema#",
+                            "xsd:", dt)
+                self.typed_lits.setdefault(out, dt)
             elif nk == "word" and nv.startswith("@"):  # language tag: drop
                 self.next()
             return out
@@ -665,13 +677,45 @@ def from_turtle(text: str) -> pd.DataFrame:
     return pd.DataFrame(trips, columns=["subj", "pred", "obj"])
 
 
-def load_turtle(spark, path: str):
+def load_turtle(spark, path: str, typed: bool = False):
     """One .ttl file -> Spark triples DataFrame[subj, pred, obj].
     Catalog files are metadata-scale, so the parse runs on the driver;
-    the DataFrame then feeds bgp()/sparql() like any triple source."""
+    the DataFrame then feeds bgp()/sparql() like any triple source.
+
+    typed=True appends the obj_dt/obj_num shadow columns from the
+    parser's typed-literal capture (same contract as
+    sources/ntriples.py from_ntriples(typed=True)): obj_dt = datatype
+    short tag for lexicals seen under ^^, obj_num = double value for
+    numeric xsd datatypes (try_cast).  The map is literal-lexical-
+    scale, attached via a broadcast left join — never a driver loop
+    over data rows."""
+    from pyspark.sql import functions as F
+
     with open(path, encoding="utf-8") as f:
-        trips, _ = parse_turtle(f.read())
-    return spark.createDataFrame(trips, "subj string, pred string, obj string")
+        p = _Parser(_tokenize(f.read()))
+        trips = p.statements()
+        if p.annotations:
+            raise ValueError(
+                "document uses RDF-star annotations; parse with "
+                "parse_turtle_star to receive them")
+    df = spark.createDataFrame(
+        trips, "subj string, pred string, obj string")
+    if not typed:
+        return df
+    from .ntriples import _NUMERIC_XSD
+
+    dt_map = spark.createDataFrame(
+        list(p.typed_lits.items()) or [(None, None)],
+        "obj string, obj_dt string",
+    ).where(F.col("obj").isNotNull())
+    out = df.join(F.broadcast(dt_map), "obj", "left")
+    return out.select(
+        "subj", "pred", "obj", "obj_dt",
+        F.when(
+            F.col("obj_dt").isin(_NUMERIC_XSD),
+            F.col("obj").try_cast("double"),
+        ).otherwise(F.lit(None).cast("double")).alias("obj_num"),
+    )
 
 
 _ANN_COLS = ["subj", "pred", "obj", "a_pred", "a_obj"]

@@ -162,3 +162,65 @@ def test_colon_shaped_literal_ambiguity(spark, tmp_path):
     back, bad = from_ntriples(spark, out)
     assert bad.count() == 0
     assert _rows(back) == set(rows)  # value survives; term-kind does not
+
+
+def test_typed_literal_shadow_columns(spark, tmp_path):
+    """typed=True keeps subj/pred/obj byte-identical to the untyped
+    load and adds obj_dt/obj_num: numeric xsd datatypes try_cast to
+    double (malformed lexical -> null, never a scan error), plain and
+    lang-tagged literals carry null shadows."""
+    from logset_spark.sources.ntriples import from_ntriples
+
+    p = tmp_path / "t.nt"
+    p.write_text(
+        '<http://e/a> <http://e/p> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/b> <http://e/p> "2.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+        '<http://e/c> <http://e/p> "oops"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/d> <http://e/p> "plain" .\n'
+        '<http://e/e> <http://e/p> "tagged"@en .\n'
+        '<http://e/f> <http://e/p> "x"^^<http://e/custom> .\n'
+    )
+    typed, _ = from_ntriples(spark, str(p), typed=True)
+    rows = {r["subj"]: (r["obj"], r["obj_dt"], r["obj_num"])
+            for r in typed.collect()}
+    assert rows["http://e/a"] == ("10", "xsd:integer", 10.0)
+    assert rows["http://e/b"] == ("2.5", "xsd:decimal", 2.5)
+    assert rows["http://e/c"] == ("oops", "xsd:integer", None)
+    assert rows["http://e/d"] == ("plain", None, None)
+    assert rows["http://e/e"] == ("tagged", None, None)
+    assert rows["http://e/f"] == ("x", "http://e/custom", None)
+    plain, _ = from_ntriples(spark, str(p))
+    assert plain.columns == ["subj", "pred", "obj"]
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        (s, "http://e/p", o) for s, (o, _d, _n) in rows.items())
+
+
+def test_typed_filter_prefers_numeric_and_falls_back_lexically(spark, tmp_path):
+    """SPARQL numeric FILTER over a typed frame compares the typed
+    value ('10'^^xsd:integer > 9 matches; lexically '10' < '9'); plain
+    literals are excluded under a numeric operator (SPARQL type-error
+    semantics) but still compare as strings under string equality; an
+    UNTYPED frame keeps the documented lexical behavior unchanged."""
+    from logset_spark.operators.sparql import sparql
+    from logset_spark.sources.ntriples import from_ntriples
+
+    p = tmp_path / "t.nt"
+    p.write_text(
+        '<http://e/a> <http://e/s> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/b> <http://e/s> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/c> <http://e/s> "95" .\n'
+    )
+    typed, _ = from_ntriples(spark, str(p), typed=True)
+    q = "SELECT ?s WHERE { ?s <http://e/s> ?v . FILTER(?v > 9) }"
+    assert [r["s"] for r in sparql(typed, q).collect()] == ["http://e/a"]
+    # string equality untouched by the typed rewrite
+    qe = "SELECT ?s WHERE { ?s <http://e/s> ?v . FILTER(?v = '95') }"
+    assert [r["s"] for r in sparql(typed, qe).collect()] == ["http://e/c"]
+    # untyped frame: Spark coerces the string column numerically for a
+    # numeric constant, so the PLAIN literal "95" also matches — the
+    # documented divergence from rdflib (a plain literal under a
+    # numeric operator is a type error there).  The typed path above is
+    # the rdflib-faithful one; the untyped behavior stays unchanged.
+    plain, _ = from_ntriples(spark, str(p))
+    got = sorted(r["s"] for r in sparql(plain, q).collect())
+    assert got == ["http://e/a", "http://e/c"]

@@ -1526,3 +1526,67 @@ def test_construct_template_rejects_property_path(spark):
         ).collect())
     assert got == [("a", "reach", "b"), ("a", "reach", "c"),
                    ("b", "reach", "c")]
+
+
+def test_select_expression_projection_and_order_by_expr(spark):
+    """Round-5 (VERDICT r04 item 6): SELECT (expr AS ?v) lowers onto the
+    BIND machinery; ORDER BY accepts a parenthesized general expression
+    through the same depth-2 grammar.  The alias is referenceable from
+    ORDER BY (extend-before-OrderBy algebra)."""
+    from logset_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("t:1", "usedTool", "bash"), ("t:2", "usedTool", "webfetch"),
+         ("t:3", "usedTool", "grep")],
+        "subj string, pred string, obj string")
+    got = sparql(
+        t,
+        """SELECT ?t (STRLEN(?tool) AS ?len) (UCASE(?tool) AS ?up)
+           WHERE { ?t usedTool ?tool }
+           ORDER BY DESC(?len) (STRLEN(?t))""").collect()
+    assert [tuple(r) for r in got] == [
+        ("t:2", 8, "WEBFETCH"), ("t:1", 4, "BASH"), ("t:3", 4, "GREP")]
+    # ORDER BY referencing the select-expr alias directly
+    got2 = sparql(
+        t,
+        """SELECT (CONCAT(?tool, '!') AS ?x) WHERE { ?t usedTool ?tool }
+           ORDER BY (?x) LIMIT 1""").collect()
+    assert [tuple(r) for r in got2] == [("bash!",)]
+
+
+def test_select_expression_rejects(spark):
+    """Loud rejects: mixing (expr AS ?v) with aggregates, with *, and an
+    alias colliding with a projected var."""
+    import pytest
+
+    from logset_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="alongside aggregates"):
+        sparql(t, "SELECT (COUNT(?o) AS ?n) (STRLEN(?s) AS ?l) "
+                  "WHERE { ?s p ?o }")
+    with pytest.raises(ValueError, match=r"mix \* with|SELECT list must be"):
+        sparql(t, "SELECT * (STRLEN(?s) AS ?l) WHERE { ?s p ?o }")
+    with pytest.raises(ValueError, match="collides"):
+        sparql(t, "SELECT ?s (STRLEN(?o) AS ?s) WHERE { ?s p ?o }")
+    with pytest.raises(ValueError, match="ORDER BY"):
+        sparql(t, "SELECT ?s WHERE { ?s p ?o } ORDER BY STRLEN(?o)")
+
+
+def test_optional_word_as_var_and_pname_not_rejected(spark):
+    """ADVICE r04: a variable ?optional or a prefixed name ex:OPTIONAL
+    used as ordinary terms must not trip the nested-OPTIONAL reject;
+    a stranded brace-less OPTIONAL keyword still rejects loudly."""
+    import pytest
+
+    from logset_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("s", "ex:OPTIONAL", "v"), ("s", "p", "w")],
+        "subj string, pred string, obj string")
+    got = sparql(
+        t, "SELECT ?optional WHERE { ?s ex:OPTIONAL ?optional }").collect()
+    assert [r["optional"] for r in got] == ["v"]
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        sparql(t, "SELECT ?s WHERE { ?s p ?o . OPTIONAL ?s q ?z }")

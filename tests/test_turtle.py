@@ -338,3 +338,30 @@ def test_canon_fold_is_term_kind_aware():
     assert ("http://example.org/a", "rdfs:label",
             "http://www.w3.org/2000/01/rdf-schema#label") in t
     assert ("http://example.org/a", "rdfs:comment", "c") in t
+
+
+def test_load_turtle_typed_shadow_columns(spark, tmp_path):
+    """load_turtle(typed=True): the driver-side parser records datatypes
+    of typed literals (first datatype wins under the engine's untyped
+    conflation) and the loader attaches obj_dt/obj_num via a broadcast
+    map join — rdflib-faithful numeric FILTERing over catalogs."""
+    from logset_spark.operators.sparql import sparql
+    from logset_spark.sources.turtle import load_turtle
+
+    p = tmp_path / "c.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+        'ex:a ex:score "10"^^xsd:integer .\n'
+        'ex:b ex:score "9"^^xsd:integer .\n'
+        'ex:c ex:score "high" .\n'
+    )
+    tri = load_turtle(spark, str(p), typed=True)
+    assert tri.columns == ["subj", "pred", "obj", "obj_dt", "obj_num"]
+    got = sparql(
+        tri,
+        "SELECT ?s WHERE { ?s <http://ex/score> ?v . FILTER(?v > 9) }",
+    ).collect()
+    assert [r["s"] for r in got] == ["http://ex/a"]
+    # untyped load unchanged
+    assert load_turtle(spark, str(p)).columns == ["subj", "pred", "obj"]
