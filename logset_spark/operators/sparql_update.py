@@ -273,11 +273,25 @@ def sparql_update(graph: DataFrame, update: str) -> DataFrame:
         raise ValueError("empty update request")
     if len(parts) == 1:
         return _apply_one(graph, parts[0])
-    hm = _PREFIX_HDR_RE.match(parts[0])
-    header = hm.group(1) if hm else ""
+    # SPARQL 1.1: a PREFIX declaration stays in effect for the REST of
+    # the request, wherever in the sequence it appears — so accumulate
+    # every part's leading declarations into the running header (ADVICE
+    # r04: only the FIRST part's header used to propagate).  Each part
+    # is applied with the accumulated header PREPENDED, so its own
+    # inline declarations come later in the text and override older
+    # bindings for that and subsequent operations (last wins).
+    decl_re = re.compile(r"PREFIX\s+(\w*:)\s*(<[^<>\s]*>)", re.IGNORECASE)
+    header_decls: dict[str, str] = {}
     out = graph
-    for n, part in enumerate(parts):
-        out = _apply_one(out, part if n == 0 else header + part)
+    for part in parts:
+        rendered = "".join(
+            f"PREFIX {ns} {iri} " for ns, iri in header_decls.items()
+        )
+        out = _apply_one(out, rendered + part)
+        hm = _PREFIX_HDR_RE.match(part)
+        if hm:
+            for ns, iri in decl_re.findall(hm.group(1)):
+                header_decls[ns] = iri
     return out
 
 

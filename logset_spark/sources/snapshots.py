@@ -41,6 +41,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1144,13 +1145,25 @@ class SnapshotTableIO:
         self._publish(new_snap)
         return version
 
-    def expire_snapshots(self, keep_from: int) -> list[int]:
+    def expire_snapshots(
+        self, keep_from: int, reclaim_reserved_older_than_s: float = 86400.0
+    ) -> list[int]:
         """Drop snapshot metadata older than `keep_from` and GC commit
         directories no retained snapshot references (Iceberg
         expireSnapshots + orphan-file cleanup).  Snapshots a tag or
         branch points at are retained regardless of age (Iceberg ref
         retention) — drop the ref first to let them expire.  Returns
-        removed commits."""
+        removed commits.
+
+        Crashed-writer placeholders (operation='reserved',
+        _reserve_version) sit ABOVE the published head, so the
+        keep_from clamp alone can never remove them (ADVICE r04);
+        they are reclaimed here explicitly — but only when older than
+        `reclaim_reserved_older_than_s` (Iceberg's orphan-TTL
+        discipline: a LIVE concurrent writer also holds a reserved
+        placeholder, and removing it mid-write would let another
+        writer reuse the version).  Their commit dirs are unreferenced
+        and fall to the orphan GC below."""
         current = self.current_version()
         if not os.path.isdir(self._meta):
             return []  # fresh table: nothing committed, nothing to expire
@@ -1159,6 +1172,7 @@ class SnapshotTableIO:
         ref_pinned = set(refs["tags"].values()) | set(
             refs["branches"].values())
         retained_commits: set[int] = set()
+        now = time.time()
         for fname in list(os.listdir(self._meta)):
             if not (fname.startswith("v") and fname.endswith(".json")):
                 continue
@@ -1167,6 +1181,15 @@ class SnapshotTableIO:
                 os.remove(os.path.join(self._meta, fname))
                 continue
             snap = self._load_snapshot(v)
+            if (
+                snap.get("operation") == "reserved"
+                and v != current
+                and v not in ref_pinned
+                and now - os.path.getmtime(self._snap_path(v))
+                >= reclaim_reserved_older_than_s
+            ):
+                os.remove(self._snap_path(v))
+                continue
             for commits in snap["mapping"].values():
                 retained_commits.update(commits)
         removed = []

@@ -925,3 +925,30 @@ def test_fast_forward_guards_foreign_commit(spark, store):
     assert foreign.read(spark).where("conv_id = 'cF'").count() == 1
     with pytest.raises(ValueError, match="not an ancestor"):
         store.fast_forward("wip")
+
+
+def test_expire_reclaims_crashed_reserved_placeholder(spark, store):
+    """ADVICE r04: a crashed writer's reserved placeholder sits ABOVE
+    the published head, so the keep_from clamp alone never removed it.
+    expire_snapshots now reclaims reserved placeholders older than the
+    TTL (0 here); a fresh placeholder (in-flight writer) survives the
+    default TTL, and the current head is never touched."""
+    v1 = store.commit(_frame(spark, _base_rows()))
+    # simulate a crashed writer: reserve, then never publish
+    ghost = store._reserve_version()
+    assert ghost > v1
+    hist = lambda: {r["version"]: r["operation"]
+                    for r in store.history(spark).collect()}
+    assert hist()[ghost] == "reserved"
+
+    # default TTL: the placeholder is retained (could be in-flight)
+    store.expire_snapshots(keep_from=v1)
+    assert ghost in hist()
+
+    # explicit maintenance with TTL 0: reclaimed
+    store.expire_snapshots(keep_from=v1, reclaim_reserved_older_than_s=0)
+    left = set(hist())
+    assert ghost not in left and v1 in left
+    # the table still reads and commits normally after reclamation
+    v2 = store.commit(_frame(spark, _base_rows()))
+    assert v2 > v1

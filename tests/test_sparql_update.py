@@ -455,3 +455,26 @@ def test_insert_delete_data_a_keyword_is_rdf_type(spark):
     out2 = sparql_update(out, "DELETE DATA { dog a Dog }")
     assert sorted(tuple(r) for r in out2.collect()) == [
         ("cat", "rdf:type", "Cat")]
+
+
+def test_prefix_declared_mid_sequence_persists(spark):
+    """ADVICE r04 / SPARQL 1.1: a PREFIX declared by a LATER operation
+    of a ';'-sequence stays in effect for subsequent operations, and a
+    re-declaration overrides the earlier binding from that point on."""
+    from logset_spark.operators.sparql_update import sparql_update
+
+    g = spark.createDataFrame(
+        [("s", "p", "o")], "subj string, pred string, obj string")
+    out = sparql_update(
+        g,
+        "PREFIX a: <http://one/> INSERT DATA { a:x <p> 'v1' } ; "
+        "PREFIX b: <http://two/> INSERT DATA { b:y <p> 'v2' } ; "
+        "INSERT DATA { a:z <p> 'v3' . b:w <p> 'v4' } ; "
+        "PREFIX a: <http://redefined/> INSERT DATA { a:q <p> 'v5' }",
+    )
+    subs = {r["subj"] for r in out.collect()}
+    assert "http://one/x" in subs          # first header works
+    assert "http://two/y" in subs          # later header works
+    assert "http://one/z" in subs          # first header persists to op 3
+    assert "http://two/w" in subs          # later header persists to op 3
+    assert "http://redefined/q" in subs    # re-declaration overrides
