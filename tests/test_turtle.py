@@ -365,3 +365,88 @@ def test_load_turtle_typed_shadow_columns(spark, tmp_path):
     assert [r["s"] for r in got] == ["http://ex/a"]
     # untyped load unchanged
     assert load_turtle(spark, str(p)).columns == ["subj", "pred", "obj"]
+
+
+def test_load_turtle_bulk_matches_driver_parse(spark, tmp_path):
+    """load_turtle_bulk (distributed statement splitter, VERDICT r04
+    §What's missing 4) must produce the driver parser's exact triple
+    set — multi-line ;/, continuations, collections, bnode property
+    lists, dots inside literals/IRIs, comments — modulo fresh-bnode
+    label spelling (salted with the statement id for document
+    uniqueness)."""
+    import re
+
+    from logset_spark.sources.turtle import load_turtle, load_turtle_bulk
+
+    p = tmp_path / "doc.ttl"
+    p.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "# comment\n"
+        "ex:a ex:p ex:b .\n"
+        'ex:a ex:q "lit with . dot" ;\n'
+        '     ex:r "10" ,\n'
+        '          "20" .\n'
+        "ex:c ex:list ( ex:x ex:y ) .\n"
+        "[ ex:inner ex:v ] ex:anon ex:w .\n"
+        '<http://o.org/s.x> <http://o.org/p> "esc\\"q" .\n'
+    )
+
+    def canon(rows):
+        # anon labels are fresh per loader (the bulk path salts them
+        # with the statement id), so compare the triple MULTISET with
+        # labels folded; exact row count + the big-file test pin the
+        # structure
+        c = lambda t: re.sub(r"_:anon-[\w-]+$", "_:ANON", t)
+        return sorted(tuple(c(x) for x in r) for r in rows)
+
+    bulk = canon(map(tuple, load_turtle_bulk(spark, str(p)).collect()))
+    drv = canon(map(tuple, load_turtle(spark, str(p)).collect()))
+    assert bulk == drv and len(bulk) == 12
+
+
+def test_load_turtle_bulk_statements_span_split_boundaries(spark, tmp_path):
+    """Statements straddling text-source split boundaries must
+    reassemble via the global statement ids (distributed prefix sum) —
+    forced here with a tiny maxPartitionBytes is not possible on a
+    shared session, so use enough data that the id math is exercised
+    across partitions of the grouped shuffle instead, and assert exact
+    counts."""
+    from logset_spark.sources.turtle import load_turtle_bulk
+
+    p = tmp_path / "big.ttl"
+    with open(p, "w") as f:
+        f.write("@prefix ex: <http://ex/> .\n")
+        for i in range(2000):
+            f.write(f'ex:s{i} ex:p1 "v {i} ." ;\n')
+            f.write(f"    ex:p2 ex:o{i} .\n")
+    d = load_turtle_bulk(spark, str(p))
+    assert d.count() == 4000
+    assert d.where(d.subj == "http://ex/s1999").count() == 2
+
+
+def test_load_turtle_bulk_rejects_are_loud(spark, tmp_path):
+    """Subset violations must reject, never silently mis-parse: a
+    mid-document @prefix (other statements' parsers would not see the
+    binding) and a multi-line literal (unbalanced quote)."""
+    import pytest
+
+    from logset_spark.sources.turtle import load_turtle_bulk
+
+    mid = tmp_path / "mid.ttl"
+    mid.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "ex:a ex:p ex:b .\n"
+        "@prefix zz: <http://zz/> .\n"
+        "zz:c zz:q zz:d .\n"
+    )
+    with pytest.raises(Exception, match="mid-document"):
+        load_turtle_bulk(spark, str(mid)).collect()
+
+    ml = tmp_path / "ml.ttl"
+    ml.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        'ex:a ex:p "spans\n'
+        'lines" .\n'
+    )
+    with pytest.raises(ValueError, match="multi-line"):
+        load_turtle_bulk(spark, str(ml)).collect()
