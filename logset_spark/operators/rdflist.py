@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import checkpoint_cut as _checkpoint_cut  # noqa: F401 — registers df.localCheckpointCut
+
 FIRST, REST, NIL = "rdf:first", "rdf:rest", "rdf:nil"
 
 
@@ -81,8 +83,8 @@ def list_expand(
     # R: head reaches `cell` in `pos` rest-steps; J: exact 2^k jumps.
     r = heads.select(
         F.col("cell").alias("head"), F.col("cell"), F.lit(0).alias("pos")
-    ).localCheckpoint(eager=True)
-    j = rest.select("a", "b", F.lit(1).alias("step")).localCheckpoint(eager=True)
+    ).localCheckpointCut()
+    j = rest.select("a", "b", F.lit(1).alias("step")).localCheckpointCut()
 
     to_convergence = rounds is None
     n_rounds = max_rounds if to_convergence else rounds
@@ -100,7 +102,7 @@ def list_expand(
             # unreachable from any head keeps j nonempty forever but
             # never feeds stepped, so the probe still terminates.)
             break
-        r = r.unionByName(stepped).localCheckpoint(eager=True)
+        r = r.unionByName(stepped).localCheckpointCut()
         # square the jump table: 2^k + 2^k = 2^(k+1); functional, so
         # this stays <= one row per cell and SHRINKS as chains end.
         j = (
@@ -111,7 +113,7 @@ def list_expand(
                 F.col("y.b").alias("b"),
                 (F.col("x.step") + F.col("y.step")).alias("step"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointCut()
         )
     return (
         r.join(cells, "cell")
