@@ -29,6 +29,14 @@ def main(argv=None) -> int:
     src.add_argument("--warehouse", help="warehouse root (build_graph --out)")
     src.add_argument("--catalog", help="entry .ttl catalog file to query instead"
                                        " of a parquet warehouse")
+    src.add_argument("--catalog-bulk",
+                     help="ONE large .ttl file parsed DISTRIBUTED "
+                          "(sources/turtle.py load_turtle_bulk: native "
+                          "statement splitting + per-statement parse in "
+                          "Arrow batches) — the path for a multi-GB "
+                          "Turtle dump the driver-side --catalog parser "
+                          "should not hold in memory; header-only "
+                          "directives, no link following")
     src.add_argument("--nquads", help=".nq file or directory to query "
                                       "directly — the distributed quad "
                                       "source (sources/ntriples.py): GRAPH "
@@ -196,6 +204,16 @@ def main(argv=None) -> int:
         triples = load_catalog(spark, args.catalog,
                                follow_links=args.follow_links,
                                named_graphs=args.named_graphs)
+    elif args.catalog_bulk:
+        if snap_flags:
+            p.error("--as-of/--changed-since need a --warehouse built "
+                    "with --snapshots")
+        if args.follow_links or args.named_graphs:
+            p.error("--catalog-bulk parses one self-contained document "
+                    "(no link following / named graphs); use --catalog")
+        from logset_spark.sources.turtle import load_turtle_bulk
+
+        triples = load_turtle_bulk(spark, args.catalog_bulk)
     elif args.nquads:
         if snap_flags:
             p.error("--as-of/--changed-since need a --warehouse built "
